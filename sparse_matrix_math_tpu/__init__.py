@@ -1,0 +1,61 @@
+"""sparse_matrix_math_tpu — a TPU-native sparse iterative-solver framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the C++
+reference library vasil-pashov/sparse_matrix_math (see SURVEY.md):
+
+* sparse formats: Triplet/COO assembly, CSR, plus TPU-friendly ELL
+  (padded) and DIA (stencil) compute layouts
+* SpMV family: rmult / rmult_add / rmult_sub with XLA and Pallas paths
+* Krylov solvers as jitted while_loops: ConjugateGradient (plain +
+  preconditioned), BiCGSymmetric, ConjugateGradientSquared, BiCGStab
+* preconditioners: Identity, Jacobi, Symmetric Gauss-Seidel, ILU(0),
+  IC(0) with TPU triangular-solve strategies
+* I/O: Matrix Market (.mtx) + SMMDT dense-text, extension dispatch
+* distribution: 1-D mesh row partitioning via shard_map with psum
+  reductions (parallel/)
+"""
+
+from .formats.csr import CSRMatrix, csr_from_coo, csr_from_dense, csr_from_triplet
+from .formats.dia import DIAMatrix, dia_from_csr, try_dia_from_csr
+from .formats.ell import ELLMatrix, ell_from_csr
+from .formats.triplet import COOArrays, TripletMatrix, coo_from_arrays
+from .io.dispatch import load_matrix, load_matrix_csr
+from .io.matrix_market import MatrixLoadStatus, MatrixMarketError, load_matrix_market
+from .io.smmdt import load_smmdt, save_dense_text
+from .ops.spmv import rmult, rmult_add, rmult_sub
+from .ops.vector import axpy, dot, norm2, norm2_squared
+from .precond.preconditioners import (
+    FactorizationError,
+    IC0Preconditioner,
+    IdentityPreconditioner,
+    ILU0Preconditioner,
+    JacobiPreconditioner,
+    SGSPreconditioner,
+    SolverPreconditioner,
+    get_preconditioner,
+)
+from .solvers.bicg_symmetric import bicg_symmetric
+from .solvers.bicgstab import bicgstab
+from .solvers.cg import cg, conjugate_gradient
+from .solvers.cgs import cgs, conjugate_gradient_squared
+from .solvers.types import SolveResult, SolverStatus
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CSRMatrix", "csr_from_coo", "csr_from_dense", "csr_from_triplet",
+    "DIAMatrix", "dia_from_csr", "try_dia_from_csr",
+    "ELLMatrix", "ell_from_csr",
+    "COOArrays", "TripletMatrix", "coo_from_arrays",
+    "load_matrix", "load_matrix_csr", "load_matrix_market", "load_smmdt",
+    "save_dense_text", "MatrixLoadStatus", "MatrixMarketError",
+    "rmult", "rmult_add", "rmult_sub",
+    "axpy", "dot", "norm2", "norm2_squared",
+    "FactorizationError", "IC0Preconditioner", "IdentityPreconditioner",
+    "ILU0Preconditioner", "JacobiPreconditioner", "SGSPreconditioner",
+    "SolverPreconditioner", "get_preconditioner",
+    "bicg_symmetric", "bicgstab", "cg", "conjugate_gradient",
+    "cgs", "conjugate_gradient_squared",
+    "SolveResult", "SolverStatus",
+    "__version__",
+]

@@ -1,0 +1,3 @@
+from .dispatch import load_matrix, load_matrix_csr
+from .matrix_market import MatrixLoadStatus, MatrixMarketError, load_matrix_market
+from .smmdt import load_smmdt, save_dense_text

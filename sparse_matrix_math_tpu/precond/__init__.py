@@ -1,0 +1,11 @@
+from .preconditioners import (
+    FactorizationError,
+    IC0Preconditioner,
+    IdentityPreconditioner,
+    ILU0Preconditioner,
+    JacobiPreconditioner,
+    SGSPreconditioner,
+    SolverPreconditioner,
+    get_preconditioner,
+)
+from .trisolve import TriangularMatrix, triangular_from_csr_arrays

@@ -1,0 +1,5 @@
+from .bicg_symmetric import bicg_symmetric
+from .bicgstab import bicgstab
+from .cg import cg, conjugate_gradient
+from .cgs import cgs, conjugate_gradient_squared
+from .types import SolveResult, SolverStatus, resolve_max_iterations

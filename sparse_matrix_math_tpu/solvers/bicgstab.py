@@ -1,0 +1,135 @@
+"""BiCGStab — transpose-free stabilised BiCG, optionally preconditioned.
+
+TPU-native re-design of the reference ``BiCGStab``
+(include/sparse_matrix_math.h:2191-2283 + unpreconditioned overload
+h:2294-2303).  Behavioral parity:
+
+* unpreconditioned iteration: 2 SpMVs, ``alpha = (r.r0)/(Ap.r0)``,
+  ``s = r - alpha Ap``, ``omega = (As.s)/(As.As)``, fused x/r updates
+  with ||r|| accumulation (h:2262-2268),
+  ``beta = (r'.r0) alpha / ((r.r0) omega)``,
+  ``p = r + beta (p - omega Ap)`` (h:2271-2274).
+* convergence on ``||r|| <= eps`` — the L2 norm itself, NOT squared
+  (h:2277), unlike CG.  Do-while: at least one iteration runs.
+* preconditioning (reference style, h:2217-2257): the *residuals* are
+  preconditioned — ``r <- M^{-1}(b - A x)`` at start, and each SpMV
+  result is preconditioned (``ap = M^{-1} A p``, ``as = M^{-1} A s``).
+  Convergence is measured on the preconditioned residual, matching the
+  reference exactly.  The reference selects this at compile time via
+  ``if constexpr`` against the identity-preconditioner type (h:2209);
+  here the Python-level None check plays that role (still zero cost
+  inside the compiled loop).
+
+Improvements (SURVEY §7): division-by-zero breakdowns the reference
+leaves as TODOs (h:2260, 2270) are detected → DIVERGED; the
+iteration-cap exit reports MAX_ITERATIONS_REACHED (reference bug h:2279).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.spmv import as_operator, matvec_fn
+from ..ops.vector import dot
+from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
+
+__all__ = ["bicgstab"]
+
+
+def bicgstab(
+    a,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    max_iterations: int = -1,
+    epsilon: float = 1e-8,
+    *,
+    preconditioner=None,
+    record_residuals: bool = False,
+) -> SolveResult:
+    """Solve ``a @ x = b`` (a may be non-symmetric / indefinite)."""
+    a = as_operator(a)
+    n = b.shape[0]
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    maxiter = resolve_max_iterations(max_iterations, n)
+    eps = jnp.asarray(epsilon, dtype=b.dtype)
+    if preconditioner is None:
+        return _bicgstab_loop(a, b, x0, eps, maxiter, record_residuals)
+    return _bicgstab_precond_loop(
+        a, preconditioner, b, x0, eps, maxiter, record_residuals
+    )
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _bicgstab_loop(a, b, x0, eps, maxiter: int, record: bool) -> SolveResult:
+    matvec = matvec_fn(a)
+    return _bicgstab_core(matvec, lambda v: v, b, x0, eps, maxiter, record)
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _bicgstab_precond_loop(a, m, b, x0, eps, maxiter: int, record: bool):
+    matvec = matvec_fn(a)
+    return _bicgstab_core(matvec, m.apply, b, x0, eps, maxiter, record)
+
+
+def _bicgstab_core(matvec, precond, b, x0, eps, maxiter: int, record: bool):
+    tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
+
+    # r <- M^{-1}(b - A x0) (h:2215-2227); identity precond when plain.
+    r = precond(b - matvec(x0))
+    r0 = r
+    rr0 = dot(r, r0)
+    res_norm = jnp.sqrt(dot(r, r))
+    trace = (
+        jnp.full((maxiter + 1,), jnp.nan, b.dtype).at[0].set(res_norm)
+        if record
+        else None
+    )
+
+    def cond(carry):
+        _, _, _, _, _, k, status, _ = carry
+        return (status == RUNNING) & (k < maxiter)
+
+    def body(carry):
+        x, r, p, rr0, res_norm, k, status, trace = carry
+        ap = precond(matvec(p))
+        denom = dot(ap, r0)
+        bd1 = jnp.abs(denom) < tiny
+        alpha = jnp.where(bd1, 0, rr0 / denom)
+        s = r - alpha * ap
+        as_ = precond(matvec(s))
+        asas = dot(as_, as_)
+        bd2 = jnp.abs(asas) < tiny
+        omega = jnp.where(bd2, 0, dot(as_, s) / asas)
+        x = x + alpha * p + omega * s
+        r = s - omega * as_
+        new_res_norm = jnp.sqrt(dot(r, r))
+        new_rr0 = dot(r, r0)
+        bd3 = (jnp.abs(rr0) < tiny) | (jnp.abs(omega) < tiny)
+        beta = jnp.where(bd3, 0, (new_rr0 * alpha) / (rr0 * omega))
+        p = r + beta * (p - omega * ap)
+        converged = new_res_norm <= eps
+        diverged = (bd1 | bd2 | bd3 | ~jnp.isfinite(new_res_norm)) & ~converged
+        status = jnp.where(
+            diverged,
+            SolverStatus.DIVERGED,
+            jnp.where(converged, SolverStatus.SUCCESS, RUNNING),
+        ).astype(jnp.int32)
+        if trace is not None:
+            trace = trace.at[k + 1].set(new_res_norm)
+        return x, r, p, new_rr0, new_res_norm, k + 1, status, trace
+
+    carry = (x0, r, r, rr0, res_norm, jnp.int32(0), jnp.int32(RUNNING), trace)
+    x, _, _, _, res_norm, k, status, trace = jax.lax.while_loop(cond, body, carry)
+    status = jnp.where(status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status)
+    return SolveResult(
+        x=x,
+        status=status.astype(jnp.int32),
+        iterations=k,
+        residual_norm=res_norm,
+        residual_trace=trace,
+    )

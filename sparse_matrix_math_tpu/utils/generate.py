@@ -1,0 +1,138 @@
+"""Test/benchmark matrix generators.
+
+The reference ships static .mtx assets (test/assets/: small SPD
+structural matrices + sherman1); for a self-contained TPU framework we
+also generate the standard model problems programmatically:
+
+* 2-D / 3-D Poisson finite-difference stencils (5-point / 7-point) —
+  SPD; the benchmark configs in BASELINE.json (configs 4-5) use these.
+* random SPD matrices (diagonally dominant) for property tests.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..formats.csr import CSRMatrix, _csr_from_sorted_host
+from ..formats.triplet import coo_from_arrays
+
+__all__ = ["poisson_2d", "poisson_3d", "random_spd_csr", "laplace_1d"]
+
+
+def laplace_1d(n: int, dtype=np.float64) -> CSRMatrix:
+    """Tridiagonal [-1, 2, -1] SPD matrix."""
+    rows, cols, vals = [], [], []
+    main = np.full(n, 2.0)
+    r = np.arange(n)
+    rows = np.concatenate([r[1:], r, r[:-1]])
+    cols = np.concatenate([r[:-1], r, r[1:]])
+    vals = np.concatenate([np.full(n - 1, -1.0), main, np.full(n - 1, -1.0)])
+    return _sorted_csr(rows, cols, vals.astype(dtype), (n, n))
+
+
+def poisson_2d(nx: int, ny: int = None, dtype=np.float64) -> CSRMatrix:
+    """5-point 2-D Poisson stencil on an nx-by-ny grid (n = nx*ny rows).
+
+    Diagonal 4, off-diagonals -1 at (+-1, +-nx) with row-boundary cuts on
+    the +-1 couplings.  SPD.  This is the benchmark matrix of
+    BASELINE.json config 4 (~10M nnz at nx=ny=1414).
+    """
+    ny = nx if ny is None else ny
+    n = nx * ny
+    idx = np.arange(n, dtype=np.int64)
+    ix = idx % nx
+
+    rows = [idx]
+    cols = [idx]
+    vals = [np.full(n, 4.0)]
+
+    west = ix > 0
+    rows.append(idx[west]); cols.append(idx[west] - 1)
+    vals.append(np.full(west.sum(), -1.0))
+    east = ix < nx - 1
+    rows.append(idx[east]); cols.append(idx[east] + 1)
+    vals.append(np.full(east.sum(), -1.0))
+    north = idx >= nx
+    rows.append(idx[north]); cols.append(idx[north] - nx)
+    vals.append(np.full(north.sum(), -1.0))
+    south = idx < n - nx
+    rows.append(idx[south]); cols.append(idx[south] + nx)
+    vals.append(np.full(south.sum(), -1.0))
+
+    return _sorted_csr(
+        np.concatenate(rows),
+        np.concatenate(cols),
+        np.concatenate(vals).astype(dtype),
+        (n, n),
+    )
+
+
+def poisson_3d(nx: int, ny: int = None, nz: int = None, dtype=np.float64) -> CSRMatrix:
+    """7-point 3-D Poisson stencil (BASELINE.json config 5 weak-scaling
+    matrix)."""
+    ny = nx if ny is None else ny
+    nz = nx if nz is None else nz
+    n = nx * ny * nz
+    idx = np.arange(n, dtype=np.int64)
+    ix = idx % nx
+    iy = (idx // nx) % ny
+
+    rows = [idx]
+    cols = [idx]
+    vals = [np.full(n, 6.0)]
+
+    def couple(mask, offset):
+        rows.append(idx[mask])
+        cols.append(idx[mask] + offset)
+        vals.append(np.full(mask.sum(), -1.0))
+
+    couple(ix > 0, -1)
+    couple(ix < nx - 1, +1)
+    couple(iy > 0, -nx)
+    couple(iy < ny - 1, +nx)
+    couple(idx >= nx * ny, -nx * ny)
+    couple(idx < n - nx * ny, +nx * ny)
+
+    return _sorted_csr(
+        np.concatenate(rows),
+        np.concatenate(cols),
+        np.concatenate(vals).astype(dtype),
+        (n, n),
+    )
+
+
+def random_spd_csr(
+    n: int, density: float = 0.05, seed: int = 0, dtype=np.float64
+) -> CSRMatrix:
+    """Random symmetric diagonally dominant (hence SPD) sparse matrix."""
+    rng = np.random.default_rng(seed)
+    nnz_target = max(int(n * n * density / 2), n)
+    r = rng.integers(0, n, nnz_target)
+    c = rng.integers(0, n, nnz_target)
+    off = r != c
+    r, c = r[off], c[off]
+    v = rng.uniform(-1.0, 1.0, r.shape[0])
+    rows = np.concatenate([r, c])
+    cols = np.concatenate([c, r])
+    vals = np.concatenate([v, v])
+    # dedup by summing, then add dominant diagonal
+    coo = coo_from_arrays(rows, cols, vals, (n, n), dtype=np.float64)
+    rr = np.asarray(coo.rows, np.int64)
+    cc = np.asarray(coo.cols, np.int64)
+    vv = np.asarray(coo.vals)
+    row_abs = np.zeros(n)
+    np.add.at(row_abs, rr, np.abs(vv))
+    rows = np.concatenate([rr, np.arange(n, dtype=np.int64)])
+    cols = np.concatenate([cc, np.arange(n, dtype=np.int64)])
+    vals = np.concatenate([vv, row_abs + 1.0])
+    key = rows * n + cols
+    order = np.argsort(key, kind="stable")
+    return _sorted_csr(rows[order], cols[order], vals[order].astype(dtype), (n, n))
+
+
+def _sorted_csr(rows, cols, vals, shape: Tuple[int, int]) -> CSRMatrix:
+    key = rows * np.int64(shape[1]) + cols
+    order = np.argsort(key, kind="stable")
+    return _csr_from_sorted_host(rows[order], cols[order], vals[order], shape)

@@ -1,0 +1,186 @@
+"""Preconditioner correctness + preconditioned-solver convergence.
+
+Mirrors the reference tests: IC0 apply on a hand-computed 5x5 SPD system
+(test/cpp/cg.cpp:28-60), PCG+IC0 on the mesh suite (cg.cpp:62-84), and
+SGS-preconditioned BiCGStab (bicgstab.cpp:145-167).  Adds coverage the
+reference lacks (SURVEY §4 holes): ILU0 (reference's is broken), Jacobi,
+non-SPD rejection, approximate (Jacobi-sweep) triangular solves.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_matrix_math_tpu import (
+    FactorizationError,
+    SolverStatus,
+    bicgstab,
+    cg,
+    csr_from_dense,
+    get_preconditioner,
+    load_matrix_csr,
+)
+from sparse_matrix_math_tpu.precond import (
+    IC0Preconditioner,
+    IdentityPreconditioner,
+    ILU0Preconditioner,
+    JacobiPreconditioner,
+    SGSPreconditioner,
+)
+from sparse_matrix_math_tpu.utils import poisson_2d
+from conftest import MESH_MATRICES, SHERMAN1, asset_path, inf_eps, l2_eps
+
+
+@pytest.fixture
+def spd5():
+    # small SPD system in the spirit of the reference's hand-computed 5x5
+    # IC0 check (test/cpp/cg.cpp:28-60)
+    dense = np.array(
+        [
+            [4.0, 1.0, 0.0, 0.0, 1.0],
+            [1.0, 5.0, 2.0, 0.0, 0.0],
+            [0.0, 2.0, 6.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0, 4.0, 1.0],
+            [1.0, 0.0, 0.0, 1.0, 3.0],
+        ]
+    )
+    return dense, csr_from_dense(dense)
+
+
+def test_identity_apply():
+    m = IdentityPreconditioner()
+    r = jnp.asarray([1.0, -2.0, 3.0])
+    np.testing.assert_array_equal(np.asarray(m.apply(r)), np.asarray(r))
+
+
+def test_jacobi_apply(spd5):
+    dense, a = spd5
+    m = JacobiPreconditioner.from_matrix(a)
+    r = jnp.asarray(np.arange(1.0, 6.0))
+    np.testing.assert_allclose(
+        np.asarray(m.apply(r)), np.arange(1.0, 6.0) / np.diag(dense)
+    )
+
+
+def test_sgs_apply_matches_dense_formula(spd5):
+    dense, a = spd5
+    m = SGSPreconditioner.from_matrix(a)
+    d = np.diag(np.diag(dense))
+    msgs = (np.tril(dense)) @ np.linalg.inv(d) @ (np.triu(dense))
+    r = np.linspace(-1, 1, 5)
+    np.testing.assert_allclose(
+        np.asarray(m.apply(jnp.asarray(r))), np.linalg.solve(msgs, r), rtol=1e-10
+    )
+
+
+def test_ic0_apply_is_exact_cholesky_solve_when_pattern_full(spd5):
+    dense, a = spd5
+    m = IC0Preconditioner.from_matrix(a)
+    ld = np.asarray(m.lower.dense)
+    r = np.arange(1.0, 6.0)
+    np.testing.assert_allclose(
+        np.asarray(m.apply(jnp.asarray(r))),
+        np.linalg.solve(ld @ ld.T, r),
+        rtol=1e-10,
+    )
+    # IC0 identity: L L^T == A on the pattern of A
+    prod = ld @ ld.T
+    mask = dense != 0
+    np.testing.assert_allclose(prod[mask], dense[mask], rtol=1e-10)
+
+
+def test_ilu0_factor_matches_pattern(spd5):
+    dense, a = spd5
+    m = ILU0Preconditioner.from_matrix(a)
+    lu = np.asarray(m.lower.dense) @ np.asarray(m.upper.dense)
+    mask = dense != 0
+    np.testing.assert_allclose(lu[mask], dense[mask], rtol=1e-10)
+
+
+def test_ic0_rejects_non_spd():
+    # reference silently NaNs on non-SPD under NDEBUG (h:1879); we raise
+    dense = np.array([[1.0, 4.0], [4.0, 1.0]])  # indefinite
+    with pytest.raises(FactorizationError):
+        IC0Preconditioner.from_matrix(csr_from_dense(dense))
+
+
+def test_ic0_rejects_sherman1():
+    a = load_matrix_csr(asset_path(SHERMAN1))
+    with pytest.raises(FactorizationError):
+        IC0Preconditioner.from_matrix(a)
+
+
+def test_sgs_rejects_tiny_diagonal():
+    dense = np.array([[1e-7, 1.0], [1.0, 2.0]])
+    with pytest.raises(FactorizationError):
+        SGSPreconditioner.from_matrix(csr_from_dense(dense))
+
+
+@pytest.mark.parametrize("kind", ["jacobi", "sgs", "ilu0", "ic0"])
+def test_pcg_converges_mesh_suite(kind, dtype):
+    a = load_matrix_csr(asset_path(MESH_MATRICES[0]), dtype=dtype)
+    ones = jnp.ones(a.shape[0], dtype=dtype)
+    b = a @ ones
+    m = get_preconditioner(a, kind)
+    res = cg(a, b, epsilon=l2_eps(dtype), preconditioner=m)
+    assert res.status_enum() == SolverStatus.SUCCESS
+    assert float(jnp.max(jnp.abs(res.x - 1.0))) <= inf_eps(dtype) * 10
+
+
+def test_pcg_ic0_iteration_parity_mesh1e1():
+    # BASELINE.md: PCG+IC0 on mesh1e1 = 8 iterations (vs CG's 21)
+    a = load_matrix_csr(asset_path(MESH_MATRICES[0]))
+    b = a @ jnp.ones(a.shape[0], dtype=jnp.float64)
+    m = get_preconditioner(a, "ic0")
+    res = cg(a, b, epsilon=1e-8, preconditioner=m)
+    assert abs(int(res.iterations) - 8) <= 2
+
+
+def test_bicgstab_sgs_parity_mesh1e1():
+    # BASELINE.md: BiCGStab+SGS on mesh1e1 = 5 iterations
+    a = load_matrix_csr(asset_path(MESH_MATRICES[0]))
+    b = a @ jnp.ones(a.shape[0], dtype=jnp.float64)
+    m = get_preconditioner(a, "sgs")
+    res = bicgstab(a, b, epsilon=1e-8, preconditioner=m)
+    assert res.status_enum() == SolverStatus.SUCCESS
+    assert abs(int(res.iterations) - 5) <= 2
+
+
+def test_bicgstab_sgs_sherman1():
+    # BASELINE.md: BiCGStab+SGS on sherman1 = 83 iterations
+    a = load_matrix_csr(asset_path(SHERMAN1))
+    b = a @ jnp.ones(a.shape[0], dtype=jnp.float64)
+    m = get_preconditioner(a, "sgs")
+    res = bicgstab(a, b, epsilon=1e-8, preconditioner=m)
+    assert res.status_enum() == SolverStatus.SUCCESS
+    assert int(res.iterations) <= 120
+
+
+def test_jacobi_sweep_trisolve_exact():
+    # sweeps="exact" must reproduce the dense solve exactly (nilpotency)
+    a = poisson_2d(6, 6)
+    for kind in ("sgs", "ic0", "ilu0"):
+        md = get_preconditioner(a, kind, method="dense")
+        mj = get_preconditioner(a, kind, method="jacobi", sweeps="exact")
+        r = jnp.asarray(np.random.default_rng(0).normal(size=36))
+        np.testing.assert_allclose(
+            np.asarray(mj.apply(r)), np.asarray(md.apply(r)), rtol=1e-10
+        )
+
+
+def test_approximate_trisolve_still_preconditions():
+    # few-sweep approximate triangular solve: PCG must still converge
+    a = poisson_2d(10, 10)
+    b = a @ jnp.ones(100, dtype=jnp.float64)
+    m = get_preconditioner(a, "ic0", method="jacobi", sweeps=4)
+    res = cg(a, b, epsilon=1e-8, preconditioner=m)
+    assert res.status_enum() == SolverStatus.SUCCESS
+
+
+def test_factory_parity_spellings():
+    a = poisson_2d(4, 4)
+    # the reference enum misspells SYMMETRIC_GAUS_SEIDEL (h:1002-1006)
+    m1 = get_preconditioner(a, "symmetric_gaus_seidel")
+    m2 = get_preconditioner(a, "symmetric_gauss_seidel")
+    assert type(m1) is type(m2) is SGSPreconditioner
+    assert isinstance(get_preconditioner(a, "none"), IdentityPreconditioner)

@@ -1,0 +1,167 @@
+"""Solver convergence tests.
+
+Mirrors the reference solver suites (test/cpp/cg.cpp, bicgstab.cpp,
+bicgsymmetric.cpp, cgsquared.cpp): the all-ones oracle — rhs := row sums
+so the exact solution is the all-ones vector (test/include/
+test_common.h:13-21) — on the reference .mtx asset suite, plus generated
+matrices so the tests are self-contained.  Tolerances follow
+test_common.h:30-51 (1e-4 f32 / 1e-8 f64).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_matrix_math_tpu import (
+    SolverStatus,
+    bicg_symmetric,
+    bicgstab,
+    cg,
+    cgs,
+    get_preconditioner,
+    load_matrix_csr,
+)
+from sparse_matrix_math_tpu.utils import laplace_1d, poisson_2d, random_spd_csr
+from conftest import MESH_MATRICES, SHERMAN1, asset_path, inf_eps, l2_eps
+
+SOLVERS = {
+    "cg": cg,
+    "bicg_symmetric": bicg_symmetric,
+    "bicgstab": bicgstab,
+    "cgs": cgs,
+}
+
+
+def ones_oracle(a, dtype):
+    """rhs = row sums -> exact solution all-ones (test_common.h:13-21)."""
+    n = a.shape[0]
+    ones = jnp.ones(n, dtype=dtype)
+    return (a @ ones).astype(dtype)
+
+
+def check_solves(a, solver, dtype, **kwargs):
+    b = ones_oracle(a, dtype)
+    res = solver(a, b, epsilon=l2_eps(dtype), **kwargs)
+    assert res.status_enum() == SolverStatus.SUCCESS, res
+    err = float(jnp.max(jnp.abs(res.x - 1.0)))
+    assert err <= inf_eps(dtype) * 10, f"max|x-1| = {err}"
+    return res
+
+
+@pytest.mark.parametrize("solver_name", list(SOLVERS))
+def test_poisson_all_solvers(solver_name, dtype):
+    a = poisson_2d(8, 8, dtype=dtype)
+    check_solves(a, SOLVERS[solver_name], dtype)
+
+
+@pytest.mark.parametrize("solver_name", list(SOLVERS))
+@pytest.mark.parametrize("matrix", MESH_MATRICES)
+def test_mesh_suite(solver_name, matrix, dtype):
+    a = load_matrix_csr(asset_path(matrix), dtype=dtype)
+    check_solves(a, SOLVERS[solver_name], dtype)
+
+
+def test_sherman1_cg_f64():
+    # sherman1 is ill-conditioned: residual SUCCESS at 1e-8 leaves a
+    # larger per-element error (the reference sees the same effect —
+    # BASELINE.md f32 table shows 6.0e-3 max err; its own test suite
+    # never runs the all-ones oracle on sherman1, SURVEY §4).
+    a = load_matrix_csr(asset_path(SHERMAN1), dtype=np.float64)
+    b = ones_oracle(a, np.float64)
+    res = cg(a, b, epsilon=1e-8)
+    assert res.status_enum() == SolverStatus.SUCCESS
+    assert float(jnp.max(jnp.abs(res.x - 1.0))) < 1e-5
+    # baseline: reference takes 530 iterations (BASELINE.md); allow slack
+    assert 400 <= int(res.iterations) <= 650
+
+
+def test_cg_iteration_parity_mesh1e1():
+    # BASELINE.md: CG on mesh1e1 converges in 21 iterations at 1e-8 (f64)
+    a = load_matrix_csr(asset_path(MESH_MATRICES[0]), dtype=np.float64)
+    res = check_solves(a, cg, np.float64)
+    assert abs(int(res.iterations) - 21) <= 2
+
+
+def test_early_exit_on_converged_x0():
+    a = poisson_2d(5, 5)
+    b = ones_oracle(a, np.float64)
+    res = cg(a, b, x0=jnp.ones(25, dtype=jnp.float64), epsilon=1e-8)
+    # reference returns SUCCESS before iterating (h:2341-2344)
+    assert res.status_enum() == SolverStatus.SUCCESS
+    assert int(res.iterations) == 0
+
+
+def test_max_iterations_reached():
+    a = poisson_2d(10, 10)
+    b = ones_oracle(a, np.float64)
+    res = cg(a, b, max_iterations=2, epsilon=1e-12)
+    assert res.status_enum() == SolverStatus.MAX_ITERATIONS_REACHED
+    assert int(res.iterations) == 2
+    # deliberate deviation (SURVEY §7): the reference's other solvers
+    # mis-report SUCCESS here (h:2098, 2174, 2279); ours do not.
+    for solver in (bicg_symmetric, bicgstab, cgs):
+        res = solver(a, b, max_iterations=2, epsilon=1e-12)
+        assert res.status_enum() == SolverStatus.MAX_ITERATIONS_REACHED, solver
+
+
+def test_restart_from_x0():
+    # Krylov restart capability (reference README.md:5): a partial solve's
+    # x feeds a second solve which must converge in fewer iterations.
+    a = poisson_2d(12, 12)
+    b = ones_oracle(a, np.float64)
+    full = cg(a, b, epsilon=1e-10)
+    part = cg(a, b, max_iterations=10, epsilon=1e-10)
+    rest = cg(a, b, x0=part.x, epsilon=1e-10)
+    assert rest.status_enum() == SolverStatus.SUCCESS
+    # restarting discards the Krylov space, so "no worse" is the guarantee
+    assert int(rest.iterations) <= int(full.iterations)
+    assert float(rest.residual_norm) <= 1e-10
+
+
+def test_residual_trace():
+    a = poisson_2d(6, 6)
+    b = ones_oracle(a, np.float64)
+    res = cg(a, b, max_iterations=50, epsilon=1e-10, record_residuals=True)
+    trace = np.asarray(res.residual_trace)
+    k = int(res.iterations)
+    assert np.isfinite(trace[: k + 1]).all()
+    assert np.isnan(trace[k + 1:]).all()
+    # monotone-ish decrease to convergence for CG on SPD
+    assert trace[k] < trace[0]
+    assert trace[k] == pytest.approx(float(res.residual_norm), rel=1e-6)
+
+
+def test_solvers_under_jit():
+    import jax
+
+    a = poisson_2d(6, 6)
+    b = ones_oracle(a, np.float64)
+
+    @jax.jit
+    def solve(mat, rhs):
+        return cg(mat, rhs, max_iterations=36, epsilon=1e-10)
+
+    res = solve(a, b)
+    assert int(res.status) == SolverStatus.SUCCESS
+
+
+def test_nonsymmetric_bicgstab_cgs():
+    # sherman1-like: non-symmetric-ish test via random SPD perturbed
+    rng = np.random.default_rng(0)
+    n = 40
+    base = np.asarray(random_spd_csr(n, density=0.2, seed=1).to_dense())
+    pert = base + 0.1 * np.triu(rng.normal(size=(n, n)) * (base != 0), 1)
+    from sparse_matrix_math_tpu import csr_from_dense
+
+    a = csr_from_dense(pert)
+    b = ones_oracle(a, np.float64)
+    for solver in (bicgstab, cgs):
+        res = solver(a, b, epsilon=1e-8)
+        assert res.status_enum() == SolverStatus.SUCCESS, (solver, res)
+        assert float(jnp.max(jnp.abs(res.x - 1.0))) < 1e-6
+
+
+def test_laplace_chain():
+    a = laplace_1d(64)
+    res = check_solves(a, cg, np.float64)
+    assert res.success
