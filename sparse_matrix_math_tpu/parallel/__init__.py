@@ -1,0 +1,28 @@
+"""Multi-chip distribution: 1-D row-partitioned mesh (SURVEY §2.3, §7)."""
+
+from .dist import (
+    DistCSR,
+    DistPreconditioner,
+    collect,
+    dist_solve,
+    dist_spmv,
+    distribute_csr,
+    distribute_preconditioner,
+    distribute_vector,
+)
+from .mesh import ROW_AXIS, make_mesh, replicated_sharding, row_sharding
+
+__all__ = [
+    "DistCSR",
+    "DistPreconditioner",
+    "collect",
+    "dist_solve",
+    "dist_spmv",
+    "distribute_csr",
+    "distribute_preconditioner",
+    "distribute_vector",
+    "ROW_AXIS",
+    "make_mesh",
+    "replicated_sharding",
+    "row_sharding",
+]

@@ -1,0 +1,538 @@
+"""Row-partitioned distributed CSR + SpMV + Krylov solves via shard_map.
+
+The reference's entire parallelism story is TBB ``parallel_for`` over row
+ranges of the CSR matrix (reference include/sparse_matrix_math.h:1493-1497)
+and a deterministic parallel reduction for dot products (h:305-328).  The
+TPU-native scaling design (SURVEY §2.3, §7):
+
+* the matrix row dimension is laid out across a 1-D device mesh — each
+  device owns a contiguous block of rows as padded ``(P, L)`` CSR-like
+  arrays (values / global column ids / local row ids);
+* vectors are sharded by the same row blocks;
+* SpMV inside ``shard_map``: all_gather the multiplicand ``x`` along the
+  mesh axis (the halo exchange — full-width for generality; banded
+  matrices can use the neighbor-window variant), gather by column,
+  segment-sum into the local row block;
+* every dot product is a local partial dot + ``psum`` — the collective
+  equivalent of the reference's deterministic TBB reduce;
+* the *same* solver algorithm cores (solvers/*.py) run inside shard_map,
+  so single-chip and multi-chip solves share one implementation.
+
+Padding rules keep everything exact: padded rows have no nnz, padded
+vector entries are 0, padded nnz slots have value 0 — so every dot, norm
+and SpMV result is bit-identical in the padded system.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..formats.csr import CSRMatrix
+from ..ops.vector import dot as _plain_dot
+from ..precond.preconditioners import (
+    IC0Preconditioner,
+    IdentityPreconditioner,
+    ILU0Preconditioner,
+    JacobiPreconditioner,
+    SGSPreconditioner,
+)
+from ..precond.trisolve import TriangularMatrix
+from ..solvers.bicg_symmetric import bicg_symmetric_core
+from ..solvers.bicgstab import bicgstab_core
+from ..solvers.cg import cg_core, pcg_core
+from ..solvers.cgs import cgs_core
+from ..solvers.types import SolveResult, resolve_max_iterations
+from .mesh import ROW_AXIS, make_mesh
+
+__all__ = [
+    "DistCSR",
+    "distribute_csr",
+    "distribute_vector",
+    "collect",
+    "dist_spmv",
+    "dist_solve",
+    "distribute_preconditioner",
+]
+
+_LANE = 128  # pad per-shard nnz to lane multiples for clean VMEM tiling
+
+
+# -- distributed containers ---------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DistCSR:
+    """Row-block-partitioned CSR.
+
+    ``data``/``cols``/``lrows`` are ``(P, L)``: shard-major padded nnz
+    arrays (value, global column id, local row id).  Padding slots hold
+    value 0 at column 0 of the shard's last row, so they contribute
+    exactly nothing.  The leading axis is sharded over the mesh.
+    """
+
+    data: jnp.ndarray    # (P, L)
+    cols: jnp.ndarray    # (P, L) int32, global column ids
+    lrows: jnp.ndarray   # (P, L) int32, local row ids in [0, block_rows)
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    block_rows: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def padded_rows(self) -> int:
+        return self.n_shards * self.block_rows
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def distribute_csr(
+    csr: CSRMatrix,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    *,
+    axis: str = ROW_AXIS,
+) -> DistCSR:
+    """Partition a CSR matrix into equal row blocks over ``mesh``.
+
+    Host-side layout transform + device_put with a row NamedSharding, the
+    distributed analogue of the reference's single-heap ``CSRMatrix::init``
+    (h:1327-1349).
+    """
+    mesh = mesh if mesh is not None else make_mesh()
+    n_dev = mesh.shape[axis]
+    n_rows, n_cols = csr.shape
+    block = max(_round_up(int(math.ceil(n_rows / n_dev)), 8), 8)
+
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    indices = np.asarray(csr.indices, dtype=np.int64)
+    data = np.asarray(csr.data)
+
+    starts = [min(d * block, n_rows) for d in range(n_dev + 1)]
+    seg_nnz = [int(indptr[starts[d + 1]] - indptr[starts[d]]) for d in range(n_dev)]
+    slots = max(_round_up(max(seg_nnz), _LANE), _LANE)
+
+    vals = np.zeros((n_dev, slots), dtype=data.dtype)
+    cols = np.zeros((n_dev, slots), dtype=np.int32)
+    lrows = np.full((n_dev, slots), block - 1, dtype=np.int32)
+    row_ids = np.asarray(csr.row_ids, dtype=np.int64)
+    for d in range(n_dev):
+        lo, hi = int(indptr[starts[d]]), int(indptr[starts[d + 1]])
+        k = hi - lo
+        vals[d, :k] = data[lo:hi]
+        cols[d, :k] = indices[lo:hi]
+        lrows[d, :k] = row_ids[lo:hi] - d * block
+
+    shard2 = jax.sharding.NamedSharding(mesh, P(axis, None))
+    return DistCSR(
+        data=jax.device_put(jnp.asarray(vals), shard2),
+        cols=jax.device_put(jnp.asarray(cols), shard2),
+        lrows=jax.device_put(jnp.asarray(lrows), shard2),
+        shape=(int(n_rows), int(n_cols)),
+        block_rows=int(block),
+        nnz=csr.nnz,
+        axis=axis,
+    )
+
+
+def distribute_vector(
+    x, dist: DistCSR, mesh: jax.sharding.Mesh
+) -> jnp.ndarray:
+    """Zero-pad a length-n vector to the padded row count and shard it."""
+    x = np.asarray(x)
+    n_pad = dist.padded_rows
+    if x.shape[0] != n_pad:
+        x = np.concatenate([x, np.zeros(n_pad - x.shape[0], dtype=x.dtype)])
+    return jax.device_put(
+        jnp.asarray(x), jax.sharding.NamedSharding(mesh, P(dist.axis))
+    )
+
+
+def collect(x: jnp.ndarray, dist: DistCSR) -> np.ndarray:
+    """Gather a sharded padded vector back to an unpadded host array."""
+    return np.asarray(jax.device_get(x))[: dist.shape[0]]
+
+
+# -- local (per-shard) kernels ------------------------------------------------
+
+
+def _local_spmv(data, cols, lrows, x_local, *, axis: str, block_rows: int):
+    """Per-shard SpMV body: halo exchange + gather + segment-sum.
+
+    The all_gather is the distributed halo exchange of SURVEY §2.3 (full
+    width; exact for any sparsity pattern).  ``indices_are_sorted`` holds
+    because nnz stay row-major within the shard and pads map to the last
+    local row.
+    """
+    xg = jax.lax.all_gather(x_local, axis, tiled=True)
+    g = data * jnp.take(xg, cols, axis=0)
+    return jax.ops.segment_sum(
+        g, lrows, num_segments=block_rows, indices_are_sorted=True
+    )
+
+
+def _psum_dot(axis: str):
+    def dotfn(u, v):
+        return jax.lax.psum(_plain_dot(u, v), axis)
+
+    return dotfn
+
+
+# -- distributed preconditioners ---------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _DistTriArrays:
+    """Distributed strict-triangular factor + diagonal (host-side holder;
+    flattened into plain arrays before crossing into shard_map)."""
+
+    data: jnp.ndarray   # (P, L)
+    cols: jnp.ndarray   # (P, L) int32 global
+    lrows: jnp.ndarray  # (P, L) int32 local
+    diag: jnp.ndarray   # (n_pad,) sharded; pad entries 1.0
+    sweeps: int
+
+
+@dataclasses.dataclass(frozen=True)
+class DistPreconditioner:
+    """Distributed preconditioner: a static ``kind`` plus flat arrays.
+
+    ``kind`` is one of none/jacobi/sgs/ilu0/ic0; triangular applies run as
+    Jacobi sweeps (each sweep = one distributed strict-SpMV), the scalable
+    TPU strategy from precond/trisolve.py.
+    """
+
+    kind: str
+    arrays: Tuple[jnp.ndarray, ...]
+    statics: Tuple[int, ...]  # per-factor sweep counts etc.
+
+    def array_specs(self, axis: str):
+        specs = []
+        for a in self.arrays:
+            specs.append(P(axis, None) if a.ndim == 2 else P(axis))
+        return tuple(specs)
+
+
+def _distribute_triangular(
+    tri: TriangularMatrix, dist: DistCSR, mesh: jax.sharding.Mesh
+) -> _DistTriArrays:
+    """Lay a TriangularMatrix's strict part into the dist row-block format."""
+    n = tri.n
+    block = dist.block_rows
+    n_dev = mesh.shape[dist.axis]
+    rows = np.asarray(tri.row_ids, dtype=np.int64)
+    cols = np.asarray(tri.indices, dtype=np.int64)
+    data = np.asarray(tri.data)
+    # strict part is row-sorted already (built from CSR order)
+    shard_of = rows // block
+    seg_nnz = np.bincount(shard_of, minlength=n_dev)
+    slots = max(_round_up(int(seg_nnz.max()) if seg_nnz.size else 0, _LANE), _LANE)
+    v = np.zeros((n_dev, slots), dtype=data.dtype)
+    c = np.zeros((n_dev, slots), dtype=np.int32)
+    lr = np.full((n_dev, slots), block - 1, dtype=np.int32)
+    offset = np.zeros(n_dev, dtype=np.int64)
+    starts = np.zeros(n_dev + 1, dtype=np.int64)
+    np.cumsum(seg_nnz, out=starts[1:])
+    for d in range(n_dev):
+        lo, hi = int(starts[d]), int(starts[d + 1])
+        k = hi - lo
+        v[d, :k] = data[lo:hi]
+        c[d, :k] = cols[lo:hi]
+        lr[d, :k] = rows[lo:hi] - d * block
+
+    diag = np.ones(dist.padded_rows, dtype=data.dtype)
+    diag[:n] = np.asarray(tri.diag)
+
+    shard2 = jax.sharding.NamedSharding(mesh, P(dist.axis, None))
+    shard1 = jax.sharding.NamedSharding(mesh, P(dist.axis))
+    return _DistTriArrays(
+        data=jax.device_put(jnp.asarray(v), shard2),
+        cols=jax.device_put(jnp.asarray(c), shard2),
+        lrows=jax.device_put(jnp.asarray(lr), shard2),
+        diag=jax.device_put(jnp.asarray(diag), shard1),
+        sweeps=tri.sweeps if tri.method != "dense" else tri.depth,
+    )
+
+
+def distribute_preconditioner(
+    precond, dist: DistCSR, mesh: Optional[jax.sharding.Mesh] = None
+) -> DistPreconditioner:
+    """Re-lay a single-chip preconditioner's factors over the mesh.
+
+    Identity/Jacobi shard trivially; SGS/ILU0/IC0 triangular applies
+    become distributed Jacobi sweeps (exact when the factor's
+    level-schedule depth is reached — precond/trisolve.py).
+    """
+    mesh = mesh if mesh is not None else make_mesh()
+    shard1 = jax.sharding.NamedSharding(mesh, P(dist.axis))
+    if precond is None or isinstance(precond, IdentityPreconditioner):
+        return DistPreconditioner(kind="none", arrays=(), statics=())
+    if isinstance(precond, JacobiPreconditioner):
+        inv = np.ones(dist.padded_rows, dtype=np.asarray(precond.inv_diag).dtype)
+        inv[: dist.shape[0]] = np.asarray(precond.inv_diag)
+        return DistPreconditioner(
+            kind="jacobi",
+            arrays=(jax.device_put(jnp.asarray(inv), shard1),),
+            statics=(),
+        )
+    if isinstance(precond, SGSPreconditioner):
+        fwd = _distribute_triangular(precond.fwd, dist, mesh)
+        bwd = _distribute_triangular(precond.bwd, dist, mesh)
+        dscale = np.zeros(dist.padded_rows, dtype=np.asarray(precond.diag).dtype)
+        dscale[: dist.shape[0]] = np.asarray(precond.diag)
+        return DistPreconditioner(
+            kind="sgs",
+            arrays=(
+                fwd.data, fwd.cols, fwd.lrows, fwd.diag,
+                bwd.data, bwd.cols, bwd.lrows, bwd.diag,
+                jax.device_put(jnp.asarray(dscale), shard1),
+            ),
+            statics=(fwd.sweeps, bwd.sweeps),
+        )
+    if isinstance(precond, (ILU0Preconditioner, IC0Preconditioner)):
+        lo = _distribute_triangular(precond.lower, dist, mesh)
+        up = _distribute_triangular(precond.upper, dist, mesh)
+        return DistPreconditioner(
+            kind="ilu0" if isinstance(precond, ILU0Preconditioner) else "ic0",
+            arrays=(
+                lo.data, lo.cols, lo.lrows, lo.diag,
+                up.data, up.cols, up.lrows, up.diag,
+            ),
+            statics=(lo.sweeps, up.sweeps),
+        )
+    raise TypeError(f"cannot distribute preconditioner {type(precond).__name__}")
+
+
+def _local_tri_solve(
+    data, cols, lrows, diag_local, b_local, *, axis, block_rows, sweeps
+):
+    """Distributed triangular solve via Jacobi sweeps:
+    x_{k+1} = (b - N x_k) / d with N the strict part (exact once the
+    sweep count reaches the factor's dependency depth)."""
+    inv_d = 1.0 / diag_local
+
+    def sweep(x, _):
+        nx = _local_spmv(
+            data, cols, lrows, x, axis=axis, block_rows=block_rows
+        )
+        return (b_local - nx) * inv_d, None
+
+    x0 = b_local * inv_d
+    x, _ = jax.lax.scan(sweep, x0, None, length=max(sweeps - 1, 0))
+    return x
+
+
+def _build_local_precond_apply(kind, arrays, statics, *, axis, block_rows):
+    """Construct the per-shard ``apply`` closure inside shard_map."""
+    if kind == "none":
+        return lambda r: r
+    if kind == "jacobi":
+        (inv_diag,) = arrays
+        return lambda r: r * inv_diag
+    if kind == "sgs":
+        (fd, fc, fl, fdg, bd, bc, bl, bdg, dscale) = arrays
+        fs, bs = statics
+
+        def apply_sgs(r):
+            y = _local_tri_solve(
+                fd, fc, fl, fdg, r, axis=axis, block_rows=block_rows, sweeps=fs
+            )
+            return _local_tri_solve(
+                bd, bc, bl, bdg, dscale * y,
+                axis=axis, block_rows=block_rows, sweeps=bs,
+            )
+
+        return apply_sgs
+    if kind in ("ilu0", "ic0"):
+        (ld, lc, ll, ldg, ud, uc, ul, udg) = arrays
+        ls, us = statics
+
+        def apply_lu(r):
+            y = _local_tri_solve(
+                ld, lc, ll, ldg, r, axis=axis, block_rows=block_rows, sweeps=ls
+            )
+            return _local_tri_solve(
+                ud, uc, ul, udg, y, axis=axis, block_rows=block_rows, sweeps=us
+            )
+
+        return apply_lu
+    raise ValueError(f"unknown distributed preconditioner kind {kind!r}")
+
+
+# -- public distributed ops ---------------------------------------------------
+
+
+def dist_spmv(a: DistCSR, x: jnp.ndarray, mesh: jax.sharding.Mesh) -> jnp.ndarray:
+    """y = A @ x with row-sharded A and x (padded length)."""
+    fn = _dist_spmv_jit(mesh, a.axis, a.block_rows)
+    return fn(a.data, a.cols, a.lrows, x)
+
+
+@lru_cache(maxsize=None)
+def _dist_spmv_jit(mesh, axis: str, block_rows: int):
+    def inner(data, cols, lrows, x_local):
+        return _local_spmv(
+            data[0], cols[0], lrows[0], x_local,
+            axis=axis, block_rows=block_rows,
+        )
+
+    mapped = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        out_specs=P(axis),
+    )
+    return jax.jit(mapped)
+
+
+_CORES = {
+    "cg": cg_core,
+    "bicg_symmetric": bicg_symmetric_core,
+    "cgs": cgs_core,
+    "bicgstab": bicgstab_core,
+}
+
+
+def dist_solve(
+    a: DistCSR,
+    b,
+    x0=None,
+    max_iterations: int = -1,
+    epsilon: float = 1e-8,
+    *,
+    solver: str = "cg",
+    preconditioner: Optional[DistPreconditioner] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    record_residuals: bool = False,
+) -> SolveResult:
+    """Distributed Krylov solve over the row mesh.
+
+    Runs the identical algorithm core as the single-chip solver of the
+    same name (solvers/*.py) inside ``shard_map``: SpMVs halo-exchange
+    ``x`` via all_gather, every dot is a local partial + psum.  ``b``/
+    ``x0`` may be host arrays of logical length n (they are padded and
+    sharded here) or already-sharded padded arrays.
+
+    The solution vector in the result is the *sharded padded* x — use
+    :func:`collect` to bring it back to a host array of logical length.
+    """
+    if solver not in _CORES:
+        raise ValueError(f"unknown solver {solver!r}; options: {sorted(_CORES)}")
+    mesh = mesh if mesh is not None else make_mesh()
+    if preconditioner is not None and solver not in ("cg", "bicgstab"):
+        raise ValueError(
+            "preconditioning is supported for cg and bicgstab "
+            "(matching the reference's preconditioned entry points)"
+        )
+    pre = preconditioner or DistPreconditioner(kind="none", arrays=(), statics=())
+
+    b_arr = np.asarray(b) if not isinstance(b, jnp.ndarray) else b
+    if b_arr.shape[0] != a.padded_rows:
+        b_arr = distribute_vector(b_arr, a, mesh)
+    if x0 is None:
+        x0_arr = jnp.zeros_like(b_arr)
+    else:
+        x0_arr = np.asarray(x0) if not isinstance(x0, jnp.ndarray) else x0
+        if x0_arr.shape[0] != a.padded_rows:
+            x0_arr = distribute_vector(x0_arr, a, mesh)
+
+    maxiter = resolve_max_iterations(max_iterations, a.shape[0])
+    eps = jnp.asarray(epsilon, dtype=b_arr.dtype)
+
+    fn = _dist_solve_jit(
+        mesh, a.axis, a.block_rows, solver, maxiter,
+        bool(record_residuals), pre.kind, pre.statics, len(pre.arrays),
+    )
+    return fn(a.data, a.cols, a.lrows, b_arr, x0_arr, eps, *pre.arrays)
+
+
+@lru_cache(maxsize=None)
+def _dist_solve_jit(
+    mesh,
+    axis: str,
+    block_rows: int,
+    solver: str,
+    maxiter: int,
+    record: bool,
+    pre_kind: str,
+    pre_statics: tuple,
+    n_pre_arrays: int,
+):
+    core = _CORES[solver]
+
+    def inner(data, cols, lrows, b_local, x0_local, eps, *pre_arrays):
+        # shard_map delivers (1, L) slices for the (P, L) arrays
+        data, cols, lrows = data[0], cols[0], lrows[0]
+        pre_local = tuple(a[0] if a.ndim == 2 else a for a in pre_arrays)
+
+        def matvec(v):
+            return _local_spmv(
+                data, cols, lrows, v, axis=axis, block_rows=block_rows
+            )
+
+        dotfn = _psum_dot(axis)
+        apply_ = _build_local_precond_apply(
+            pre_kind, pre_local, pre_statics, axis=axis, block_rows=block_rows
+        )
+        if solver == "cg":
+            if pre_kind == "none":
+                return cg_core(matvec, dotfn, b_local, x0_local, eps, maxiter, record)
+            return pcg_core(
+                matvec, apply_, dotfn, b_local, x0_local, eps, maxiter, record
+            )
+        if solver == "bicgstab":
+            return bicgstab_core(
+                matvec, apply_, dotfn, b_local, x0_local, eps, maxiter, record
+            )
+        return core(matvec, dotfn, b_local, x0_local, eps, maxiter, record)
+
+    pre_specs = []
+    # specs must mirror dist array ranks: (P, L) factors vs (n_pad,) vectors.
+    # DistPreconditioner.array_specs can't be called here (arrays unknown),
+    # so kind determines the layout:
+    layout = {
+        "none": (),
+        "jacobi": (1,),
+        "sgs": (2, 2, 2, 1, 2, 2, 2, 1, 1),
+        "ilu0": (2, 2, 2, 1, 2, 2, 2, 1),
+        "ic0": (2, 2, 2, 1, 2, 2, 2, 1),
+    }[pre_kind]
+    assert len(layout) == n_pre_arrays
+    for nd in layout:
+        pre_specs.append(P(axis, None) if nd == 2 else P(axis))
+
+    out_specs = SolveResult(
+        x=P(axis),
+        status=P(),
+        iterations=P(),
+        residual_norm=P(),
+        residual_trace=P() if record else None,
+    )
+    mapped = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None), P(axis, None), P(axis, None),
+            P(axis), P(axis), P(),
+            *pre_specs,
+        ),
+        out_specs=out_specs,
+    )
+    return jax.jit(mapped)

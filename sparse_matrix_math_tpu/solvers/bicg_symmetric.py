@@ -31,7 +31,7 @@ from ..ops.spmv import as_operator, matvec_fn
 from ..ops.vector import dot
 from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
 
-__all__ = ["bicg_symmetric"]
+__all__ = ["bicg_symmetric", "bicg_symmetric_core"]
 
 
 def bicg_symmetric(
@@ -56,7 +56,15 @@ def bicg_symmetric(
 
 @partial(jax.jit, static_argnums=(4, 5))
 def _bicg_sym_loop(a, b, x0, eps, maxiter: int, record: bool) -> SolveResult:
-    matvec = matvec_fn(a)
+    return bicg_symmetric_core(matvec_fn(a), dot, b, x0, eps, maxiter, record)
+
+
+def bicg_symmetric_core(
+    matvec, dotfn, b, x0, eps, maxiter: int, record: bool
+) -> SolveResult:
+    """Algorithm core, parameterised over ``matvec``/``dotfn`` for reuse by
+    the distributed layer (see solvers/cg.py:cg_core)."""
+    dot = dotfn
     eps2 = eps * eps
     one = jnp.asarray(1.0, b.dtype)
 

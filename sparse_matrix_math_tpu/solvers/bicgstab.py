@@ -37,7 +37,7 @@ from ..ops.spmv import as_operator, matvec_fn
 from ..ops.vector import dot
 from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
 
-__all__ = ["bicgstab"]
+__all__ = ["bicgstab", "bicgstab_core"]
 
 
 def bicgstab(
@@ -67,16 +67,19 @@ def bicgstab(
 @partial(jax.jit, static_argnums=(4, 5))
 def _bicgstab_loop(a, b, x0, eps, maxiter: int, record: bool) -> SolveResult:
     matvec = matvec_fn(a)
-    return _bicgstab_core(matvec, lambda v: v, b, x0, eps, maxiter, record)
+    return bicgstab_core(matvec, lambda v: v, dot, b, x0, eps, maxiter, record)
 
 
 @partial(jax.jit, static_argnums=(5, 6))
 def _bicgstab_precond_loop(a, m, b, x0, eps, maxiter: int, record: bool):
     matvec = matvec_fn(a)
-    return _bicgstab_core(matvec, m.apply, b, x0, eps, maxiter, record)
+    return bicgstab_core(matvec, m.apply, dot, b, x0, eps, maxiter, record)
 
 
-def _bicgstab_core(matvec, precond, b, x0, eps, maxiter: int, record: bool):
+def bicgstab_core(matvec, precond, dotfn, b, x0, eps, maxiter: int, record: bool):
+    """Algorithm core, parameterised over ``matvec``/``precond``/``dotfn``
+    for reuse by the distributed layer (see solvers/cg.py:cg_core)."""
+    dot = dotfn
     tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
 
     # r <- M^{-1}(b - A x0) (h:2215-2227); identity precond when plain.

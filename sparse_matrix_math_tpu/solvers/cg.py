@@ -37,7 +37,7 @@ from ..ops.spmv import as_operator, matvec_fn
 from ..ops.vector import dot
 from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
 
-__all__ = ["conjugate_gradient", "cg"]
+__all__ = ["conjugate_gradient", "cg", "cg_core", "pcg_core"]
 
 
 def conjugate_gradient(
@@ -78,7 +78,14 @@ cg = conjugate_gradient
 
 @partial(jax.jit, static_argnums=(4, 5))
 def _cg_loop(a, b, x0, eps, maxiter: int, record: bool) -> SolveResult:
-    matvec = matvec_fn(a)
+    return cg_core(matvec_fn(a), dot, b, x0, eps, maxiter, record)
+
+
+def cg_core(matvec, dotfn, b, x0, eps, maxiter: int, record: bool) -> SolveResult:
+    """Algorithm core, parameterised over ``matvec`` and ``dotfn`` so the
+    distributed layer (parallel/) can run the identical loop inside
+    ``shard_map`` with psum-reducing dots (SURVEY §2.3)."""
+    dot = dotfn
     eps2 = eps * eps
 
     r = b - matvec(x0)
@@ -129,11 +136,18 @@ def _cg_loop(a, b, x0, eps, maxiter: int, record: bool) -> SolveResult:
 
 @partial(jax.jit, static_argnums=(5, 6))
 def _pcg_loop(a, preconditioner, b, x0, eps, maxiter: int, record: bool):
-    matvec = matvec_fn(a)
+    return pcg_core(
+        matvec_fn(a), preconditioner.apply, dot, b, x0, eps, maxiter, record
+    )
+
+
+def pcg_core(matvec, precond_apply, dotfn, b, x0, eps, maxiter: int, record: bool):
+    """Preconditioned-CG algorithm core (see :func:`cg_core`)."""
+    dot = dotfn
     eps2 = eps * eps
 
     r = b - matvec(x0)
-    z = preconditioner.apply(r)
+    z = precond_apply(r)
     rz = dot(r, z)
     rr = dot(r, r)
     trace = (
@@ -153,7 +167,7 @@ def _pcg_loop(a, preconditioner, b, x0, eps, maxiter: int, record: bool):
         alpha = rz / pap
         x = x + alpha * p
         r = r - alpha * ap
-        z = preconditioner.apply(r)
+        z = precond_apply(r)
         new_rz = dot(r, z)
         rr = dot(r, r)
         diverged = ~jnp.isfinite(rr)

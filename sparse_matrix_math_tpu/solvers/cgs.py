@@ -39,7 +39,7 @@ from ..ops.spmv import as_operator, matvec_fn
 from ..ops.vector import dot
 from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
 
-__all__ = ["conjugate_gradient_squared", "cgs"]
+__all__ = ["conjugate_gradient_squared", "cgs", "cgs_core"]
 
 
 def conjugate_gradient_squared(
@@ -66,7 +66,13 @@ cgs = conjugate_gradient_squared
 
 @partial(jax.jit, static_argnums=(4, 5))
 def _cgs_loop(a, b, x0, eps, maxiter: int, record: bool) -> SolveResult:
-    matvec = matvec_fn(a)
+    return cgs_core(matvec_fn(a), dot, b, x0, eps, maxiter, record)
+
+
+def cgs_core(matvec, dotfn, b, x0, eps, maxiter: int, record: bool) -> SolveResult:
+    """Algorithm core, parameterised over ``matvec``/``dotfn`` for reuse by
+    the distributed layer (see solvers/cg.py:cg_core)."""
+    dot = dotfn
     eps2 = eps * eps
     tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
 

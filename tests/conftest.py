@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The env var alone is not enough when a TPU platform plugin (axon) is
+# registered — pin the platform explicitly so tests always see the
+# 8-virtual-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

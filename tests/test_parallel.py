@@ -1,0 +1,133 @@
+"""Distributed-layer tests on a simulated 8-device CPU mesh (SURVEY §4:
+multi-chip logic must be testable without a pod)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sparse_matrix_math_tpu as smm
+from sparse_matrix_math_tpu.parallel import (
+    collect,
+    dist_solve,
+    dist_spmv,
+    distribute_csr,
+    distribute_preconditioner,
+    distribute_vector,
+    make_mesh,
+)
+from sparse_matrix_math_tpu.solvers.types import SolverStatus
+from sparse_matrix_math_tpu.utils.generate import poisson_2d, random_spd_csr
+
+from conftest import inf_eps, l2_eps
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+def _ones_system(a):
+    """rhs = row sums => exact solution all-ones (reference oracle,
+    test/include/test_common.h:13-21)."""
+    return np.asarray(a.to_dense()).sum(axis=1)
+
+
+class TestDistSpMV:
+    def test_matches_single_chip(self, mesh, dtype):
+        a = poisson_2d(13, dtype=dtype)  # 169 rows: uneven over 8 shards
+        da = distribute_csr(a, mesh)
+        x = np.random.default_rng(3).standard_normal(a.shape[0]).astype(dtype)
+        xp = distribute_vector(x, da, mesh)
+        y = collect(dist_spmv(da, xp, mesh), da)
+        y_ref = np.asarray(a.rmult(jnp.asarray(x)))
+        np.testing.assert_allclose(y, y_ref, rtol=1e-5 if dtype == np.float32 else 1e-12)
+
+    def test_unstructured_matrix(self, mesh, dtype):
+        a = random_spd_csr(97, density=0.2, seed=5, dtype=dtype)
+        da = distribute_csr(a, mesh)
+        x = np.random.default_rng(7).standard_normal(97).astype(dtype)
+        xp = distribute_vector(x, da, mesh)
+        y = collect(dist_spmv(da, xp, mesh), da)
+        y_ref = np.asarray(a.rmult(jnp.asarray(x)))
+        np.testing.assert_allclose(
+            y, y_ref, rtol=2e-4 if dtype == np.float32 else 1e-11
+        )
+
+
+class TestDistSolve:
+    @pytest.mark.parametrize("solver", ["cg", "bicg_symmetric", "cgs", "bicgstab"])
+    def test_all_solvers_converge(self, mesh, solver):
+        a = poisson_2d(16)
+        da = distribute_csr(a, mesh)
+        b = _ones_system(a)
+        res = dist_solve(da, b, solver=solver, epsilon=1e-8, mesh=mesh)
+        assert int(res.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(collect(res.x, da), 1.0, atol=1e-7)
+
+    def test_matches_single_chip_iterates(self, mesh):
+        """Distributed CG must take the same iteration count as single-chip
+        (identical algorithm; sums differ only by reduction order)."""
+        a = poisson_2d(16)
+        b = _ones_system(a)
+        single = smm.cg(a, jnp.asarray(b), epsilon=1e-10)
+        da = distribute_csr(a, mesh)
+        res = dist_solve(da, b, solver="cg", epsilon=1e-10, mesh=mesh)
+        assert abs(int(res.iterations) - int(single.iterations)) <= 1
+
+    @pytest.mark.parametrize("kind", ["jacobi", "sgs", "ic0", "ilu0"])
+    def test_preconditioned(self, mesh, kind):
+        a = poisson_2d(12)
+        da = distribute_csr(a, mesh)
+        b = _ones_system(a)
+        p = smm.get_preconditioner(a, kind, method="jacobi", sweeps="exact") \
+            if kind != "jacobi" else smm.get_preconditioner(a, kind)
+        dp = distribute_preconditioner(p, da, mesh)
+        solver = "cg" if kind in ("jacobi", "ic0") else "bicgstab"
+        res = dist_solve(
+            da, b, solver=solver, preconditioner=dp, epsilon=1e-9, mesh=mesh
+        )
+        assert int(res.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(collect(res.x, da), 1.0, atol=1e-6)
+
+    def test_max_iterations_reached(self, mesh):
+        a = poisson_2d(16)
+        da = distribute_csr(a, mesh)
+        b = _ones_system(a)
+        res = dist_solve(da, b, solver="cg", max_iterations=2, epsilon=1e-12, mesh=mesh)
+        assert int(res.status) == SolverStatus.MAX_ITERATIONS_REACHED
+        assert int(res.iterations) == 2
+
+    def test_record_residuals(self, mesh):
+        a = poisson_2d(10)
+        da = distribute_csr(a, mesh)
+        b = _ones_system(a)
+        res = dist_solve(
+            da, b, solver="cg", epsilon=1e-9, mesh=mesh, record_residuals=True
+        )
+        trace = np.asarray(res.residual_trace)
+        k = int(res.iterations)
+        assert np.isfinite(trace[: k + 1]).all()
+        assert trace[k] <= 1e-9
+
+
+class TestDistVsReferenceSuite:
+    """Same .mtx assets + oracle + tolerances as the reference suite,
+    through the distributed path."""
+
+    def test_mesh_matrices(self, mesh, dtype):
+        from conftest import MESH_MATRICES, asset_path
+
+        for name in MESH_MATRICES:
+            a = smm.load_matrix_csr(asset_path(name), dtype=dtype)
+            da = distribute_csr(a, mesh)
+            b = _ones_system(a).astype(dtype)
+            res = dist_solve(
+                da, b, solver="cg", epsilon=l2_eps(dtype), mesh=mesh
+            )
+            assert int(res.status) == SolverStatus.SUCCESS, name
+            assert np.abs(collect(res.x, da) - 1.0).max() <= inf_eps(dtype)
