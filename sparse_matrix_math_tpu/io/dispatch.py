@@ -14,9 +14,14 @@ from typing import Union
 
 import numpy as np
 
-from ..formats.csr import CSRMatrix, csr_from_triplet
+from ..formats.csr import CSRMatrix, csr_from_coo, csr_from_triplet
 from ..formats.triplet import TripletMatrix
-from .matrix_market import MatrixLoadStatus, MatrixMarketError, load_matrix_market
+from .matrix_market import (
+    MatrixLoadStatus,
+    MatrixMarketError,
+    load_matrix_market,
+    load_matrix_market_coo,
+)
 from .smmdt import load_smmdt
 
 __all__ = ["load_matrix", "load_matrix_csr"]
@@ -41,7 +46,16 @@ def load_matrix(
 def load_matrix_csr(
     path: Union[str, os.PathLike], *, dtype=np.float64, allow_general: bool = False
 ) -> CSRMatrix:
-    """Load straight to CSR (reference CSR overload, h:2661-2669)."""
+    """Load straight to CSR (reference CSR overload, h:2661-2669).
+
+    ``.mtx`` files take the bulk path (native C parser when available →
+    sorted/deduplicated COO → CSR), skipping the per-entry container.
+    """
+    ext = os.path.splitext(str(path))[1].lower()
+    if ext == ".mtx":
+        return csr_from_coo(
+            load_matrix_market_coo(path, dtype=dtype, allow_general=allow_general)
+        )
     return csr_from_triplet(
         load_matrix(path, dtype=dtype, allow_general=allow_general)
     )

@@ -24,9 +24,14 @@ from typing import TextIO, Tuple, Union
 
 import numpy as np
 
-from ..formats.triplet import TripletMatrix
+from ..formats.triplet import COOArrays, TripletMatrix, coo_from_arrays
 
-__all__ = ["MatrixLoadStatus", "MatrixMarketError", "load_matrix_market"]
+__all__ = [
+    "MatrixLoadStatus",
+    "MatrixMarketError",
+    "load_matrix_market",
+    "load_matrix_market_coo",
+]
 
 
 class MatrixLoadStatus(enum.IntEnum):
@@ -66,6 +71,35 @@ def load_matrix_market(
         ) from e
     with f:
         return _parse(f, allow_general, dtype)
+
+
+def load_matrix_market_coo(
+    path: Union[str, os.PathLike],
+    *,
+    allow_general: bool = False,
+    dtype=np.float64,
+) -> COOArrays:
+    """Bulk-load a Matrix Market file straight to sorted/deduplicated
+    :class:`COOArrays`, skipping the per-entry assembly container.
+
+    Uses the native C parser (native/smm_native.cpp) when available —
+    the framework's data-loader fast path — with the Python parser as
+    fallback.  Same grammar and mirroring semantics as
+    :func:`load_matrix_market`.
+    """
+    from .. import native
+
+    path = str(path)
+    try:
+        parsed = native.mtx_read_native(path, allow_general)
+    except native._MtxNativeError as e:
+        raise MatrixMarketError(MatrixLoadStatus(e.status), str(e)) from e
+    if parsed is not None:
+        n_rows, n_cols, r, c, v = parsed
+        return coo_from_arrays(r, c, v, (n_rows, n_cols), dtype=dtype)
+    return load_matrix_market(
+        path, allow_general=allow_general, dtype=dtype
+    ).to_coo(dtype=dtype)
 
 
 def _parse(f: TextIO, allow_general: bool, dtype) -> TripletMatrix:

@@ -71,6 +71,10 @@ def ic0_factorize_host(
     indptr = np.asarray(indptr, dtype=np.int64)
     n = indptr.shape[0] - 1
 
+    native_result = _ic0_try_native(data, indices, indptr, n)
+    if native_result is not None:
+        return native_result
+
     l_rows: list[dict[int, float]] = []
     l_cols_sorted: list[list[int]] = []
     for i in range(n):
@@ -113,6 +117,40 @@ def ic0_factorize_host(
     return _rows_to_csr(l_rows, l_cols_sorted, n, data.dtype)
 
 
+def _ic0_try_native(data, indices, indptr, n):
+    """Native-C IC(0) fast path (native/smm_native.cpp); None → fall back
+    to the Python implementation below (identical algorithm)."""
+    from .. import native
+
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    low = indices <= row_ids
+    l_idx = indices[low]
+    l_val = data[low]
+    l_row = row_ids[low]
+    counts = np.bincount(l_row, minlength=n)
+    if np.any(counts == 0):
+        missing = int(np.nonzero(counts == 0)[0][0])
+        raise FactorizationError(
+            f"row {missing} has no diagonal entry; matrix is not SPD"
+        )
+    l_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=l_ptr[1:])
+    # CSR columns ascend, so each row's last lower entry must be its diagonal
+    last = l_idx[l_ptr[1:] - 1]
+    if np.any(last != np.arange(n)):
+        missing = int(np.nonzero(last != np.arange(n))[0][0])
+        raise FactorizationError(
+            f"row {missing} has no diagonal entry; matrix is not SPD"
+        )
+    try:
+        l_values = native.ic0_factorize_native(l_ptr, l_idx, l_val)
+    except ValueError as e:
+        raise FactorizationError(str(e)) from e
+    if l_values is None:
+        return None
+    return l_values, l_idx, l_ptr
+
+
 def ilu0_factorize_host(
     data: np.ndarray, indices: np.ndarray, indptr: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -133,19 +171,26 @@ def ilu0_factorize_host(
     n = indptr.shape[0] - 1
     factor = data.copy()
 
-    # position of each (row, col) within the CSR arrays, per row
+    # position of each row's diagonal within the CSR arrays (vectorised)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
     diag_pos = np.full(n, -1, dtype=np.int64)
-    for i in range(n):
-        for p in range(indptr[i], indptr[i + 1]):
-            if indices[p] == i:
-                diag_pos[i] = p
-                break
+    on_diag = np.nonzero(indices == row_ids)[0]
+    diag_pos[row_ids[on_diag]] = on_diag
     if np.any(diag_pos < 0):
         missing = int(np.nonzero(diag_pos < 0)[0][0])
         raise FactorizationError(
             f"row {missing} has no diagonal entry; ILU(0) requires a full "
             "diagonal (reference would need reordering, h:1741-1746)"
         )
+
+    from .. import native
+
+    try:
+        native_factor = native.ilu0_factorize_native(indptr, indices, diag_pos, data)
+    except ValueError as e:
+        raise FactorizationError(str(e)) from e
+    if native_factor is not None:
+        return native_factor, native_factor[diag_pos]
 
     col_pos = {}  # transient map col -> position for the active row
     for i in range(1, n):

@@ -1,0 +1,134 @@
+"""Native C++ host-runtime tests: parity with the pure-Python paths."""
+
+import numpy as np
+import pytest
+
+import sparse_matrix_math_tpu as smm
+from sparse_matrix_math_tpu import native
+from sparse_matrix_math_tpu.io.matrix_market import (
+    MatrixLoadStatus,
+    MatrixMarketError,
+    load_matrix_market_coo,
+)
+from sparse_matrix_math_tpu.precond import _factorize as F
+from sparse_matrix_math_tpu.utils.generate import poisson_2d, random_spd_csr
+
+from conftest import MESH_MATRICES, SHERMAN1, asset_path
+
+needs_native = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+# real natives, captured before the force_python fixture patches the module
+_real_ic0 = native.ic0_factorize_native
+_real_ilu0 = native.ilu0_factorize_native
+
+
+@pytest.fixture
+def force_python(monkeypatch):
+    """Disable the native fast paths so the Python fallback runs."""
+    monkeypatch.setattr(native, "ic0_factorize_native", lambda *a: None)
+    monkeypatch.setattr(native, "ilu0_factorize_native", lambda *a: None)
+    monkeypatch.setattr(native, "mtx_read_native", lambda *a: None)
+
+
+@needs_native
+class TestNativeMtx:
+    def test_parity_with_python_parser(self):
+        for name in MESH_MATRICES + [SHERMAN1]:
+            path = asset_path(name)
+            coo = load_matrix_market_coo(path)
+            trip = smm.load_matrix_market(path)
+            ref = trip.to_coo()
+            np.testing.assert_array_equal(np.asarray(coo.rows), np.asarray(ref.rows))
+            np.testing.assert_array_equal(np.asarray(coo.cols), np.asarray(ref.cols))
+            np.testing.assert_array_equal(np.asarray(coo.vals), np.asarray(ref.vals))
+
+    def test_missing_file(self):
+        with pytest.raises(MatrixMarketError) as ei:
+            load_matrix_market_coo("/does/not/exist.mtx")
+        assert ei.value.status == MatrixLoadStatus.FAILED_TO_OPEN_FILE
+
+    def test_bad_banner(self, tmp_path):
+        p = tmp_path / "bad.mtx"
+        p.write_text("%%MatrixMarket matrix array real general\n1 1\n1.0\n")
+        with pytest.raises(MatrixMarketError) as ei:
+            load_matrix_market_coo(str(p))
+        assert ei.value.status == MatrixLoadStatus.UNSUPPORTED_FORMAT
+
+    def test_truncated_entries(self, tmp_path):
+        p = tmp_path / "trunc.mtx"
+        p.write_text(
+            "%%MatrixMarket matrix coordinate real symmetric\n3 3 3\n1 1 2.0\n"
+        )
+        with pytest.raises(MatrixMarketError) as ei:
+            load_matrix_market_coo(str(p))
+        assert ei.value.status == MatrixLoadStatus.PARSE_ERROR
+
+    def test_junk_column_rejected(self, tmp_path):
+        p = tmp_path / "junk.mtx"
+        p.write_text(
+            "%%MatrixMarket matrix coordinate real symmetric\n"
+            "2 2 1\n1 1 2.0 surprise\n"
+        )
+        with pytest.raises(MatrixMarketError) as ei:
+            load_matrix_market_coo(str(p))
+        assert ei.value.status == MatrixLoadStatus.PARSE_ERROR
+
+    def test_general_gating(self, tmp_path):
+        p = tmp_path / "gen.mtx"
+        p.write_text(
+            "%%MatrixMarket matrix coordinate real general\n2 2 2\n1 2 3.0\n2 1 4.0\n"
+        )
+        with pytest.raises(MatrixMarketError):
+            load_matrix_market_coo(str(p))
+        coo = load_matrix_market_coo(str(p), allow_general=True)
+        assert coo.nnz == 2
+
+
+@needs_native
+class TestNativeFactorize:
+    def test_ic0_parity(self, force_python):
+        a = poisson_2d(9)
+        d = np.asarray(a.data, np.float64)
+        i = np.asarray(a.indices, np.int64)
+        p = np.asarray(a.indptr, np.int64)
+        lv_py, li_py, lp_py = F.ic0_factorize_host(d, i, p)
+        lv_nat = _real_ic0(lp_py, li_py, d[i <= np.repeat(
+            np.arange(a.shape[0]), np.diff(p))])
+        assert lv_nat is not None
+        np.testing.assert_allclose(lv_nat, lv_py, rtol=1e-13)
+
+    def test_ilu0_parity(self, force_python):
+        a = random_spd_csr(60, density=0.15, seed=2)
+        d = np.asarray(a.data, np.float64)
+        i = np.asarray(a.indices, np.int64)
+        p = np.asarray(a.indptr, np.int64)
+        f_py, _ = F.ilu0_factorize_host(d, i, p)
+        row_ids = np.repeat(np.arange(a.shape[0], dtype=np.int64), np.diff(p))
+        diag_pos = np.nonzero(i == row_ids)[0]
+        f_nat = _real_ilu0(p, i, diag_pos, d)
+        assert f_nat is not None
+        np.testing.assert_allclose(f_nat, f_py, rtol=1e-12)
+
+    def test_ic0_non_spd_raises(self):
+        a = smm.load_matrix_csr(asset_path(SHERMAN1))
+        with pytest.raises(F.FactorizationError):
+            F.ic0_factorize_host(
+                np.asarray(a.data, np.float64),
+                np.asarray(a.indices, np.int64),
+                np.asarray(a.indptr, np.int64),
+            )
+
+    def test_preconditioner_applies_match(self, dtype):
+        """IC0 built through the native path must precondition exactly like
+        the hand-computed reference check (tests/test_precond.py covers the
+        values; here: end-to-end PCG iteration parity vs BASELINE.md)."""
+        a = smm.load_matrix_csr(asset_path(MESH_MATRICES[0]), dtype=dtype)
+        import jax.numpy as jnp
+
+        b = a @ jnp.ones(a.shape[0], dtype=dtype)
+        pre = smm.get_preconditioner(a, "ic0")
+        res = smm.cg(a, b, epsilon=1e-4 if dtype == np.float32 else 1e-8,
+                     preconditioner=pre)
+        assert int(res.iterations) <= 9  # reference: 8 (BASELINE.md)
