@@ -39,6 +39,14 @@ from .solvers.bicgstab import bicgstab
 from .solvers.cg import cg, conjugate_gradient
 from .solvers.cgs import cgs, conjugate_gradient_squared
 from .solvers.types import SolveResult, SolverStatus
+from .utils.checkpoint import (
+    checkpointed_solve,
+    load_checkpoint,
+    load_csr_npz,
+    save_checkpoint,
+    save_csr_npz,
+)
+from .utils.profiling import SolveStats, solve_with_stats, spmv_throughput
 
 __version__ = "0.1.0"
 
@@ -57,5 +65,8 @@ __all__ = [
     "bicg_symmetric", "bicgstab", "cg", "conjugate_gradient",
     "cgs", "conjugate_gradient_squared",
     "SolveResult", "SolverStatus",
+    "checkpointed_solve", "load_checkpoint", "save_checkpoint",
+    "load_csr_npz", "save_csr_npz",
+    "SolveStats", "solve_with_stats", "spmv_throughput",
     "__version__",
 ]
