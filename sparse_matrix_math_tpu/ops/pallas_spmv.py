@@ -48,49 +48,66 @@ def fits_in_vmem(n: int, dtype) -> bool:
 # -- DIA stencil kernel -------------------------------------------------------
 
 
-def _dia_kernel(xp_ref, diags_ref, out_ref, *, offsets, lpad, block):
-    """One row tile: out[i] = sum_d diags[d, i] * xp[lpad + i + off_d].
+def _dia_kernel(xp_ref, diags_ref, out_ref, *, shifts, rows_blk):
+    """One row tile of the 2-D-layout stencil SpMV.
 
-    ``xp_ref`` is the zero-padded x, fully VMEM-resident; ``diags_ref``
-    is the (ndiags, block) tile for this grid step.  Each diagonal's
-    read is an unaligned-but-contiguous VMEM slice — no gather.
+    Everything is 2-D (Mosaic on this stack rejects 1-D memory ops):
+    the flat padded x lives as ``xp_ref`` (M, 128); a flat shift by
+    ``off`` decomposes into a *dynamic sublane slice* (off // 128 rows)
+    plus a *static lane rotation* (off % 128), implemented as two static
+    lane slices concatenated — no gather, no unaligned access.
     """
     i = pl.program_id(0)
-    base = i * block + lpad
-    acc = diags_ref[0, :] * xp_ref[pl.ds(base + offsets[0], block)]
-    for d in range(1, len(offsets)):
-        acc = acc + diags_ref[d, :] * xp_ref[pl.ds(base + offsets[d], block)]
-    out_ref[:] = acc
+    acc = None
+    for d, (s8, r) in enumerate(shifts):
+        w = xp_ref[pl.ds(i * rows_blk + s8, rows_blk + 1), :]
+        if r == 0:
+            shifted = w[:-1, :]
+        else:
+            shifted = jnp.concatenate([w[:-1, r:], w[1:, :r]], axis=1)
+        term = diags_ref[d, :, :] * shifted
+        acc = term if acc is None else acc + term
+    out_ref[:, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "shape", "interpret"))
 def _dia_spmv_call(diags, x, *, offsets, shape, interpret=False):
     n_rows, n_cols = shape
     dtype = jnp.result_type(diags.dtype, x.dtype)
-    block = min(_round_up(n_rows, _LANE), 64 * 1024)
+    ndiags = len(offsets)
+
+    rows_blk = 512                      # 512 sublanes x 128 lanes = 64k elems
+    block = rows_blk * _LANE
     n_pad = _round_up(n_rows, block)
     grid = n_pad // block
 
+    # left pad aligns every shift to non-negative; keep it lane-aligned so
+    # shift decomposition stays static:  flat index base + off + lpad.
     lpad = _round_up(max(-min(offsets), 0), _LANE)
-    # right padding must cover the largest base + off + block read
-    rpad = max(n_pad - n_cols + max(max(offsets), 0), 0) + _LANE
-    xp = jnp.pad(x.astype(dtype), (lpad, rpad))
+    xp_len = lpad + n_pad + _round_up(max(max(offsets), 0), _LANE) + _LANE
+    xp = jnp.pad(x.astype(dtype), (lpad, xp_len - lpad - n_cols))
+    # one extra sublane row so the (rows_blk + 1)-row window never overruns
+    xp2 = jnp.pad(xp.reshape(-1, _LANE), ((0, 1), (0, 0)))
+
     diags_p = jnp.pad(diags.astype(dtype), ((0, 0), (0, n_pad - n_rows)))
+    diags3 = diags_p.reshape(ndiags, -1, _LANE)
+
+    shifts = tuple(
+        ((lpad + off) // _LANE, (lpad + off) % _LANE) for off in offsets
+    )
 
     out = pl.pallas_call(
-        functools.partial(
-            _dia_kernel, offsets=offsets, lpad=lpad, block=block
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_pad,), dtype),
+        functools.partial(_dia_kernel, shifts=shifts, rows_blk=rows_blk),
+        out_shape=jax.ShapeDtypeStruct((n_pad // _LANE, _LANE), dtype),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(xp.shape, lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((len(offsets), block), lambda i: (0, i)),
+            pl.BlockSpec(xp2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ndiags, rows_blk, _LANE), lambda i: (0, i, 0)),
         ],
-        out_specs=pl.BlockSpec((block,), lambda i: (i,)),
+        out_specs=pl.BlockSpec((rows_blk, _LANE), lambda i: (i, 0)),
         interpret=interpret,
-    )(xp, diags_p)
-    return out[:n_rows]
+    )(xp2, diags3)
+    return out.reshape(-1)[:n_rows]
 
 
 def dia_spmv(a: DIAMatrix, x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:

@@ -80,12 +80,18 @@ class DistCSR:
     """
 
     data: jnp.ndarray    # (P, L)
-    cols: jnp.ndarray    # (P, L) int32, global column ids
+    cols: jnp.ndarray    # (P, L) int32: global column ids (mode=allgather)
+                         #               or window-local ids (mode=halo)
     lrows: jnp.ndarray   # (P, L) int32, local row ids in [0, block_rows)
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     block_rows: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
     axis: str = dataclasses.field(metadata=dict(static=True))
+    # "allgather": halo exchange gathers the full x (exact for any pattern).
+    # "halo": every shard's columns fall inside its neighbor window
+    #   [(d-1)B, (d+2)B) — only the two neighbor blocks are exchanged via
+    #   ppermute (O(B) per shard instead of O(n); the banded/stencil case).
+    mode: str = dataclasses.field(metadata=dict(static=True), default="allgather")
 
     @property
     def n_shards(self) -> int:
@@ -104,41 +110,78 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pack_row_blocks(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    data: np.ndarray,
+    *,
+    n_dev: int,
+    block: int,
+    mode: str,
+):
+    """Lay row-sorted COO entries into padded per-shard (P, L) arrays.
+
+    ``mode="auto"`` picks "halo" when every shard's columns fall within its
+    neighbor window [(d-1)·B, (d+2)·B), else "allgather".  In halo mode,
+    column ids are rewritten window-local (col − (d−1)·B ∈ [0, 3B)); pad
+    slots point at the window's own-block start (value 0 ⇒ no effect).
+    """
+    shard_of = rows // block if rows.size else rows
+    seg_nnz = np.bincount(shard_of, minlength=n_dev)
+    starts = np.zeros(n_dev + 1, dtype=np.int64)
+    np.cumsum(seg_nnz, out=starts[1:])
+    slots = max(_round_up(int(seg_nnz.max()) if seg_nnz.size else 0, _LANE), _LANE)
+
+    if mode == "auto":
+        lo_ok = cols >= (shard_of - 1) * block
+        hi_ok = cols < (shard_of + 2) * block
+        mode = "halo" if (rows.size == 0 or bool(np.all(lo_ok & hi_ok))) else "allgather"
+    elif mode == "halo":
+        if rows.size and not bool(
+            np.all((cols >= (shard_of - 1) * block) & (cols < (shard_of + 2) * block))
+        ):
+            raise ValueError(
+                "matrix columns escape the neighbor window; halo mode invalid"
+            )
+
+    v = np.zeros((n_dev, slots), dtype=data.dtype)
+    c = np.full((n_dev, slots), block if mode == "halo" else 0, dtype=np.int32)
+    lr = np.full((n_dev, slots), block - 1, dtype=np.int32)
+    for d in range(n_dev):
+        lo, hi = int(starts[d]), int(starts[d + 1])
+        k = hi - lo
+        v[d, :k] = data[lo:hi]
+        seg_cols = cols[lo:hi]
+        c[d, :k] = seg_cols - (d - 1) * block if mode == "halo" else seg_cols
+        lr[d, :k] = rows[lo:hi] - d * block
+    return v, c, lr, mode
+
+
 def distribute_csr(
     csr: CSRMatrix,
     mesh: Optional[jax.sharding.Mesh] = None,
     *,
     axis: str = ROW_AXIS,
+    mode: str = "auto",
 ) -> DistCSR:
     """Partition a CSR matrix into equal row blocks over ``mesh``.
 
     Host-side layout transform + device_put with a row NamedSharding, the
     distributed analogue of the reference's single-heap ``CSRMatrix::init``
-    (h:1327-1349).
+    (h:1327-1349).  ``mode``: "auto" (default) uses the O(B) neighbor-halo
+    exchange when the sparsity pattern allows, "allgather"/"halo" force.
     """
     mesh = mesh if mesh is not None else make_mesh()
     n_dev = mesh.shape[axis]
     n_rows, n_cols = csr.shape
     block = max(_round_up(int(math.ceil(n_rows / n_dev)), 8), 8)
 
-    indptr = np.asarray(csr.indptr, dtype=np.int64)
-    indices = np.asarray(csr.indices, dtype=np.int64)
-    data = np.asarray(csr.data)
-
-    starts = [min(d * block, n_rows) for d in range(n_dev + 1)]
-    seg_nnz = [int(indptr[starts[d + 1]] - indptr[starts[d]]) for d in range(n_dev)]
-    slots = max(_round_up(max(seg_nnz), _LANE), _LANE)
-
-    vals = np.zeros((n_dev, slots), dtype=data.dtype)
-    cols = np.zeros((n_dev, slots), dtype=np.int32)
-    lrows = np.full((n_dev, slots), block - 1, dtype=np.int32)
-    row_ids = np.asarray(csr.row_ids, dtype=np.int64)
-    for d in range(n_dev):
-        lo, hi = int(indptr[starts[d]]), int(indptr[starts[d + 1]])
-        k = hi - lo
-        vals[d, :k] = data[lo:hi]
-        cols[d, :k] = indices[lo:hi]
-        lrows[d, :k] = row_ids[lo:hi] - d * block
+    vals, cols, lrows, mode = _pack_row_blocks(
+        np.asarray(csr.row_ids, dtype=np.int64),
+        np.asarray(csr.indices, dtype=np.int64),
+        np.asarray(csr.data),
+        n_dev=n_dev, block=block, mode=mode,
+    )
 
     shard2 = jax.sharding.NamedSharding(mesh, P(axis, None))
     return DistCSR(
@@ -149,6 +192,7 @@ def distribute_csr(
         block_rows=int(block),
         nnz=csr.nnz,
         axis=axis,
+        mode=mode,
     )
 
 
@@ -173,15 +217,28 @@ def collect(x: jnp.ndarray, dist: DistCSR) -> np.ndarray:
 # -- local (per-shard) kernels ------------------------------------------------
 
 
-def _local_spmv(data, cols, lrows, x_local, *, axis: str, block_rows: int):
+def _local_spmv(
+    data, cols, lrows, x_local, *, axis: str, block_rows: int,
+    mode: str = "allgather",
+):
     """Per-shard SpMV body: halo exchange + gather + segment-sum.
 
-    The all_gather is the distributed halo exchange of SURVEY §2.3 (full
-    width; exact for any sparsity pattern).  ``indices_are_sorted`` holds
-    because nnz stay row-major within the shard and pads map to the last
-    local row.
+    mode="allgather": gather the full x along the mesh axis — exact for
+    any sparsity pattern (SURVEY §2.3).  mode="halo": ppermute only the
+    two neighbor blocks and gather from the 3B-wide window (cols are
+    window-local) — O(B) communication for banded/stencil partitions.
+    ``indices_are_sorted`` holds because nnz stay row-major within the
+    shard and pads map to the last local row.
     """
-    xg = jax.lax.all_gather(x_local, axis, tiled=True)
+    if mode == "halo":
+        n_dev = jax.lax.axis_size(axis)
+        fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        left = jax.lax.ppermute(x_local, axis, fwd)   # block d-1 arrives here
+        right = jax.lax.ppermute(x_local, axis, bwd)  # block d+1 arrives here
+        xg = jnp.concatenate([left, x_local, right])
+    else:
+        xg = jax.lax.all_gather(x_local, axis, tiled=True)
     g = data * jnp.take(xg, cols, axis=0)
     return jax.ops.segment_sum(
         g, lrows, num_segments=block_rows, indices_are_sorted=True
@@ -233,31 +290,20 @@ class DistPreconditioner:
 def _distribute_triangular(
     tri: TriangularMatrix, dist: DistCSR, mesh: jax.sharding.Mesh
 ) -> _DistTriArrays:
-    """Lay a TriangularMatrix's strict part into the dist row-block format."""
+    """Lay a TriangularMatrix's strict part into the dist row-block format
+    (same exchange mode as the matrix it preconditions — the factor's
+    pattern is a subset of A's, so halo feasibility carries over)."""
     n = tri.n
     block = dist.block_rows
     n_dev = mesh.shape[dist.axis]
-    rows = np.asarray(tri.row_ids, dtype=np.int64)
-    cols = np.asarray(tri.indices, dtype=np.int64)
-    data = np.asarray(tri.data)
-    # strict part is row-sorted already (built from CSR order)
-    shard_of = rows // block
-    seg_nnz = np.bincount(shard_of, minlength=n_dev)
-    slots = max(_round_up(int(seg_nnz.max()) if seg_nnz.size else 0, _LANE), _LANE)
-    v = np.zeros((n_dev, slots), dtype=data.dtype)
-    c = np.zeros((n_dev, slots), dtype=np.int32)
-    lr = np.full((n_dev, slots), block - 1, dtype=np.int32)
-    offset = np.zeros(n_dev, dtype=np.int64)
-    starts = np.zeros(n_dev + 1, dtype=np.int64)
-    np.cumsum(seg_nnz, out=starts[1:])
-    for d in range(n_dev):
-        lo, hi = int(starts[d]), int(starts[d + 1])
-        k = hi - lo
-        v[d, :k] = data[lo:hi]
-        c[d, :k] = cols[lo:hi]
-        lr[d, :k] = rows[lo:hi] - d * block
+    v, c, lr, _ = _pack_row_blocks(
+        np.asarray(tri.row_ids, dtype=np.int64),
+        np.asarray(tri.indices, dtype=np.int64),
+        np.asarray(tri.data),
+        n_dev=n_dev, block=block, mode=dist.mode,
+    )
 
-    diag = np.ones(dist.padded_rows, dtype=data.dtype)
+    diag = np.ones(dist.padded_rows, dtype=np.asarray(tri.data).dtype)
     diag[:n] = np.asarray(tri.diag)
 
     shard2 = jax.sharding.NamedSharding(mesh, P(dist.axis, None))
@@ -321,7 +367,8 @@ def distribute_preconditioner(
 
 
 def _local_tri_solve(
-    data, cols, lrows, diag_local, b_local, *, axis, block_rows, sweeps
+    data, cols, lrows, diag_local, b_local, *, axis, block_rows, sweeps,
+    mode="allgather",
 ):
     """Distributed triangular solve via Jacobi sweeps:
     x_{k+1} = (b - N x_k) / d with N the strict part (exact once the
@@ -330,7 +377,7 @@ def _local_tri_solve(
 
     def sweep(x, _):
         nx = _local_spmv(
-            data, cols, lrows, x, axis=axis, block_rows=block_rows
+            data, cols, lrows, x, axis=axis, block_rows=block_rows, mode=mode
         )
         return (b_local - nx) * inv_d, None
 
@@ -339,7 +386,9 @@ def _local_tri_solve(
     return x
 
 
-def _build_local_precond_apply(kind, arrays, statics, *, axis, block_rows):
+def _build_local_precond_apply(
+    kind, arrays, statics, *, axis, block_rows, mode="allgather"
+):
     """Construct the per-shard ``apply`` closure inside shard_map."""
     if kind == "none":
         return lambda r: r
@@ -352,11 +401,12 @@ def _build_local_precond_apply(kind, arrays, statics, *, axis, block_rows):
 
         def apply_sgs(r):
             y = _local_tri_solve(
-                fd, fc, fl, fdg, r, axis=axis, block_rows=block_rows, sweeps=fs
+                fd, fc, fl, fdg, r,
+                axis=axis, block_rows=block_rows, sweeps=fs, mode=mode,
             )
             return _local_tri_solve(
                 bd, bc, bl, bdg, dscale * y,
-                axis=axis, block_rows=block_rows, sweeps=bs,
+                axis=axis, block_rows=block_rows, sweeps=bs, mode=mode,
             )
 
         return apply_sgs
@@ -366,10 +416,12 @@ def _build_local_precond_apply(kind, arrays, statics, *, axis, block_rows):
 
         def apply_lu(r):
             y = _local_tri_solve(
-                ld, lc, ll, ldg, r, axis=axis, block_rows=block_rows, sweeps=ls
+                ld, lc, ll, ldg, r,
+                axis=axis, block_rows=block_rows, sweeps=ls, mode=mode,
             )
             return _local_tri_solve(
-                ud, uc, ul, udg, y, axis=axis, block_rows=block_rows, sweeps=us
+                ud, uc, ul, udg, y,
+                axis=axis, block_rows=block_rows, sweeps=us, mode=mode,
             )
 
         return apply_lu
@@ -381,16 +433,16 @@ def _build_local_precond_apply(kind, arrays, statics, *, axis, block_rows):
 
 def dist_spmv(a: DistCSR, x: jnp.ndarray, mesh: jax.sharding.Mesh) -> jnp.ndarray:
     """y = A @ x with row-sharded A and x (padded length)."""
-    fn = _dist_spmv_jit(mesh, a.axis, a.block_rows)
+    fn = _dist_spmv_jit(mesh, a.axis, a.block_rows, a.mode)
     return fn(a.data, a.cols, a.lrows, x)
 
 
 @lru_cache(maxsize=None)
-def _dist_spmv_jit(mesh, axis: str, block_rows: int):
+def _dist_spmv_jit(mesh, axis: str, block_rows: int, mode: str):
     def inner(data, cols, lrows, x_local):
         return _local_spmv(
             data[0], cols[0], lrows[0], x_local,
-            axis=axis, block_rows=block_rows,
+            axis=axis, block_rows=block_rows, mode=mode,
         )
 
     mapped = jax.shard_map(
@@ -457,7 +509,7 @@ def dist_solve(
     eps = jnp.asarray(epsilon, dtype=b_arr.dtype)
 
     fn = _dist_solve_jit(
-        mesh, a.axis, a.block_rows, solver, maxiter,
+        mesh, a.axis, a.block_rows, a.mode, solver, maxiter,
         bool(record_residuals), pre.kind, pre.statics, len(pre.arrays),
     )
     return fn(a.data, a.cols, a.lrows, b_arr, x0_arr, eps, *pre.arrays)
@@ -468,6 +520,7 @@ def _dist_solve_jit(
     mesh,
     axis: str,
     block_rows: int,
+    mode: str,
     solver: str,
     maxiter: int,
     record: bool,
@@ -484,12 +537,14 @@ def _dist_solve_jit(
 
         def matvec(v):
             return _local_spmv(
-                data, cols, lrows, v, axis=axis, block_rows=block_rows
+                data, cols, lrows, v,
+                axis=axis, block_rows=block_rows, mode=mode,
             )
 
         dotfn = _psum_dot(axis)
         apply_ = _build_local_precond_apply(
-            pre_kind, pre_local, pre_statics, axis=axis, block_rows=block_rows
+            pre_kind, pre_local, pre_statics,
+            axis=axis, block_rows=block_rows, mode=mode,
         )
         if solver == "cg":
             if pre_kind == "none":

@@ -59,6 +59,44 @@ class TestDistSpMV:
         )
 
 
+class TestHaloExchange:
+    def test_auto_mode_detection(self, mesh):
+        # Poisson offsets (±1, ±nx) fit the neighbor window when B >= nx
+        a = poisson_2d(16)  # n=256, B=32 >= 16
+        assert distribute_csr(a, mesh).mode == "halo"
+        # random pattern spans the full width -> allgather
+        r = random_spd_csr(97, density=0.2, seed=5)
+        assert distribute_csr(r, mesh).mode == "allgather"
+
+    def test_halo_matches_allgather(self, mesh, dtype):
+        a = poisson_2d(16, dtype=dtype)
+        x = np.random.default_rng(1).standard_normal(a.shape[0]).astype(dtype)
+        ys = {}
+        for mode in ("halo", "allgather"):
+            da = distribute_csr(a, mesh, mode=mode)
+            assert da.mode == mode
+            xp = distribute_vector(x, da, mesh)
+            ys[mode] = collect(dist_spmv(da, xp, mesh), da)
+        np.testing.assert_array_equal(ys["halo"], ys["allgather"])
+
+    def test_halo_rejects_wide_pattern(self, mesh):
+        r = random_spd_csr(97, density=0.2, seed=5)
+        with pytest.raises(ValueError, match="neighbor window"):
+            distribute_csr(r, mesh, mode="halo")
+
+    def test_halo_preconditioned_solve(self, mesh):
+        a = poisson_2d(16)
+        da = distribute_csr(a, mesh, mode="halo")
+        b = _ones_system(a)
+        p = smm.get_preconditioner(a, "sgs", method="jacobi", sweeps="exact")
+        dp = distribute_preconditioner(p, da, mesh)
+        res = dist_solve(
+            da, b, solver="bicgstab", preconditioner=dp, epsilon=1e-9, mesh=mesh
+        )
+        assert int(res.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(collect(res.x, da), 1.0, atol=1e-6)
+
+
 class TestDistSolve:
     @pytest.mark.parametrize("solver", ["cg", "bicg_symmetric", "cgs", "bicgstab"])
     def test_all_solvers_converge(self, mesh, solver):
