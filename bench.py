@@ -78,10 +78,10 @@ def main() -> None:
     # CG time-to-tolerance (f32, all-ones oracle) through the best format
     op = dia if (best == "dia" and dia is not None) else a
     b = rmult(op, x)
-    res = cg(op, b, max_iterations=2000, epsilon=1e-4)
+    res = cg(op, b, max_iterations=6000, epsilon=1e-4)
     res.x.block_until_ready()
     t0 = time.perf_counter()
-    res = cg(op, b, max_iterations=2000, epsilon=1e-4)
+    res = cg(op, b, max_iterations=6000, epsilon=1e-4)
     res.x.block_until_ready()
     cg_time_hot = time.perf_counter() - t0
 

@@ -34,6 +34,7 @@ from .precond.preconditioners import (
     SolverPreconditioner,
     get_preconditioner,
 )
+from .solvers.api import SolverConfig, solve
 from .solvers.bicg_symmetric import bicg_symmetric
 from .solvers.bicgstab import bicgstab
 from .solvers.cg import cg, conjugate_gradient
@@ -64,7 +65,7 @@ __all__ = [
     "SolverPreconditioner", "get_preconditioner",
     "bicg_symmetric", "bicgstab", "cg", "conjugate_gradient",
     "cgs", "conjugate_gradient_squared",
-    "SolveResult", "SolverStatus",
+    "SolveResult", "SolverStatus", "SolverConfig", "solve",
     "checkpointed_solve", "load_checkpoint", "save_checkpoint",
     "load_csr_npz", "save_csr_npz",
     "SolveStats", "solve_with_stats", "spmv_throughput",

@@ -190,6 +190,14 @@ class CSRMatrix:
     def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.rmult(x)
 
+    def get_preconditioner(self, kind="none", **kwargs):
+        """Member-function preconditioner factory (reference
+        ``CSRMatrix::getPreconditioner``, h:1643-1651 — which can only build
+        NONE/SGS; this one builds all five kinds)."""
+        from ..precond.preconditioners import get_preconditioner as _factory
+
+        return _factory(self, kind, **kwargs)
+
     # -- iteration (host-side convenience; reference CSRIterator h:879-1000) ---
     def __iter__(self) -> Iterator[Tuple[int, int, float]]:
         """(row, col, value) over stored entries; empty rows are skipped

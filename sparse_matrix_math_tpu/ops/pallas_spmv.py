@@ -20,10 +20,12 @@ kernels on TPU).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -33,7 +35,10 @@ from ..formats.ell import ELLMatrix
 __all__ = ["dia_spmv", "ell_spmv", "fits_in_vmem"]
 
 _LANE = 128
-_VMEM_X_LIMIT = 12 * 1024 * 1024  # leave headroom below the ~16 MB/core VMEM
+# Empirically validated on TPU v5e: a 36 MB f32 multiplicand stays resident
+# and the kernel runs at the device bandwidth ceiling (v5e VMEM > the
+# textbook 16 MB/core figure).
+_VMEM_X_LIMIT = 40 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -54,8 +59,9 @@ def _dia_kernel(xp_ref, diags_ref, out_ref, *, shifts, rows_blk):
     Everything is 2-D (Mosaic on this stack rejects 1-D memory ops):
     the flat padded x lives as ``xp_ref`` (M, 128); a flat shift by
     ``off`` decomposes into a *dynamic sublane slice* (off // 128 rows)
-    plus a *static lane rotation* (off % 128), implemented as two static
-    lane slices concatenated — no gather, no unaligned access.
+    plus a *static lane rotation* (off % 128) via ``pltpu.roll`` and a
+    lane-predicated select between adjacent sublane rows — no gather,
+    no unaligned access.
     """
     i = pl.program_id(0)
     acc = None
@@ -64,7 +70,14 @@ def _dia_kernel(xp_ref, diags_ref, out_ref, *, shifts, rows_blk):
         if r == 0:
             shifted = w[:-1, :]
         else:
-            shifted = jnp.concatenate([w[:-1, r:], w[1:, :r]], axis=1)
+            # flat[base + j + r]: lanes j < 128-r come from row i rotated,
+            # lanes j >= 128-r from row i+1 rotated (roll shift must be
+            # positive on this stack: left-rotate r == right-rotate 128-r).
+            rolled = pltpu.roll(w, _LANE - r, 1)
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (rows_blk, _LANE), dimension=1
+            )
+            shifted = jnp.where(lane < _LANE - r, rolled[:-1, :], rolled[1:, :])
         term = diags_ref[d, :, :] * shifted
         acc = term if acc is None else acc + term
     out_ref[:, :] = acc
@@ -115,6 +128,142 @@ def dia_spmv(a: DIAMatrix, x: jnp.ndarray, *, interpret: bool = False) -> jnp.nd
     return _dia_spmv_call(
         a.diags, x, offsets=a.offsets, shape=a.shape, interpret=interpret
     )
+
+
+# -- padded-layout DIA path (zero per-iteration layout work) ------------------
+#
+# The plain dia_spmv pads/reshapes x on every call — fine for one-shot
+# SpMVs, but inside a Krylov loop those are extra kernel launches per
+# iteration.  PaddedDIA keeps every solver vector in the kernel's native
+# 2-D layout (lblk zero blocks | n | right pad, viewed (rows, 128)), so the
+# whole iteration is kernel-minimal: solvers run their cores directly on
+# padded carries (padding stays exactly zero through SpMV/axpy/dot).
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PaddedDIA:
+    """DIA matrix pre-laid-out for the padded-domain Pallas kernel."""
+
+    diags3: jnp.ndarray  # (ndiags, total_rows, 128) — xp-layout aligned
+    offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    n_total: int = dataclasses.field(metadata=dict(static=True))  # layout elems
+    lblk: int = dataclasses.field(metadata=dict(static=True))     # leading pad blocks
+    nblk: int = dataclasses.field(metadata=dict(static=True))     # data blocks
+    rows_blk: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def dtype(self):
+        return self.diags3.dtype
+
+    def to_padded(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Lift a length-n vector into the padded 2-D layout."""
+        lead = self.lblk * self.rows_blk * _LANE
+        out = jnp.zeros((self.n_total,), x.dtype)
+        out = jax.lax.dynamic_update_slice(out, x, (lead,))
+        return out.reshape(-1, _LANE)
+
+    def from_padded(self, xp: jnp.ndarray) -> jnp.ndarray:
+        """Extract the logical vector from the padded layout."""
+        lead = self.lblk * self.rows_blk * _LANE
+        return jax.lax.slice(xp.reshape(-1), (lead,), (lead + self.shape[0],))
+
+
+def pad_dia(a: DIAMatrix, rows_blk: int = 512) -> PaddedDIA:
+    """One-time layout transform (host/trace time) for :class:`PaddedDIA`."""
+    n_rows, n_cols = a.shape
+    blk = rows_blk * _LANE
+    lblk = max((-min(a.offsets) + blk - 1) // blk, 0)
+    nblk = (max(n_rows, n_cols) + blk - 1) // blk
+    # trailing blocks must cover the largest read: base + off + window
+    max_off = max(max(a.offsets), 0)
+    rblk = (max_off + blk - 1) // blk + 1
+    total = (lblk + nblk + rblk) * blk
+
+    diags = np.asarray(a.diags)
+    d3 = np.zeros((diags.shape[0], total), dtype=diags.dtype)
+    d3[:, lblk * blk: lblk * blk + n_rows] = diags
+    return PaddedDIA(
+        diags3=jnp.asarray(d3.reshape(diags.shape[0], -1, _LANE)),
+        offsets=a.offsets,
+        shape=a.shape,
+        nnz=a.nnz,
+        n_total=total,
+        lblk=lblk,
+        nblk=nblk,
+        rows_blk=rows_blk,
+    )
+
+
+def _dia_padded_kernel(xp_ref, diags_ref, out_ref, *, shifts, rows_blk, lblk):
+    """Padded-domain tile: identical math to _dia_kernel, but the grid
+    covers pad blocks too (their diagonal values are zero, so they emit
+    zeros; leading pad blocks skip the read to avoid negative bases)."""
+    j = pl.program_id(0)
+    xp_rows = xp_ref.shape[0]
+
+    def compute():
+        acc = None
+        for d, (s8, r) in enumerate(shifts):
+            # clamp the window into bounds: out-of-range bases only occur
+            # for pad blocks whose diagonal values are zero (the product
+            # discards whatever was read) — but the READ itself must stay
+            # in bounds or the hardware faults (interpret mode clamps,
+            # the real device does not).
+            base = jnp.clip(j * rows_blk + s8, 0, xp_rows - rows_blk - 1)
+            w = xp_ref[pl.ds(base, rows_blk + 1), :]
+            if r == 0:
+                shifted = w[:-1, :]
+            else:
+                rolled = pltpu.roll(w, _LANE - r, 1)
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows_blk, _LANE), dimension=1
+                )
+                shifted = jnp.where(
+                    lane < _LANE - r, rolled[:-1, :], rolled[1:, :]
+                )
+            term = diags_ref[d, :, :] * shifted
+            acc = term if acc is None else acc + term
+        return acc
+
+    if lblk > 0:
+        out_ref[:, :] = jnp.where(j >= lblk, compute(), 0.0)
+    else:
+        out_ref[:, :] = compute()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dia_spmv_padded(a: PaddedDIA, xp: jnp.ndarray, *, interpret: bool = False):
+    """y = A @ x entirely in the padded 2-D layout (no per-call reshaping)."""
+    rows_blk = a.rows_blk
+    total_blocks = a.n_total // (rows_blk * _LANE)
+    grid = a.lblk + a.nblk  # trailing pad blocks stay zero: never written...
+    # ...but unwritten out blocks are undefined — cover the full layout.
+    grid = total_blocks
+
+    # shifts relative to the padded layout: flat base j*blk + off
+    shifts = tuple((off // _LANE, off % _LANE) for off in a.offsets)
+    # negative off -> negative s8 handled via floor division plus the
+    # leading pad guard in the kernel (j >= lblk ensures base >= 0).
+
+    out = pl.pallas_call(
+        functools.partial(
+            _dia_padded_kernel, shifts=shifts, rows_blk=rows_blk, lblk=a.lblk
+        ),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, a.dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(xp.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (a.diags3.shape[0], rows_blk, _LANE), lambda j: (0, j, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec((rows_blk, _LANE), lambda j: (j, 0)),
+        interpret=interpret,
+    )(xp, a.diags3)
+    return out
 
 
 # -- ELL gather kernel --------------------------------------------------------

@@ -69,6 +69,18 @@ def _rmult_ell(a: ELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 @rmult.register
 def _rmult_dia(a: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    # Hot path on TPU: the Pallas stencil kernel (x VMEM-resident, read
+    # once — ops/pallas_spmv.py) whenever x fits in VMEM.  Falls back to
+    # the XLA formulation below on other backends / larger n / any
+    # trace-time kernel incompatibility.
+    if jax.default_backend() == "tpu":
+        from . import pallas_spmv
+
+        if pallas_spmv.fits_in_vmem(a.shape[1], a.dtype):
+            try:
+                return pallas_spmv.dia_spmv(a, x)
+            except Exception:
+                pass
     # Static-offset shifted reads: pad x once, then every diagonal is a
     # contiguous static slice (no gather at all) — XLA fuses the whole
     # thing into elementwise FMAs over contiguous memory, which on TPU is

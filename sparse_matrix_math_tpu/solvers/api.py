@@ -1,0 +1,95 @@
+"""Unified solve front-end + solver configuration.
+
+The reference's only "configuration" is compile-time defines plus bare
+function arguments (SURVEY §5 config row).  Here a :class:`SolverConfig`
+dataclass captures the whole runtime configuration (method, tolerance,
+iteration cap, preconditioner choice + options, dtype) and
+:func:`solve` dispatches to the right solver/preconditioner pair —
+the one-call API for users coming from ``SolverStatus f(A, b, x, ...)``
+reference call sites.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+
+from ..formats.csr import CSRMatrix
+from ..precond.preconditioners import get_preconditioner
+from .bicg_symmetric import bicg_symmetric
+from .bicgstab import bicgstab
+from .cg import conjugate_gradient
+from .cgs import conjugate_gradient_squared
+from .types import SolveResult
+
+__all__ = ["SolverConfig", "solve", "SOLVERS"]
+
+SOLVERS = {
+    "cg": conjugate_gradient,
+    "conjugate_gradient": conjugate_gradient,
+    "bicg_symmetric": bicg_symmetric,
+    "cgs": conjugate_gradient_squared,
+    "conjugate_gradient_squared": conjugate_gradient_squared,
+    "bicgstab": bicgstab,
+}
+
+# which solvers accept a preconditioner (mirrors the reference: CG has the
+# IC0 overload h:2414-2505, BiCGStab the preconditioned form h:2191-2283)
+_PRECONDITIONABLE = {"cg", "conjugate_gradient", "bicgstab"}
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Runtime solver configuration (SURVEY §5 config-system plan)."""
+
+    method: str = "cg"
+    epsilon: float = 1e-8
+    max_iterations: int = -1          # -1 => n, reference convention
+    preconditioner: str = "none"      # none/jacobi/sgs/ilu0/ic0
+    preconditioner_options: Dict[str, Any] = dataclasses.field(
+        default_factory=dict
+    )
+    record_residuals: bool = False
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def solve(
+    a,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    config: Optional[SolverConfig] = None,
+    **overrides,
+) -> SolveResult:
+    """Solve ``a @ x = b`` according to ``config`` (plus keyword overrides).
+
+    >>> solve(a, b, method="bicgstab", preconditioner="sgs", epsilon=1e-8)
+    """
+    cfg = (config or SolverConfig()).replace(**overrides) if (
+        config or overrides
+    ) else SolverConfig()
+    method = cfg.method.lower()
+    if method not in SOLVERS:
+        raise ValueError(
+            f"unknown method {cfg.method!r}; options: {sorted(set(SOLVERS))}"
+        )
+    kwargs: Dict[str, Any] = dict(
+        max_iterations=cfg.max_iterations,
+        epsilon=cfg.epsilon,
+        record_residuals=cfg.record_residuals,
+    )
+    if cfg.preconditioner not in (None, "none"):
+        if method not in _PRECONDITIONABLE:
+            raise ValueError(
+                f"{method} does not take a preconditioner "
+                "(reference parity: only CG and BiCGStab do)"
+            )
+        if not isinstance(a, CSRMatrix):
+            raise ValueError("preconditioners are built from CSR matrices")
+        kwargs["preconditioner"] = get_preconditioner(
+            a, cfg.preconditioner, **cfg.preconditioner_options
+        )
+    return SOLVERS[method](a, b, x0, **kwargs)

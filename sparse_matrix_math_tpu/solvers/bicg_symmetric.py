@@ -51,6 +51,12 @@ def bicg_symmetric(
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)
     eps = jnp.asarray(epsilon, dtype=b.dtype)
+    from . import _padded
+
+    if _padded.eligible(a):
+        return _padded.padded_solve(
+            "bicg_symmetric", a, b, x0, eps, maxiter, record_residuals
+        )
     return _bicg_sym_loop(a, b, x0, eps, maxiter, record_residuals)
 
 

@@ -58,6 +58,12 @@ def bicgstab(
     maxiter = resolve_max_iterations(max_iterations, n)
     eps = jnp.asarray(epsilon, dtype=b.dtype)
     if preconditioner is None:
+        from . import _padded
+
+        if _padded.eligible(a):
+            return _padded.padded_solve(
+                "bicgstab", a, b, x0, eps, maxiter, record_residuals
+            )
         return _bicgstab_loop(a, b, x0, eps, maxiter, record_residuals)
     return _bicgstab_precond_loop(
         a, preconditioner, b, x0, eps, maxiter, record_residuals

@@ -68,6 +68,13 @@ def conjugate_gradient(
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)
     eps = jnp.asarray(epsilon, dtype=b.dtype)
+    from . import _padded
+
+    if _padded.eligible(a, preconditioner):
+        return _padded.padded_solve(
+            "cg", a, b, x0, eps, maxiter, record_residuals,
+            preconditioner=preconditioner,
+        )
     if preconditioner is None:
         return _cg_loop(a, b, x0, eps, maxiter, record_residuals)
     return _pcg_loop(a, preconditioner, b, x0, eps, maxiter, record_residuals)

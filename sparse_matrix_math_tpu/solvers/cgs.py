@@ -58,6 +58,12 @@ def conjugate_gradient_squared(
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)
     eps = jnp.asarray(epsilon, dtype=b.dtype)
+    from . import _padded
+
+    if _padded.eligible(a):
+        return _padded.padded_solve(
+            "cgs", a, b, x0, eps, maxiter, record_residuals
+        )
     return _cgs_loop(a, b, x0, eps, maxiter, record_residuals)
 
 

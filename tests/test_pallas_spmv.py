@@ -40,6 +40,69 @@ class TestDiaKernel:
         )
 
 
+class TestPaddedDiaPath:
+    """Padded-domain fast path: vectors stay in the kernel's 2-D layout
+    across whole solver loops (solvers/_padded.py)."""
+
+    def test_padded_spmv_exact(self, dtype):
+        from sparse_matrix_math_tpu.ops.pallas_spmv import (
+            dia_spmv_padded,
+            pad_dia,
+        )
+
+        a = poisson_2d(37, dtype=dtype)
+        d = dia_from_csr(a)
+        p = pad_dia(d, rows_blk=8)
+        x = _rand_x(a.shape[1], dtype)
+        yp = dia_spmv_padded(p, p.to_padded(x), interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(p.from_padded(yp)),
+            np.asarray(rmult(a, x)),
+            atol=1e-5 if dtype == np.float32 else 1e-12,
+        )
+        # padding must stay exactly zero (keeps dots/axpys exact)
+        flat = np.asarray(yp).reshape(-1)
+        lead = p.lblk * p.rows_blk * 128
+        assert np.all(flat[:lead] == 0)
+        assert np.all(flat[lead + a.shape[0]:] == 0)
+
+    @pytest.mark.parametrize(
+        "core", ["cg", "bicg_symmetric", "cgs", "bicgstab"]
+    )
+    def test_padded_solve_matches_unpadded(self, core):
+        import jax.numpy as jnp
+
+        from sparse_matrix_math_tpu.solvers import _padded
+
+        a = poisson_2d(16, dtype=np.float32)
+        d = dia_from_csr(a)
+        b = rmult(a, jnp.ones(a.shape[0], jnp.float32))
+        x0 = jnp.zeros_like(b)
+        eps = jnp.float32(1e-5)
+        res = _padded.padded_solve(
+            core, d, b, x0, eps, 256, False, interpret=True
+        )
+        assert int(res.status) == 0
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-4)
+
+    def test_padded_pcg_jacobi(self):
+        import jax.numpy as jnp
+
+        import sparse_matrix_math_tpu as smm
+        from sparse_matrix_math_tpu.solvers import _padded
+
+        a = poisson_2d(16, dtype=np.float32)
+        d = dia_from_csr(a)
+        b = rmult(a, jnp.ones(a.shape[0], jnp.float32))
+        pre = smm.JacobiPreconditioner.from_matrix(a)
+        res = _padded.padded_solve(
+            "cg", d, b, jnp.zeros_like(b), jnp.float32(1e-5), 256, False,
+            preconditioner=pre, interpret=True,
+        )
+        assert int(res.status) == 0
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-4)
+
+
 class TestEllKernel:
     def test_poisson(self, dtype):
         a = poisson_2d(23, dtype=dtype)
