@@ -18,6 +18,7 @@ reference library vasil-pashov/sparse_matrix_math (see SURVEY.md):
 from .formats.csr import CSRMatrix, csr_from_coo, csr_from_dense, csr_from_triplet
 from .formats.dia import DIAMatrix, dia_from_csr, try_dia_from_csr
 from .formats.ell import ELLMatrix, ell_from_csr
+from .formats.hyb import HYBMatrix, hyb_from_csr
 from .formats.triplet import COOArrays, TripletMatrix, coo_from_arrays
 from .io.dispatch import load_matrix, load_matrix_csr
 from .io.matrix_market import MatrixLoadStatus, MatrixMarketError, load_matrix_market
@@ -55,6 +56,7 @@ __all__ = [
     "CSRMatrix", "csr_from_coo", "csr_from_dense", "csr_from_triplet",
     "DIAMatrix", "dia_from_csr", "try_dia_from_csr",
     "ELLMatrix", "ell_from_csr",
+    "HYBMatrix", "hyb_from_csr",
     "COOArrays", "TripletMatrix", "coo_from_arrays",
     "load_matrix", "load_matrix_csr", "load_matrix_market", "load_smmdt",
     "save_dense_text", "MatrixLoadStatus", "MatrixMarketError",

@@ -171,22 +171,32 @@ class PaddedDIA:
         return jax.lax.slice(xp.reshape(-1), (lead,), (lead + self.shape[0],))
 
 
-def pad_dia(a: DIAMatrix, rows_blk: int = 512) -> PaddedDIA:
-    """One-time layout transform (host/trace time) for :class:`PaddedDIA`."""
-    n_rows, n_cols = a.shape
+def _dia_layout_params(offsets, shape, rows_blk: int):
+    """Static layout geometry: (lblk, nblk, rblk, total elems)."""
+    n_rows, n_cols = shape
     blk = rows_blk * _LANE
-    lblk = max((-min(a.offsets) + blk - 1) // blk, 0)
+    lblk = max((-min(offsets) + blk - 1) // blk, 0)
     nblk = (max(n_rows, n_cols) + blk - 1) // blk
     # trailing blocks must cover the largest read: base + off + window
-    max_off = max(max(a.offsets), 0)
+    max_off = max(max(offsets), 0)
     rblk = (max_off + blk - 1) // blk + 1
     total = (lblk + nblk + rblk) * blk
+    return lblk, nblk, rblk, total
 
-    diags = np.asarray(a.diags)
-    d3 = np.zeros((diags.shape[0], total), dtype=diags.dtype)
-    d3[:, lblk * blk: lblk * blk + n_rows] = diags
+
+def pad_dia(a: DIAMatrix, rows_blk: int = 512) -> PaddedDIA:
+    """One-time layout transform for :class:`PaddedDIA`.
+
+    Works both host-side (concrete arrays) and under a jit trace (the pad
+    is a jnp op; the geometry is static from shapes).
+    """
+    n_rows, _ = a.shape
+    lblk, nblk, rblk, total = _dia_layout_params(a.offsets, a.shape, rows_blk)
+    blk = rows_blk * _LANE
+    lead = lblk * blk
+    d3 = jnp.pad(a.diags, ((0, 0), (lead, total - lead - n_rows)))
     return PaddedDIA(
-        diags3=jnp.asarray(d3.reshape(diags.shape[0], -1, _LANE)),
+        diags3=d3.reshape(a.diags.shape[0], -1, _LANE),
         offsets=a.offsets,
         shape=a.shape,
         nnz=a.nnz,
@@ -232,6 +242,88 @@ def _dia_padded_kernel(xp_ref, diags_ref, out_ref, *, shifts, rows_blk, lblk):
         out_ref[:, :] = jnp.where(j >= lblk, compute(), 0.0)
     else:
         out_ref[:, :] = compute()
+
+
+def _dia_streamed_kernel(
+    xp_hbm, diags_ref, out_ref, scratch, sems,
+    *, rel_shifts, rows_blk, win_rows, min_s8, n_grid,
+):
+    """Streaming variant: x stays in HBM; each grid step DMAs its
+    (rows_blk + span + 1)-row window into a double-buffered VMEM scratch,
+    prefetching the next window while computing the current one — the
+    large-n path where x exceeds VMEM residency."""
+    j = pl.program_id(0)
+    xrows = xp_hbm.shape[0]
+
+    def window_copy(slot, jj):
+        base = jnp.clip(jj * rows_blk + min_s8, 0, xrows - win_rows)
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(base, win_rows), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(j == 0)
+    def _():
+        window_copy(0, 0).start()
+
+    @pl.when(j + 1 < n_grid)
+    def _():
+        window_copy((j + 1) % 2, j + 1).start()
+
+    window_copy(j % 2, j).wait()
+    slot = j % 2
+
+    acc = None
+    for d, (rs8, r) in enumerate(rel_shifts):
+        w = scratch[slot, pl.ds(rs8, rows_blk + 1), :]
+        if r == 0:
+            shifted = w[:-1, :]
+        else:
+            rolled = pltpu.roll(w, _LANE - r, 1)
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (rows_blk, _LANE), dimension=1
+            )
+            shifted = jnp.where(lane < _LANE - r, rolled[:-1, :], rolled[1:, :])
+        term = diags_ref[d, :, :] * shifted
+        acc = term if acc is None else acc + term
+    out_ref[:, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dia_spmv_streamed(a: PaddedDIA, xp: jnp.ndarray, *, interpret: bool = False):
+    """y = A @ x in the padded layout with HBM-resident x (any n)."""
+    rows_blk = a.rows_blk
+    total_blocks = a.n_total // (rows_blk * _LANE)
+
+    shifts = tuple((off // _LANE, off % _LANE) for off in a.offsets)
+    min_s8 = min(s8 for s8, _ in shifts)
+    max_s8 = max(s8 for s8, _ in shifts)
+    rel_shifts = tuple((s8 - min_s8, r) for s8, r in shifts)
+    win_rows = rows_blk + (max_s8 - min_s8) + 1
+
+    out = pl.pallas_call(
+        functools.partial(
+            _dia_streamed_kernel,
+            rel_shifts=rel_shifts, rows_blk=rows_blk, win_rows=win_rows,
+            min_s8=min_s8, n_grid=total_blocks,
+        ),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+        grid=(total_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (a.diags3.shape[0], rows_blk, _LANE), lambda j: (0, j, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec((rows_blk, _LANE), lambda j: (j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, win_rows, _LANE), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, a.diags3)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

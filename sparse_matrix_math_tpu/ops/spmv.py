@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..formats.csr import CSRMatrix
 from ..formats.dia import DIAMatrix
 from ..formats.ell import ELLMatrix
+from ..formats.hyb import HYBMatrix
 
 __all__ = ["rmult", "rmult_add", "rmult_sub", "matvec_fn"]
 
@@ -76,11 +77,14 @@ def _rmult_dia(a: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
     if jax.default_backend() == "tpu":
         from . import pallas_spmv
 
-        if pallas_spmv.fits_in_vmem(a.shape[1], a.dtype):
-            try:
+        try:
+            if pallas_spmv.fits_in_vmem(a.shape[1], a.dtype):
                 return pallas_spmv.dia_spmv(a, x)
-            except Exception:
-                pass
+            # large n: x stays in HBM, windows stream through VMEM
+            p = pallas_spmv.pad_dia(a)
+            return p.from_padded(pallas_spmv.dia_spmv_streamed(p, p.to_padded(x)))
+        except Exception:
+            pass
     # Static-offset shifted reads: pad x once, then every diagonal is a
     # contiguous static slice (no gather at all) — XLA fuses the whole
     # thing into elementwise FMAs over contiguous memory, which on TPU is
@@ -95,6 +99,16 @@ def _rmult_dia(a: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
     for d, off in enumerate(a.offsets):
         y = y + a.diags[d] * jax.lax.slice(xp, (lpad + off,), (lpad + off + n_rows,))
     return y
+
+
+@rmult.register
+def _rmult_hyb(a: HYBMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    # dominant diagonals at stencil speed + sparse remainder
+    if a.dia is not None and a.rest is not None:
+        return _rmult_dia(a.dia, x) + _rmult_csr(a.rest, x)
+    if a.dia is not None:
+        return _rmult_dia(a.dia, x)
+    return _rmult_csr(a.rest, x)
 
 
 # -- fused facades (reference h:1501-1515) ------------------------------------
@@ -116,7 +130,7 @@ def matvec_fn(a):
     Accepts any registered sparse format, a dense 2-D array, or an
     arbitrary callable (the LinearOperator escape hatch the reference
     lacks)."""
-    if isinstance(a, (CSRMatrix, ELLMatrix, DIAMatrix)):
+    if isinstance(a, (CSRMatrix, ELLMatrix, DIAMatrix, HYBMatrix)):
         return lambda x: rmult(a, x)
     if callable(a):
         return a
@@ -128,7 +142,7 @@ def as_operator(a):
     as a pytree argument: registered formats and arrays pass through,
     bare callables are wrapped in ``jax.tree_util.Partial`` (so solver
     compilations are cached per matrix *structure*, not per call)."""
-    if isinstance(a, (CSRMatrix, ELLMatrix, DIAMatrix)):
+    if isinstance(a, (CSRMatrix, ELLMatrix, DIAMatrix, HYBMatrix)):
         return a
     if hasattr(a, "ndim") and a.ndim == 2:
         return a

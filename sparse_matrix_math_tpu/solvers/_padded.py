@@ -46,14 +46,11 @@ def eligible(a, preconditioner=None) -> bool:
     """Use the padded fast path? (DIA matrix, TPU backend, x fits VMEM,
     preconditioner representable in the padded domain — currently
     None/Jacobi.)"""
-    from ..ops.pallas_spmv import fits_in_vmem
     from ..precond.preconditioners import JacobiPreconditioner
 
     if not isinstance(a, DIAMatrix):
         return False
     if jax.default_backend() != "tpu":
-        return False
-    if not fits_in_vmem(a.shape[1], a.dtype):
         return False
     if preconditioner is not None and not isinstance(
         preconditioner, JacobiPreconditioner
@@ -90,10 +87,14 @@ def _padded_solve_jit(
     core_name: str, pdia, b, x0, eps, inv_diag, maxiter: int, record: bool,
     interpret: bool = False,
 ) -> SolveResult:
-    from ..ops.pallas_spmv import dia_spmv_padded
+    from ..ops.pallas_spmv import dia_spmv_padded, dia_spmv_streamed, fits_in_vmem
+
+    resident = fits_in_vmem(pdia.n_total, pdia.dtype)
 
     def matvec(v):
-        return dia_spmv_padded(pdia, v, interpret=interpret)
+        if resident:
+            return dia_spmv_padded(pdia, v, interpret=interpret)
+        return dia_spmv_streamed(pdia, v, interpret=interpret)
 
     def dotfn(u, v):
         return jnp.sum(u * v)
