@@ -40,6 +40,7 @@ from .solvers.bicg_symmetric import bicg_symmetric
 from .solvers.bicgstab import bicgstab
 from .solvers.cg import cg, conjugate_gradient
 from .solvers.cgs import cgs, conjugate_gradient_squared
+from .solvers.implicit import cg_solve
 from .solvers.types import SolveResult, SolverStatus
 from .utils.checkpoint import (
     checkpointed_solve,
@@ -66,7 +67,7 @@ __all__ = [
     "ILU0Preconditioner", "JacobiPreconditioner", "SGSPreconditioner",
     "SolverPreconditioner", "get_preconditioner",
     "bicg_symmetric", "bicgstab", "cg", "conjugate_gradient",
-    "cgs", "conjugate_gradient_squared",
+    "cgs", "conjugate_gradient_squared", "cg_solve",
     "SolveResult", "SolverStatus", "SolverConfig", "solve",
     "checkpointed_solve", "load_checkpoint", "save_checkpoint",
     "load_csr_npz", "save_csr_npz",

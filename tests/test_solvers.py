@@ -75,6 +75,25 @@ def test_sherman1_cg_f64():
     assert 400 <= int(res.iterations) <= 650
 
 
+def test_sherman1_preconditioned_parity_f64():
+    """BASELINE config 3: preconditioned BiCGStab on the indefinite/
+    non-SPD sherman1.  Reference takes 83 iterations with SGS
+    (BASELINE.md); ILU0 — which the reference never finished — should be
+    strictly stronger."""
+    import sparse_matrix_math_tpu as smm
+
+    a = load_matrix_csr(asset_path(SHERMAN1), dtype=np.float64)
+    b = ones_oracle(a, np.float64)
+    sgs = smm.get_preconditioner(a, "sgs")
+    res = smm.bicgstab(a, b, epsilon=1e-8, preconditioner=sgs)
+    assert res.status_enum() == SolverStatus.SUCCESS
+    assert abs(int(res.iterations) - 83) <= 10  # reference: 83
+    ilu = smm.get_preconditioner(a, "ilu0")
+    res2 = smm.bicgstab(a, b, epsilon=1e-8, preconditioner=ilu)
+    assert res2.status_enum() == SolverStatus.SUCCESS
+    assert int(res2.iterations) < int(res.iterations)
+
+
 def test_cg_iteration_parity_mesh1e1():
     # BASELINE.md: CG on mesh1e1 converges in 21 iterations at 1e-8 (f64)
     a = load_matrix_csr(asset_path(MESH_MATRICES[0]), dtype=np.float64)
