@@ -1,0 +1,64 @@
+"""CLI tests (python -m sparse_matrix_math_tpu)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from sparse_matrix_math_tpu.__main__ import main
+
+from conftest import MESH_MATRICES, SHERMAN1, asset_path
+
+
+def run_cli(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+class TestCLI:
+    def test_info(self, capsys):
+        rc, out = run_cli(capsys, ["info", asset_path(SHERMAN1)])
+        assert rc == 0
+        assert out["shape"] == [1000, 1000]
+        assert out["nnz"] == 3750
+        assert out["distinct_diagonals"] == 7
+        assert out["symmetric_pattern"] is True
+
+    def test_solve_default_cg(self, capsys):
+        rc, out = run_cli(capsys, ["solve", asset_path(MESH_MATRICES[0])])
+        assert rc == 0
+        assert out["status"] == "SUCCESS"
+        assert out["iterations"] == 21  # BASELINE.md parity
+
+    def test_solve_preconditioned(self, capsys):
+        rc, out = run_cli(capsys, [
+            "solve", asset_path(MESH_MATRICES[0]),
+            "--method", "bicgstab", "--preconditioner", "sgs",
+        ])
+        assert rc == 0 and out["status"] == "SUCCESS"
+        assert out["iterations"] == 5  # BASELINE.md parity
+
+    def test_solve_output_file(self, capsys, tmp_path):
+        out_path = str(tmp_path / "x.npy")
+        rc, out = run_cli(capsys, [
+            "solve", asset_path(MESH_MATRICES[0]), "--output", out_path,
+        ])
+        assert rc == 0
+        x = np.load(out_path)
+        np.testing.assert_allclose(x, 1.0, atol=1e-7)
+
+    def test_solve_failure_exit_code(self, capsys):
+        rc, out = run_cli(capsys, [
+            "solve", asset_path(MESH_MATRICES[0]),
+            "--max-iterations", "1", "--tol", "1e-14",
+        ])
+        assert rc == 1
+        assert out["status"] == "MAX_ITERATIONS_REACHED"
+
+    def test_bench_spmv(self, capsys):
+        rc, out = run_cli(capsys, [
+            "bench-spmv", asset_path(MESH_MATRICES[0]), "--iters", "2",
+        ])
+        assert rc == 0
+        assert out["csr"]["gnnz_per_s"] > 0

@@ -153,6 +153,31 @@ class TestDistSolve:
         assert trace[k] <= 1e-9
 
 
+class TestDistCheckpoint:
+    def test_checkpointed_dist_solve(self, mesh, tmp_path):
+        """checkpointed_solve composes with dist_solve: restart chunks
+        snapshot the sharded (padded) x and resume it (SURVEY §5)."""
+        import functools
+
+        from sparse_matrix_math_tpu.utils.checkpoint import (
+            checkpointed_solve,
+            load_checkpoint,
+        )
+
+        a = poisson_2d(16)
+        da = distribute_csr(a, mesh)
+        b = _ones_system(a)
+        solver = functools.partial(dist_solve, solver="cg", mesh=mesh)
+        path = str(tmp_path / "ck.npz")
+        res = checkpointed_solve(
+            solver, da, b,
+            checkpoint_path=path, chunk_iterations=25, epsilon=1e-10,
+        )
+        assert int(res.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(collect(res.x, da), 1.0, atol=1e-8)
+        assert load_checkpoint(path).iterations_done == int(res.iterations)
+
+
 class TestDistVsReferenceSuite:
     """Same .mtx assets + oracle + tolerances as the reference suite,
     through the distributed path."""
