@@ -41,7 +41,13 @@ class HYBMatrix:
 
     @property
     def dtype(self):
-        return self.dia.dtype if self.dia is not None else self.rest.dtype
+        if self.dia is not None:
+            return self.dia.dtype
+        if self.rest is not None:
+            return self.rest.dtype
+        import jax.numpy as _jnp
+
+        return _jnp.zeros(0).dtype  # degenerate empty matrix
 
     @property
     def diagonal_fraction(self) -> float:
@@ -110,5 +116,7 @@ def hyb_from_csr(
             row_ids[~on_dia], indices[~on_dia], data[~on_dia],
             (int(n_rows), int(n_cols)),
         )
+    if dia is None and rest is None:
+        rest = csr  # empty matrix: keep the (empty) CSR so ops stay total
 
     return HYBMatrix(dia=dia, rest=rest, shape=(int(n_rows), int(n_cols)), nnz=csr.nnz)

@@ -53,6 +53,19 @@ def fits_in_vmem(n: int, dtype) -> bool:
 # -- DIA stencil kernel -------------------------------------------------------
 
 
+
+def _lane_shifted(w, r: int, rows_blk: int):
+    """Rotate a (rows_blk + 1, 128) window left by ``r`` lanes in flat
+    order: lanes j < 128-r come from row i rotated, lanes j >= 128-r from
+    row i+1 (pltpu.roll requires a POSITIVE shift on this stack, so
+    left-rotate r == right-rotate 128-r).  Shared by all three DIA
+    kernels — the index math lives only here."""
+    if r == 0:
+        return w[:-1, :]
+    rolled = pltpu.roll(w, _LANE - r, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, _LANE), dimension=1)
+    return jnp.where(lane < _LANE - r, rolled[:-1, :], rolled[1:, :])
+
 def _dia_kernel(xp_ref, diags_ref, out_ref, *, shifts, rows_blk):
     """One row tile of the 2-D-layout stencil SpMV.
 
@@ -67,18 +80,7 @@ def _dia_kernel(xp_ref, diags_ref, out_ref, *, shifts, rows_blk):
     acc = None
     for d, (s8, r) in enumerate(shifts):
         w = xp_ref[pl.ds(i * rows_blk + s8, rows_blk + 1), :]
-        if r == 0:
-            shifted = w[:-1, :]
-        else:
-            # flat[base + j + r]: lanes j < 128-r come from row i rotated,
-            # lanes j >= 128-r from row i+1 rotated (roll shift must be
-            # positive on this stack: left-rotate r == right-rotate 128-r).
-            rolled = pltpu.roll(w, _LANE - r, 1)
-            lane = jax.lax.broadcasted_iota(
-                jnp.int32, (rows_blk, _LANE), dimension=1
-            )
-            shifted = jnp.where(lane < _LANE - r, rolled[:-1, :], rolled[1:, :])
-        term = diags_ref[d, :, :] * shifted
+        term = diags_ref[d, :, :] * _lane_shifted(w, r, rows_blk)
         acc = term if acc is None else acc + term
     out_ref[:, :] = acc
 
@@ -224,17 +226,7 @@ def _dia_padded_kernel(xp_ref, diags_ref, out_ref, *, shifts, rows_blk, lblk):
             # the real device does not).
             base = jnp.clip(j * rows_blk + s8, 0, xp_rows - rows_blk - 1)
             w = xp_ref[pl.ds(base, rows_blk + 1), :]
-            if r == 0:
-                shifted = w[:-1, :]
-            else:
-                rolled = pltpu.roll(w, _LANE - r, 1)
-                lane = jax.lax.broadcasted_iota(
-                    jnp.int32, (rows_blk, _LANE), dimension=1
-                )
-                shifted = jnp.where(
-                    lane < _LANE - r, rolled[:-1, :], rolled[1:, :]
-                )
-            term = diags_ref[d, :, :] * shifted
+            term = diags_ref[d, :, :] * _lane_shifted(w, r, rows_blk)
             acc = term if acc is None else acc + term
         return acc
 
@@ -277,15 +269,7 @@ def _dia_streamed_kernel(
     acc = None
     for d, (rs8, r) in enumerate(rel_shifts):
         w = scratch[slot, pl.ds(rs8, rows_blk + 1), :]
-        if r == 0:
-            shifted = w[:-1, :]
-        else:
-            rolled = pltpu.roll(w, _LANE - r, 1)
-            lane = jax.lax.broadcasted_iota(
-                jnp.int32, (rows_blk, _LANE), dimension=1
-            )
-            shifted = jnp.where(lane < _LANE - r, rolled[:-1, :], rolled[1:, :])
-        term = diags_ref[d, :, :] * shifted
+        term = diags_ref[d, :, :] * _lane_shifted(w, r, rows_blk)
         acc = term if acc is None else acc + term
     out_ref[:, :] = acc
 
@@ -330,10 +314,10 @@ def dia_spmv_streamed(a: PaddedDIA, xp: jnp.ndarray, *, interpret: bool = False)
 def dia_spmv_padded(a: PaddedDIA, xp: jnp.ndarray, *, interpret: bool = False):
     """y = A @ x entirely in the padded 2-D layout (no per-call reshaping)."""
     rows_blk = a.rows_blk
-    total_blocks = a.n_total // (rows_blk * _LANE)
-    grid = a.lblk + a.nblk  # trailing pad blocks stay zero: never written...
-    # ...but unwritten out blocks are undefined — cover the full layout.
-    grid = total_blocks
+    # grid covers the FULL layout including pad blocks: unwritten out
+    # blocks would be undefined memory, and pad blocks emit exact zeros
+    # (their diagonal values are zero).
+    grid = a.n_total // (rows_blk * _LANE)
 
     # shifts relative to the padded layout: flat base j*blk + off
     shifts = tuple((off // _LANE, off % _LANE) for off in a.offsets)
@@ -402,7 +386,18 @@ def _ell_spmv_call(vals, cols, x, *, shape, interpret=False):
 
 
 def ell_spmv(a: ELLMatrix, x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
-    """y = A @ x for an ELL matrix via the Pallas gather kernel."""
+    """y = A @ x for an ELL matrix via the Pallas gather kernel.
+
+    Current Mosaic stacks reject in-kernel gathers ("Only 2D gather is
+    supported"), so on a real TPU this transparently falls back to the
+    XLA gather formulation (ops/spmv.py) — same result, compiled path.
+    The Pallas kernel remains exercised in interpret mode and activates
+    automatically on stacks that gain gather support.
+    """
+    if not interpret and jax.default_backend() == "tpu":
+        from .spmv import _rmult_ell
+
+        return _rmult_ell(a, x)
     return _ell_spmv_call(
         a.vals, a.cols, x, shape=a.shape, interpret=interpret
     )

@@ -32,6 +32,47 @@ from ..formats.hyb import HYBMatrix
 
 __all__ = ["rmult", "rmult_add", "rmult_sub", "matvec_fn"]
 
+_warned_fallback = False
+
+
+def _warn_pallas_fallback(exc: Exception) -> None:
+    """Signal (once per process) that the Pallas fast path degraded to the
+    XLA formulation — silent fallback would mask kernel regressions."""
+    global _warned_fallback
+    if not _warned_fallback:
+        _warned_fallback = True
+        import warnings
+
+        warnings.warn(
+            f"Pallas DIA kernel unavailable, using XLA fallback: {exc!r}",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
+# PaddedDIA layouts are pure functions of the (constant) diagonal arrays;
+# rebuilding one per SpMV call would cost O(ndiags * n) extra bandwidth.
+# Bounded id-keyed cache; never caches tracers (ids are not stable across
+# traces, and the entries would leak trace-local values).
+_PAD_CACHE_MAX = 8
+_pad_cache: "dict[int, object]" = {}
+
+
+def _padded_dia_cached(a: DIAMatrix):
+    from . import pallas_spmv
+
+    if isinstance(a.diags, jax.core.Tracer):
+        return pallas_spmv.pad_dia(a)
+    key = id(a.diags)
+    hit = _pad_cache.get(key)
+    if hit is not None:
+        return hit
+    p = pallas_spmv.pad_dia(a)
+    if len(_pad_cache) >= _PAD_CACHE_MAX:
+        _pad_cache.pop(next(iter(_pad_cache)))
+    _pad_cache[key] = p
+    return p
+
 
 # -- per-format y = A @ x ----------------------------------------------------
 
@@ -70,6 +111,10 @@ def _rmult_ell(a: ELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 @rmult.register
 def _rmult_dia(a: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    if not a.offsets:  # no stored diagonals: A == 0
+        return jnp.zeros(
+            (a.shape[0],), dtype=jnp.result_type(a.dtype, x.dtype)
+        )
     # Hot path on TPU: the Pallas stencil kernel (x VMEM-resident, read
     # once — ops/pallas_spmv.py) whenever x fits in VMEM.  Falls back to
     # the XLA formulation below on other backends / larger n / any
@@ -81,10 +126,10 @@ def _rmult_dia(a: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
             if pallas_spmv.fits_in_vmem(a.shape[1], a.dtype):
                 return pallas_spmv.dia_spmv(a, x)
             # large n: x stays in HBM, windows stream through VMEM
-            p = pallas_spmv.pad_dia(a)
+            p = _padded_dia_cached(a)
             return p.from_padded(pallas_spmv.dia_spmv_streamed(p, p.to_padded(x)))
-        except Exception:
-            pass
+        except Exception as e:
+            _warn_pallas_fallback(e)
     # Static-offset shifted reads: pad x once, then every diagonal is a
     # contiguous static slice (no gather at all) — XLA fuses the whole
     # thing into elementwise FMAs over contiguous memory, which on TPU is
@@ -108,7 +153,9 @@ def _rmult_hyb(a: HYBMatrix, x: jnp.ndarray) -> jnp.ndarray:
         return _rmult_dia(a.dia, x) + _rmult_csr(a.rest, x)
     if a.dia is not None:
         return _rmult_dia(a.dia, x)
-    return _rmult_csr(a.rest, x)
+    if a.rest is not None:
+        return _rmult_csr(a.rest, x)
+    return jnp.zeros((a.shape[0],), dtype=jnp.result_type(a.dtype, x.dtype))
 
 
 # -- fused facades (reference h:1501-1515) ------------------------------------

@@ -86,8 +86,17 @@ class SolveStats:
 
 
 # SpMVs per iteration for each solver family (CG/BiCGSym: 1; CGS/BiCGStab: 2
-# — SURVEY §3.2/§3.3 call stacks).
-_SPMVS_PER_ITER = {"cg": 1, "bicg_symmetric": 1, "cgs": 2, "bicgstab": 2}
+# — SURVEY §3.2/§3.3 call stacks).  Keys cover both the short aliases and
+# the actual function __name__s so auto-detection works without an explicit
+# solver_name argument.
+_SPMVS_PER_ITER = {
+    "cg": 1,
+    "conjugate_gradient": 1,
+    "bicg_symmetric": 1,
+    "cgs": 2,
+    "conjugate_gradient_squared": 2,
+    "bicgstab": 2,
+}
 
 
 def solve_with_stats(

@@ -63,6 +63,21 @@ class TestHyb:
             np.asarray(res.x), 1.0, atol=100 * eps
         )
 
+    def test_empty_matrix_total(self):
+        """All-zero matrices must stay total through every format
+        (regression: empty-offsets DIA / double-None HYB crashed)."""
+        from sparse_matrix_math_tpu.formats.csr import csr_from_dense
+        from sparse_matrix_math_tpu.formats.dia import dia_from_csr
+
+        z = csr_from_dense(np.zeros((4, 4)))
+        d = dia_from_csr(z)
+        h = hyb_from_csr(z)
+        x = jnp.ones(4)
+        np.testing.assert_array_equal(np.asarray(d @ x), 0.0)
+        np.testing.assert_array_equal(np.asarray(h @ x), 0.0)
+        np.testing.assert_array_equal(np.asarray(h.to_dense()), 0.0)
+        assert h.dtype is not None
+
     def test_mixed_precision_dia(self):
         """bf16 diagonal storage with f32 multiplicand: exact for exactly
         representable stencil weights (Poisson: -1, 4)."""
