@@ -20,6 +20,12 @@ import sys
 def _load(path, dtype_name):
     import numpy as np
 
+    if dtype_name == "f64":
+        # without x64, JAX silently downcasts device arrays to f32
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
     from .io.dispatch import load_matrix_csr
 
     dtype = {"f32": np.float32, "f64": np.float64}[dtype_name]
