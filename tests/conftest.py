@@ -19,9 +19,12 @@ import jax  # noqa: E402
 
 # The env var alone is not enough when a TPU platform plugin (axon) is
 # registered — pin the platform explicitly so tests always see the
-# 8-virtual-device CPU mesh.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# 8-virtual-device CPU mesh.  SMM_TPU_TESTS=1 skips the pin so the
+# hardware smoke suite (tests/tpu/) can run on a real chip:
+#   SMM_TPU_TESTS=1 python -m pytest tests/tpu -q
+if not os.environ.get("SMM_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

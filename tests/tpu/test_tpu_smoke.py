@@ -1,0 +1,106 @@
+"""Real-TPU smoke tests — run manually on a chip:
+
+    python -m pytest tests/tpu -q --no-header -p no:cacheprovider
+
+The main suite pins jax_platforms=cpu (tests/conftest.py), so Pallas
+kernels there only run in interpret mode and MXU/dense-trisolve paths are
+never exercised on hardware.  This file is skipped unless the default
+backend is TPU.  Keep it small: first compile on a fresh tunnel is slow.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs a real TPU backend"
+)
+
+
+@pytest.fixture(scope="module")
+def jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+@pytest.fixture(scope="module")
+def smm():
+    import sparse_matrix_math_tpu as smm
+
+    return smm
+
+
+def test_pallas_dia_dispatch_exact(smm, jnp):
+    from sparse_matrix_math_tpu.formats.dia import dia_from_csr
+    from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+    a = poisson_2d(128, dtype=np.float32)
+    d = dia_from_csr(a)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(a.shape[0]).astype(np.float32)
+    )
+    y_pallas = np.asarray(d @ x)       # dispatches to the Pallas kernel
+    y_ref = np.asarray(
+        a.to_dense() @ x
+    )
+    np.testing.assert_allclose(y_pallas, y_ref, atol=2e-4)
+
+
+def test_all_solvers_padded_path(smm, jnp):
+    from sparse_matrix_math_tpu.formats.dia import dia_from_csr
+    from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+    a = dia_from_csr(poisson_2d(32, dtype=np.float32))
+    b = a @ jnp.ones(1024, jnp.float32)
+    for solver in (smm.cg, smm.bicg_symmetric, smm.cgs, smm.bicgstab):
+        res = solver(a, b, epsilon=1e-4)
+        assert int(res.status) == 0, solver.__name__
+        assert float(jnp.abs(res.x - 1).max()) < 1e-2, solver.__name__
+
+
+def test_preconditioned_solves_on_hw(smm, jnp):
+    """IC0 + SGS applies (dense trisolve -> MXU solve_triangular) on HW."""
+    a = smm.load_matrix_csr(
+        "/root/reference/test/assets/mesh1e1_structural_48_48_177.mtx",
+        dtype=np.float32,
+    )
+    b = a @ jnp.ones(48, jnp.float32)
+    res = smm.cg(a, b, epsilon=1e-4, preconditioner=smm.get_preconditioner(a, "ic0"))
+    assert int(res.status) == 0 and int(res.iterations) <= 10
+    res = smm.bicgstab(
+        a, b, epsilon=1e-4, preconditioner=smm.get_preconditioner(a, "sgs")
+    )
+    assert int(res.status) == 0 and int(res.iterations) <= 7
+
+
+def test_dense_mxu_csr_path(smm, jnp):
+    a = smm.load_matrix_csr(
+        "/root/reference/test/assets/sherman1_1000_1000_2375.mtx",
+        dtype=np.float32,
+    )
+    b = a @ jnp.ones(1000, jnp.float32)
+    res = smm.cg(a, b, epsilon=1e-4)
+    assert int(res.status) == 0
+    # f32 per-element error bar from the reference's own f32 behavior
+    # (BASELINE.md: 6.0e-3 max err on sherman1)
+    assert float(jnp.abs(res.x - 1).max()) < 2e-2
+
+
+def test_single_device_dist_solve(smm, jnp):
+    from sparse_matrix_math_tpu.parallel import (
+        collect,
+        dist_solve,
+        distribute_csr,
+        make_mesh,
+    )
+    from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+    a = poisson_2d(16, dtype=np.float32)
+    mesh = make_mesh(1)
+    da = distribute_csr(a, mesh)
+    b = np.asarray(a.to_dense()).sum(axis=1)
+    res = dist_solve(da, b, solver="cg", epsilon=1e-4, mesh=mesh)
+    assert int(res.status) == 0
+    assert np.abs(collect(res.x, da) - 1).max() < 1e-3
