@@ -40,6 +40,7 @@ from .solvers.bicg_symmetric import bicg_symmetric
 from .solvers.bicgstab import bicgstab
 from .solvers.cg import cg, conjugate_gradient
 from .solvers.cgs import cgs, conjugate_gradient_squared
+from .solvers.chebyshev import chebyshev, lanczos_extremal
 from .solvers.implicit import cg_solve
 from .solvers.types import SolveResult, SolverStatus
 from .utils.checkpoint import (
@@ -68,6 +69,7 @@ __all__ = [
     "SolverPreconditioner", "get_preconditioner",
     "bicg_symmetric", "bicgstab", "cg", "conjugate_gradient",
     "cgs", "conjugate_gradient_squared", "cg_solve",
+    "chebyshev", "lanczos_extremal",
     "SolveResult", "SolverStatus", "SolverConfig", "solve",
     "checkpointed_solve", "load_checkpoint", "save_checkpoint",
     "load_csr_npz", "save_csr_npz",

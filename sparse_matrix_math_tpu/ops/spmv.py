@@ -100,6 +100,13 @@ def rmult(a, x: jnp.ndarray) -> jnp.ndarray:
 _DENSE_FALLBACK_ELEMS = 2048 * 2048
 
 
+def _bcast(v: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Append singleton dims so per-entry coefficients broadcast against a
+    (possibly multi-column) multiplicand — SpMM support: x may be (n,) or
+    (n, k) [or higher], y matches."""
+    return v.reshape(v.shape + (1,) * (x.ndim - 1))
+
+
 @rmult.register
 def _rmult_csr(a: CSRMatrix, x: jnp.ndarray) -> jnp.ndarray:
     n_rows, n_cols = a.shape
@@ -110,7 +117,7 @@ def _rmult_csr(a: CSRMatrix, x: jnp.ndarray) -> jnp.ndarray:
         # densify once (cached eagerly; hoisted as loop-invariant under
         # jit) and ride the MXU instead of the slow TPU scatter path
         return _dense_csr_cached(a) @ x
-    gathered = a.data * jnp.take(x, a.indices, axis=0)
+    gathered = _bcast(a.data, x) * jnp.take(x, a.indices, axis=0)
     return jax.ops.segment_sum(
         gathered, a.row_ids, num_segments=a.shape[0], indices_are_sorted=True
     )
@@ -136,8 +143,8 @@ def _dense_csr_cached(a: CSRMatrix) -> jnp.ndarray:
 @rmult.register
 def _rmult_ell(a: ELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
     # (rows_padded, K) gather; padding slots have val 0 so contribute nothing.
-    gathered = jnp.take(x, a.cols, axis=0)
-    y = jnp.sum(a.vals * gathered, axis=1)
+    gathered = jnp.take(x, a.cols, axis=0)  # (rows, K[, k])
+    y = jnp.sum(_bcast(a.vals, x) * gathered, axis=1)
     return y[: a.shape[0]]
 
 
@@ -145,13 +152,14 @@ def _rmult_ell(a: ELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
 def _rmult_dia(a: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
     if not a.offsets:  # no stored diagonals: A == 0
         return jnp.zeros(
-            (a.shape[0],), dtype=jnp.result_type(a.dtype, x.dtype)
+            (a.shape[0],) + x.shape[1:], dtype=jnp.result_type(a.dtype, x.dtype)
         )
     # Hot path on TPU: the Pallas stencil kernel (x VMEM-resident, read
     # once — ops/pallas_spmv.py) whenever x fits in VMEM.  Falls back to
     # the XLA formulation below on other backends / larger n / any
-    # trace-time kernel incompatibility.
-    if jax.default_backend() == "tpu":
+    # trace-time kernel incompatibility.  (Pallas paths are single-vector;
+    # multi-column SpMM uses the XLA formulation.)
+    if x.ndim == 1 and jax.default_backend() == "tpu":
         from . import pallas_spmv
 
         try:
@@ -171,10 +179,13 @@ def _rmult_dia(a: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
     n_rows, n_cols = a.shape
     lpad = max(-min(a.offsets), 0)
     rpad = max(max(a.offsets) + n_rows - n_cols, 0)
-    xp = jnp.pad(x, (lpad, rpad))
-    y = jnp.zeros((n_rows,), dtype=jnp.result_type(a.dtype, x.dtype))
+    xp = jnp.pad(x, ((lpad, rpad),) + ((0, 0),) * (x.ndim - 1))
+    y = jnp.zeros(
+        (n_rows,) + x.shape[1:], dtype=jnp.result_type(a.dtype, x.dtype)
+    )
     for d, off in enumerate(a.offsets):
-        y = y + a.diags[d] * jax.lax.slice(xp, (lpad + off,), (lpad + off + n_rows,))
+        window = jax.lax.slice_in_dim(xp, lpad + off, lpad + off + n_rows, axis=0)
+        y = y + _bcast(a.diags[d], x) * window
     return y
 
 

@@ -49,6 +49,7 @@ from ..solvers.bicg_symmetric import bicg_symmetric_core
 from ..solvers.bicgstab import bicgstab_core
 from ..solvers.cg import cg_core, pcg_core
 from ..solvers.cgs import cgs_core
+from ..solvers.chebyshev import chebyshev_core
 from ..solvers.types import SolveResult, resolve_max_iterations
 from .mesh import ROW_AXIS, make_mesh
 
@@ -459,7 +460,42 @@ _CORES = {
     "bicg_symmetric": bicg_symmetric_core,
     "cgs": cgs_core,
     "bicgstab": bicgstab_core,
+    "chebyshev": chebyshev_core,  # dot-free between checks: the
+    # collective-minimal option for pods (solvers/chebyshev.py)
 }
+
+
+def dist_lanczos_extremal(
+    a: "DistCSR", mesh: jax.sharding.Mesh, k: int = 32, seed: int = 0
+):
+    """Extremal-eigenvalue estimate via k distributed Lanczos steps
+    (eager dist_spmv calls; used to bound distributed Chebyshev)."""
+    import numpy as np
+
+    n_pad = a.padded_rows
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(n_pad).astype(np.asarray(a.data).dtype)
+    v[a.shape[0]:] = 0.0
+    v = distribute_vector(v / np.linalg.norm(v), a, mesh)
+    v_prev = jnp.zeros_like(v)
+    beta = 0.0
+    alphas, betas = [], []
+    for _ in range(k):
+        w = dist_spmv(a, v, mesh) - beta * v_prev
+        alpha = float(jnp.vdot(w, v))
+        w = w - alpha * v
+        new_beta = float(jnp.sqrt(jnp.vdot(w, w)))
+        v_prev, v = v, w / max(new_beta, 1e-30)
+        beta = new_beta
+        alphas.append(alpha)
+        betas.append(new_beta)
+    t = (
+        np.diag(alphas)
+        + np.diag(betas[:-1], 1)
+        + np.diag(betas[:-1], -1)
+    )
+    eig = np.linalg.eigvalsh(t)
+    return float(eig[0]), float(eig[-1])
 
 
 def dist_solve(
@@ -473,6 +509,8 @@ def dist_solve(
     preconditioner: Optional[DistPreconditioner] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
     record_residuals: bool = False,
+    eig_bounds=None,
+    check_every: int = 10,
 ) -> SolveResult:
     """Distributed Krylov solve over the row mesh.
 
@@ -508,9 +546,18 @@ def dist_solve(
     maxiter = resolve_max_iterations(max_iterations, a.shape[0])
     eps = jnp.asarray(epsilon, dtype=b_arr.dtype)
 
+    if solver == "chebyshev" and eig_bounds is None:
+        lo, hi = dist_lanczos_extremal(a, mesh, k=min(32, a.shape[0]))
+        eig_bounds = (lo * 0.9, hi * 1.05)
+    cheb = (
+        (float(eig_bounds[0]), float(eig_bounds[1]), int(check_every))
+        if solver == "chebyshev"
+        else None
+    )
+
     fn = _dist_solve_jit(
         mesh, a.axis, a.block_rows, a.mode, solver, maxiter,
-        bool(record_residuals), pre.kind, pre.statics, len(pre.arrays),
+        bool(record_residuals), pre.kind, pre.statics, len(pre.arrays), cheb,
     )
     return fn(a.data, a.cols, a.lrows, b_arr, x0_arr, eps, *pre.arrays)
 
@@ -527,6 +574,7 @@ def _dist_solve_jit(
     pre_kind: str,
     pre_statics: tuple,
     n_pre_arrays: int,
+    cheb=None,
 ):
     core = _CORES[solver]
 
@@ -555,6 +603,12 @@ def _dist_solve_jit(
         if solver == "bicgstab":
             return bicgstab_core(
                 matvec, apply_, dotfn, b_local, x0_local, eps, maxiter, record
+            )
+        if solver == "chebyshev":
+            lmin, lmax, check_every = cheb
+            return chebyshev_core(
+                matvec, dotfn, b_local, x0_local, eps,
+                lmin, lmax, maxiter, check_every, record,
             )
         return core(matvec, dotfn, b_local, x0_local, eps, maxiter, record)
 

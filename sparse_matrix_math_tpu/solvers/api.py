@@ -22,6 +22,7 @@ from .bicg_symmetric import bicg_symmetric
 from .bicgstab import bicgstab
 from .cg import conjugate_gradient
 from .cgs import conjugate_gradient_squared
+from .chebyshev import chebyshev
 from .types import SolveResult
 
 __all__ = ["SolverConfig", "solve", "SOLVERS"]
@@ -33,6 +34,7 @@ SOLVERS = {
     "cgs": conjugate_gradient_squared,
     "conjugate_gradient_squared": conjugate_gradient_squared,
     "bicgstab": bicgstab,
+    "chebyshev": chebyshev,
 }
 
 # which solvers accept a preconditioner (mirrors the reference: CG has the

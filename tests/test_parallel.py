@@ -107,6 +107,18 @@ class TestDistSolve:
         assert int(res.status) == SolverStatus.SUCCESS
         np.testing.assert_allclose(collect(res.x, da), 1.0, atol=1e-7)
 
+    def test_chebyshev_distributed(self, mesh):
+        """Dot-free distributed solver: one psum per check_every steps."""
+        a = poisson_2d(16)
+        da = distribute_csr(a, mesh)
+        b = _ones_system(a)
+        res = dist_solve(
+            da, b, solver="chebyshev", epsilon=1e-9, max_iterations=3000,
+            mesh=mesh,
+        )
+        assert int(res.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(collect(res.x, da), 1.0, atol=1e-8)
+
     def test_matches_single_chip_iterates(self, mesh):
         """Distributed CG must take the same iteration count as single-chip
         (identical algorithm; sums differ only by reduction order)."""

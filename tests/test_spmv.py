@@ -121,3 +121,26 @@ def test_rmult_under_jit_and_grad():
     ad = np.asarray(a.to_dense())
     expected = 2 * ad.T @ (ad @ np.ones(16))
     np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-6)
+
+
+class TestSpMM:
+    """Multi-column SpMM (y = A @ X, X (n, k)) across all formats — a
+    TPU-native extension (block-Krylov building block)."""
+
+    @pytest.mark.parametrize("k", [1, 3, 8])
+    def test_all_formats(self, k, dtype):
+        from sparse_matrix_math_tpu.formats.dia import dia_from_csr
+        from sparse_matrix_math_tpu.formats.ell import ell_from_csr
+        from sparse_matrix_math_tpu.formats.hyb import hyb_from_csr
+        from sparse_matrix_math_tpu.ops.spmv import rmult
+        from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+        a = poisson_2d(9, dtype=dtype)
+        X = np.random.default_rng(0).standard_normal((81, k)).astype(dtype)
+        ref = np.asarray(a.to_dense()) @ X
+        tol = 1e-4 if dtype == np.float32 else 1e-11
+        for m in (a, ell_from_csr(a), dia_from_csr(a), hyb_from_csr(a)):
+            np.testing.assert_allclose(
+                np.asarray(rmult(m, jnp.asarray(X))), ref, atol=tol,
+                err_msg=type(m).__name__,
+            )
