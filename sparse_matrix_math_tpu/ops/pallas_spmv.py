@@ -292,7 +292,7 @@ def dia_spmv_streamed(a: PaddedDIA, xp: jnp.ndarray, *, interpret: bool = False)
             rel_shifts=rel_shifts, rows_blk=rows_blk, win_rows=win_rows,
             min_s8=min_s8, n_grid=total_blocks,
         ),
-        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),  # see padded note
         grid=(total_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -328,7 +328,9 @@ def dia_spmv_padded(a: PaddedDIA, xp: jnp.ndarray, *, interpret: bool = False):
         functools.partial(
             _dia_padded_kernel, shifts=shifts, rows_blk=rows_blk, lblk=a.lblk
         ),
-        out_shape=jax.ShapeDtypeStruct(xp.shape, a.dtype),
+        # output follows the multiplicand's dtype: bf16 diagonal storage
+        # (PaddedDIA from DIAMatrix.astype(bf16)) still accumulates f32
+        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(xp.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),

@@ -43,9 +43,9 @@ _CORES = {
 
 
 def eligible(a, preconditioner=None) -> bool:
-    """Use the padded fast path? (DIA matrix, TPU backend, x fits VMEM,
-    preconditioner representable in the padded domain — currently
-    None/Jacobi.)"""
+    """Use the padded fast path? (DIA matrix, TPU backend, preconditioner
+    representable in the padded domain — currently None/Jacobi.  The
+    solve picks the VMEM-resident or streamed kernel per size.)"""
     from ..precond.preconditioners import JacobiPreconditioner
 
     if not isinstance(a, DIAMatrix):
