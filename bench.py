@@ -28,21 +28,26 @@ def _finite(x):
     return x if np.isfinite(x) else None
 
 
-def _time_spmv_loop(mat, x, iters: int) -> float:
+def _time_spmv_loop(mat, x, iters: int, apply_fn=None) -> float:
     """Seconds per SpMV: K back-to-back SpMVs inside one jitted scan.
 
     ``mat`` is passed as a jit argument (NOT a closure constant — closure
     capture would embed the matrix into the compiled module, which the
-    remote-compile path rejects for large matrices)."""
+    remote-compile path rejects for large matrices).  ``apply_fn(m, v)``
+    defaults to the generic ``rmult`` dispatch; pass an alternative to
+    time a specific kernel (e.g. the padded-layout path)."""
     import jax
     import jax.numpy as jnp
 
-    from sparse_matrix_math_tpu.ops.spmv import rmult
+    if apply_fn is None:
+        from sparse_matrix_math_tpu.ops.spmv import rmult
+
+        apply_fn = rmult
 
     @jax.jit
     def loop(m, v):
         def body(y, _):
-            return rmult(m, y) * jnp.asarray(0.25, y.dtype), None
+            return apply_fn(m, y) * jnp.asarray(0.25, y.dtype), None
 
         y, _ = jax.lax.scan(body, v, None, length=iters)
         return y
@@ -91,30 +96,15 @@ def main() -> None:
     # on padded carries as well.
     if dia is not None:
         try:
-            import jax as _jax
-
             from sparse_matrix_math_tpu.ops.pallas_spmv import (
                 dia_spmv_padded,
                 pad_dia,
             )
 
             p = pad_dia(dia)
-            xp = p.to_padded(x)
-
-            @_jax.jit
-            def loop_padded(pp, v):
-                def body(y, _):
-                    return dia_spmv_padded(pp, y) * jnp.float32(0.25), None
-
-                y, _ = _jax.lax.scan(body, v, None, length=50)
-                return y
-
-            y = loop_padded(p, xp)
-            _jax.block_until_ready(y)
-            t0 = time.perf_counter()
-            y = loop_padded(p, xp)
-            _jax.block_until_ready(y)
-            results["dia_padded"] = (time.perf_counter() - t0) / 50
+            results["dia_padded"] = _time_spmv_loop(
+                p, p.to_padded(x), 50, apply_fn=dia_spmv_padded
+            )
         except Exception:
             pass
 

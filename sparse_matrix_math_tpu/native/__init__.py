@@ -37,16 +37,22 @@ _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 
 def _compile() -> Optional[str]:
-    os.makedirs(_BUILD_DIR, exist_ok=True)
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
-    cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _SO + ".tmp",
-    ]
+    # EVERYTHING here must degrade to the NumPy fallback: read-only
+    # installs (makedirs fails), missing toolchain, concurrent builds
+    # (pid-unique temp name so two processes never clobber each other).
     try:
+        os.makedirs(_BUILD_DIR, exist_ok=True)
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(
+            _SRC
+        ):
+            return _SO
+        tmp = f"{_SO}.{os.getpid()}.tmp"
+        cmd = [
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            _SRC, "-o", tmp,
+        ]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(_SO + ".tmp", _SO)
+        os.replace(tmp, _SO)
         return _SO
     except (subprocess.SubprocessError, OSError):
         return None

@@ -52,10 +52,27 @@ def _warn_pallas_fallback(exc: Exception) -> None:
 
 # PaddedDIA layouts are pure functions of the (constant) diagonal arrays;
 # rebuilding one per SpMV call would cost O(ndiags * n) extra bandwidth.
-# Bounded id-keyed cache; never caches tracers (ids are not stable across
-# traces, and the entries would leak trace-local values).
+# Bounded id-keyed caches.  Each entry RETAINS the keyed source array:
+# without that reference, a GC'd array's reused id() would return a stale
+# (wrong-matrix!) cached value.  Tracers are never cached (trace-local).
 _PAD_CACHE_MAX = 8
-_pad_cache: "dict[int, object]" = {}
+
+
+def _cache_lookup(cache: dict, src, build):
+    """id-keyed bounded cache holding (source_array, derived) pairs; the
+    identity check guards against id reuse after garbage collection."""
+    key = id(src)
+    hit = cache.get(key)
+    if hit is not None and hit[0] is src:
+        return hit[1]
+    derived = build()
+    if len(cache) >= _PAD_CACHE_MAX:
+        cache.pop(next(iter(cache)))
+    cache[key] = (src, derived)
+    return derived
+
+
+_pad_cache: dict = {}
 
 
 def _padded_dia_cached(a: DIAMatrix):
@@ -63,15 +80,7 @@ def _padded_dia_cached(a: DIAMatrix):
 
     if isinstance(a.diags, jax.core.Tracer):
         return pallas_spmv.pad_dia(a)
-    key = id(a.diags)
-    hit = _pad_cache.get(key)
-    if hit is not None:
-        return hit
-    p = pallas_spmv.pad_dia(a)
-    if len(_pad_cache) >= _PAD_CACHE_MAX:
-        _pad_cache.pop(next(iter(_pad_cache)))
-    _pad_cache[key] = p
-    return p
+    return _cache_lookup(_pad_cache, a.diags, lambda: pallas_spmv.pad_dia(a))
 
 
 # -- per-format y = A @ x ----------------------------------------------------
@@ -123,21 +132,13 @@ def _rmult_csr(a: CSRMatrix, x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-_dense_cache: "dict[int, jnp.ndarray]" = {}
+_dense_cache: dict = {}
 
 
 def _dense_csr_cached(a: CSRMatrix) -> jnp.ndarray:
     if isinstance(a.data, jax.core.Tracer):
         return a.to_dense()
-    key = id(a.data)
-    hit = _dense_cache.get(key)
-    if hit is not None:
-        return hit
-    dense = a.to_dense()
-    if len(_dense_cache) >= _PAD_CACHE_MAX:
-        _dense_cache.pop(next(iter(_dense_cache)))
-    _dense_cache[key] = dense
-    return dense
+    return _cache_lookup(_dense_cache, a.data, a.to_dense)
 
 
 @rmult.register

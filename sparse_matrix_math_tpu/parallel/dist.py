@@ -268,24 +268,42 @@ class _DistTriArrays:
     sweeps: int
 
 
+# Per-kind flat-array ranks: 2 = (P, L) factor arrays, 1 = (n_pad,) sharded
+# vectors.  SINGLE source of truth shared by distribute_preconditioner's
+# construction (validated below) and _dist_solve_jit's shard_map in_specs.
+_PRE_LAYOUT = {
+    "none": (),
+    "jacobi": (1,),
+    # fwd(data, cols, lrows, diag) + bwd(...) + D scale
+    "sgs": (2, 2, 2, 1, 2, 2, 2, 1, 1),
+    # lower(data, cols, lrows, diag) + upper(...)
+    "ilu0": (2, 2, 2, 1, 2, 2, 2, 1),
+    "ic0": (2, 2, 2, 1, 2, 2, 2, 1),
+}
+
+
 @dataclasses.dataclass(frozen=True)
 class DistPreconditioner:
     """Distributed preconditioner: a static ``kind`` plus flat arrays.
 
     ``kind`` is one of none/jacobi/sgs/ilu0/ic0; triangular applies run as
     Jacobi sweeps (each sweep = one distributed strict-SpMV), the scalable
-    TPU strategy from precond/trisolve.py.
+    TPU strategy from precond/trisolve.py.  Array ranks must match
+    ``_PRE_LAYOUT[kind]`` (checked at construction).
     """
 
     kind: str
     arrays: Tuple[jnp.ndarray, ...]
     statics: Tuple[int, ...]  # per-factor sweep counts etc.
 
-    def array_specs(self, axis: str):
-        specs = []
-        for a in self.arrays:
-            specs.append(P(axis, None) if a.ndim == 2 else P(axis))
-        return tuple(specs)
+    def __post_init__(self):
+        expected = _PRE_LAYOUT[self.kind]
+        got = tuple(a.ndim for a in self.arrays)
+        if got != expected:
+            raise ValueError(
+                f"{self.kind} preconditioner arrays have ranks {got}, "
+                f"expected {expected}"
+            )
 
 
 def _distribute_triangular(
@@ -474,7 +492,7 @@ def dist_lanczos_extremal(
 
     n_pad = a.padded_rows
     rng = np.random.default_rng(seed)
-    v = rng.standard_normal(n_pad).astype(np.asarray(a.data).dtype)
+    v = rng.standard_normal(n_pad).astype(a.dtype)
     v[a.shape[0]:] = 0.0
     v = distribute_vector(v / np.linalg.norm(v), a, mesh)
     v_prev = jnp.zeros_like(v)
@@ -612,20 +630,9 @@ def _dist_solve_jit(
             )
         return core(matvec, dotfn, b_local, x0_local, eps, maxiter, record)
 
-    pre_specs = []
-    # specs must mirror dist array ranks: (P, L) factors vs (n_pad,) vectors.
-    # DistPreconditioner.array_specs can't be called here (arrays unknown),
-    # so kind determines the layout:
-    layout = {
-        "none": (),
-        "jacobi": (1,),
-        "sgs": (2, 2, 2, 1, 2, 2, 2, 1, 1),
-        "ilu0": (2, 2, 2, 1, 2, 2, 2, 1),
-        "ic0": (2, 2, 2, 1, 2, 2, 2, 1),
-    }[pre_kind]
+    layout = _PRE_LAYOUT[pre_kind]
     assert len(layout) == n_pre_arrays
-    for nd in layout:
-        pre_specs.append(P(axis, None) if nd == 2 else P(axis))
+    pre_specs = [P(axis, None) if nd == 2 else P(axis) for nd in layout]
 
     out_specs = SolveResult(
         x=P(axis),

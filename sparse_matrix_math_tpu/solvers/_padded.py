@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -69,17 +70,29 @@ def padded_solve(
     record: bool,
     preconditioner=None,
     interpret: bool = False,
-) -> SolveResult:
+) -> Optional[SolveResult]:
+    """Run the solve through the padded Pallas path.
+
+    Returns None when the Pallas kernel cannot be used (e.g. Mosaic
+    compile failure on a part with less VMEM than assumed) — callers
+    fall back to the generic solver path, matching rmult's degrade-
+    gracefully contract.
+    """
     from ..ops.pallas_spmv import pad_dia
+    from ..ops.spmv import _warn_pallas_fallback
 
     pdia = pad_dia(a)
     inv_diag = (
         preconditioner.inv_diag if preconditioner is not None else None
     )
-    return _padded_solve_jit(
-        core_name, pdia, b, x0, jnp.asarray(eps, b.dtype), inv_diag,
-        maxiter, record, interpret,
-    )
+    try:
+        return _padded_solve_jit(
+            core_name, pdia, b, x0, jnp.asarray(eps, b.dtype), inv_diag,
+            maxiter, record, interpret,
+        )
+    except Exception as e:
+        _warn_pallas_fallback(e)
+        return None
 
 
 @partial(jax.jit, static_argnums=(0, 6, 7, 8))
@@ -89,7 +102,9 @@ def _padded_solve_jit(
 ) -> SolveResult:
     from ..ops.pallas_spmv import dia_spmv_padded, dia_spmv_streamed, fits_in_vmem
 
-    resident = fits_in_vmem(pdia.n_total, pdia.dtype)
+    # residency is about the solver VECTOR (b's dtype), not the diagonal
+    # storage dtype (which may be bf16)
+    resident = fits_in_vmem(pdia.n_total, b.dtype)
 
     def matvec(v):
         if resident:

@@ -54,9 +54,11 @@ def bicg_symmetric(
     from . import _padded
 
     if _padded.eligible(a):
-        return _padded.padded_solve(
+        res = _padded.padded_solve(
             "bicg_symmetric", a, b, x0, eps, maxiter, record_residuals
         )
+        if res is not None:
+            return res
     return _bicg_sym_loop(a, b, x0, eps, maxiter, record_residuals)
 
 

@@ -61,9 +61,11 @@ def bicgstab(
         from . import _padded
 
         if _padded.eligible(a):
-            return _padded.padded_solve(
+            res = _padded.padded_solve(
                 "bicgstab", a, b, x0, eps, maxiter, record_residuals
             )
+            if res is not None:
+                return res
         return _bicgstab_loop(a, b, x0, eps, maxiter, record_residuals)
     return _bicgstab_precond_loop(
         a, preconditioner, b, x0, eps, maxiter, record_residuals

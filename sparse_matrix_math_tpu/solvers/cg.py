@@ -71,10 +71,12 @@ def conjugate_gradient(
     from . import _padded
 
     if _padded.eligible(a, preconditioner):
-        return _padded.padded_solve(
+        res = _padded.padded_solve(
             "cg", a, b, x0, eps, maxiter, record_residuals,
             preconditioner=preconditioner,
         )
+        if res is not None:
+            return res
     if preconditioner is None:
         return _cg_loop(a, b, x0, eps, maxiter, record_residuals)
     return _pcg_loop(a, preconditioner, b, x0, eps, maxiter, record_residuals)

@@ -61,9 +61,11 @@ def conjugate_gradient_squared(
     from . import _padded
 
     if _padded.eligible(a):
-        return _padded.padded_solve(
+        res = _padded.padded_solve(
             "cgs", a, b, x0, eps, maxiter, record_residuals
         )
+        if res is not None:
+            return res
     return _cgs_loop(a, b, x0, eps, maxiter, record_residuals)
 
 

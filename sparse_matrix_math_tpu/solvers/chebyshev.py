@@ -35,15 +35,25 @@ from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
 __all__ = ["chebyshev", "chebyshev_core", "lanczos_extremal"]
 
 
-def lanczos_extremal(a, k: int = 32, seed: int = 0) -> Tuple[float, float]:
+def lanczos_extremal(
+    a, k: int = 32, seed: int = 0, n: Optional[int] = None
+) -> Tuple[float, float]:
     """Estimate (lmin, lmax) of symmetric ``a`` via k Lanczos steps.
 
     Returns floats (host-side; runs one small jitted scan).  Estimates are
     interior to the true spectrum — callers should widen them (chebyshev
-    applies its own safety margins).
+    applies its own safety margins).  For callable (LinearOperator)
+    ``a``, pass ``n`` explicitly (there is no shape to infer it from).
     """
     a = as_operator(a)
-    n = a.shape[0] if hasattr(a, "shape") else None
+    if n is None:
+        if hasattr(a, "shape"):
+            n = a.shape[0]
+        else:
+            raise ValueError(
+                "lanczos_extremal needs n= for callable operators "
+                "(no shape to infer the dimension from)"
+            )
     matvec = matvec_fn(a)
     dtype = getattr(a, "dtype", jnp.float32)
 
@@ -94,7 +104,7 @@ def chebyshev(
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)
     if eig_bounds is None:
-        lo, hi = lanczos_extremal(a, k=min(32, n))
+        lo, hi = lanczos_extremal(a, k=min(32, n), n=n)
         # Lanczos estimates are interior (lo >= lmin, hi <= lmax); widen
         # MULTIPLICATIVELY — additive span margins can push lmin toward 0,
         # which blows the condition estimate up and stalls the recurrence.
@@ -133,14 +143,14 @@ def chebyshev_core(
         else None
     )
 
-    def inner(carry, _):
+    def inner(_, carry):
         x, r, d, rho = carry
         # x update then fresh residual via one SpMV (no reductions)
         x = x + d
         r = b - matvec(x)
         new_rho = 1.0 / (2.0 / (delta / theta) - rho)
         d = new_rho * rho * d + (2.0 * new_rho / delta) * r
-        return (x, r, d, new_rho), None
+        return (x, r, d, new_rho)
 
     def cond(carry):
         _, _, _, _, k, status, _ = carry
@@ -148,9 +158,10 @@ def chebyshev_core(
 
     def body(carry):
         x, r, d, rho, k, status, trace = carry
-        (x, r, d, rho), _ = jax.lax.scan(
-            inner, (x, r, d, rho), None, length=check_every
-        )
+        # honor the iteration cap exactly: the final chunk may be partial
+        # (dynamic trip count — fori_loop lowers it to a while)
+        steps = jnp.minimum(check_every, maxiter - k)
+        (x, r, d, rho) = jax.lax.fori_loop(0, steps, inner, (x, r, d, rho))
         rr = dotfn(r, r)  # the ONLY reduction, every check_every steps
         diverged = ~jnp.isfinite(rr)
         converged = rr < eps2
@@ -161,7 +172,7 @@ def chebyshev_core(
         ).astype(jnp.int32)
         if trace is not None:
             trace = trace.at[k // check_every + 1].set(jnp.sqrt(rr))
-        return x, r, d, rho, k + check_every, status, trace
+        return x, r, d, rho, k + steps, status, trace
 
     d0 = r0 / theta
     rho0 = delta / theta
