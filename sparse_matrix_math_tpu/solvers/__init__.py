@@ -1,5 +1,8 @@
+from .api import SolverConfig, solve
 from .bicg_symmetric import bicg_symmetric
 from .bicgstab import bicgstab
 from .cg import cg, conjugate_gradient
 from .cgs import cgs, conjugate_gradient_squared
+from .chebyshev import chebyshev, lanczos_extremal
+from .implicit import cg_solve
 from .types import SolveResult, SolverStatus, resolve_max_iterations
