@@ -42,6 +42,7 @@ from .solvers.cg import cg, conjugate_gradient
 from .solvers.cgs import cgs, conjugate_gradient_squared
 from .solvers.chebyshev import chebyshev, lanczos_extremal
 from .solvers.implicit import cg_solve
+from .solvers.pipelined import cg_pipelined
 from .solvers.types import SolveResult, SolverStatus
 from .utils.checkpoint import (
     checkpointed_solve,
@@ -69,7 +70,7 @@ __all__ = [
     "SolverPreconditioner", "get_preconditioner",
     "bicg_symmetric", "bicgstab", "cg", "conjugate_gradient",
     "cgs", "conjugate_gradient_squared", "cg_solve",
-    "chebyshev", "lanczos_extremal",
+    "chebyshev", "lanczos_extremal", "cg_pipelined",
     "SolveResult", "SolverStatus", "SolverConfig", "solve",
     "checkpointed_solve", "load_checkpoint", "save_checkpoint",
     "load_csr_npz", "save_csr_npz",

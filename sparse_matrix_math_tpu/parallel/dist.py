@@ -50,6 +50,7 @@ from ..solvers.bicgstab import bicgstab_core
 from ..solvers.cg import cg_core, pcg_core
 from ..solvers.cgs import cgs_core
 from ..solvers.chebyshev import chebyshev_core
+from ..solvers.pipelined import cg_pipelined_core
 from ..solvers.types import SolveResult, resolve_max_iterations
 from .mesh import ROW_AXIS, make_mesh
 
@@ -480,6 +481,8 @@ _CORES = {
     "bicgstab": bicgstab_core,
     "chebyshev": chebyshev_core,  # dot-free between checks: the
     # collective-minimal option for pods (solvers/chebyshev.py)
+    "cg_pipelined": cg_pipelined_core,  # one fused psum per iteration
+    # (Ghysels-Vanroose; solvers/pipelined.py)
 }
 
 
@@ -621,6 +624,18 @@ def _dist_solve_jit(
         if solver == "bicgstab":
             return bicgstab_core(
                 matvec, apply_, dotfn, b_local, x0_local, eps, maxiter, record
+            )
+        if solver == "cg_pipelined":
+
+            def dot2(u1, v1, u2, v2):
+                parts = jnp.stack(
+                    [jnp.vdot(u1, v1), jnp.vdot(u2, v2)]
+                )
+                both = jax.lax.psum(parts, axis)  # ONE collective
+                return both[0], both[1]
+
+            return cg_pipelined_core(
+                matvec, dot2, b_local, x0_local, eps, maxiter, record
             )
         if solver == "chebyshev":
             lmin, lmax, check_every = cheb

@@ -23,6 +23,7 @@ from .bicgstab import bicgstab
 from .cg import conjugate_gradient
 from .cgs import conjugate_gradient_squared
 from .chebyshev import chebyshev
+from .pipelined import cg_pipelined
 from .types import SolveResult
 
 __all__ = ["SolverConfig", "solve", "SOLVERS"]
@@ -35,6 +36,7 @@ SOLVERS = {
     "conjugate_gradient_squared": conjugate_gradient_squared,
     "bicgstab": bicgstab,
     "chebyshev": chebyshev,
+    "cg_pipelined": cg_pipelined,
 }
 
 # which solvers accept a preconditioner (mirrors the reference: CG has the

@@ -107,6 +107,15 @@ class TestDistSolve:
         assert int(res.status) == SolverStatus.SUCCESS
         np.testing.assert_allclose(collect(res.x, da), 1.0, atol=1e-7)
 
+    def test_pipelined_cg_distributed(self, mesh):
+        """Communication-avoiding CG: one fused psum per iteration."""
+        a = poisson_2d(16)
+        da = distribute_csr(a, mesh)
+        b = _ones_system(a)
+        res = dist_solve(da, b, solver="cg_pipelined", epsilon=1e-10, mesh=mesh)
+        assert int(res.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(collect(res.x, da), 1.0, atol=1e-9)
+
     def test_chebyshev_distributed(self, mesh):
         """Dot-free distributed solver: one psum per check_every steps."""
         a = poisson_2d(16)
