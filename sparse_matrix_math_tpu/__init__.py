@@ -37,6 +37,7 @@ from .precond.preconditioners import (
 )
 from .solvers.api import SolverConfig, solve
 from .solvers.bicg_symmetric import bicg_symmetric
+from .solvers.block import MultiSolveResult, cg_multi
 from .solvers.bicgstab import bicgstab
 from .solvers.cg import cg, conjugate_gradient
 from .solvers.cgs import cgs, conjugate_gradient_squared
@@ -71,6 +72,7 @@ __all__ = [
     "bicg_symmetric", "bicgstab", "cg", "conjugate_gradient",
     "cgs", "conjugate_gradient_squared", "cg_solve",
     "chebyshev", "lanczos_extremal", "cg_pipelined",
+    "cg_multi", "MultiSolveResult",
     "SolveResult", "SolverStatus", "SolverConfig", "solve",
     "checkpointed_solve", "load_checkpoint", "save_checkpoint",
     "load_csr_npz", "save_csr_npz",

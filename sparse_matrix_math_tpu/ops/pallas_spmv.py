@@ -186,14 +186,22 @@ def _dia_layout_params(offsets, shape, rows_blk: int):
     return lblk, nblk, rblk, total
 
 
-def pad_dia(a: DIAMatrix, rows_blk: int = 512) -> PaddedDIA:
+def pad_dia(a: DIAMatrix, rows_blk: int = 512, geometry_offsets=None) -> PaddedDIA:
     """One-time layout transform for :class:`PaddedDIA`.
 
     Works both host-side (concrete arrays) and under a jit trace (the pad
     is a jnp op; the geometry is static from shapes).
+
+    ``geometry_offsets``: compute the layout geometry from this offset
+    superset instead of ``a.offsets`` — used to lay a sub-matrix (e.g. the
+    strict lower factor of an SGS preconditioner) into the SAME padded
+    layout as the full matrix, so solver vectors are shared between them.
     """
     n_rows, _ = a.shape
-    lblk, nblk, rblk, total = _dia_layout_params(a.offsets, a.shape, rows_blk)
+    geo = a.offsets if geometry_offsets is None else tuple(geometry_offsets)
+    if geometry_offsets is not None and not set(a.offsets) <= set(geo):
+        raise ValueError("geometry_offsets must be a superset of a.offsets")
+    lblk, nblk, rblk, total = _dia_layout_params(geo, a.shape, rows_blk)
     blk = rows_blk * _LANE
     lead = lblk * blk
     d3 = jnp.pad(a.diags, ((0, 0), (lead, total - lead - n_rows)))

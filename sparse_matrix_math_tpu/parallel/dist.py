@@ -176,6 +176,13 @@ def distribute_csr(
     mesh = mesh if mesh is not None else make_mesh()
     n_dev = mesh.shape[axis]
     n_rows, n_cols = csr.shape
+    if n_rows != n_cols:
+        # All partitioning/halo/window math and vector padding below are
+        # row-block based; a rectangular matrix would silently produce
+        # wrong distributed SpMV results.
+        raise ValueError(
+            f"distribute_csr supports square systems only, got {csr.shape}"
+        )
     block = max(_round_up(int(math.ceil(n_rows / n_dev)), 8), 8)
 
     vals, cols, lrows, mode = _pack_row_blocks(
@@ -486,11 +493,52 @@ _CORES = {
 }
 
 
+@lru_cache(maxsize=None)
+def _dist_lanczos_jit(mesh, axis: str, block_rows: int, mode: str, k: int):
+    def inner(data, cols, lrows, v0_local):
+        data, cols, lrows = data[0], cols[0], lrows[0]
+        dotfn = _psum_dot(axis)
+        dtype = v0_local.dtype
+
+        def step(carry, _):
+            v_prev, v_cur, beta = carry
+            w = (
+                _local_spmv(
+                    data, cols, lrows, v_cur,
+                    axis=axis, block_rows=block_rows, mode=mode,
+                )
+                - beta * v_prev
+            )
+            alpha = dotfn(w, v_cur)
+            w = w - alpha * v_cur
+            new_beta = jnp.sqrt(dotfn(w, w))
+            v_next = w / jnp.maximum(new_beta, jnp.asarray(1e-30, dtype))
+            return (v_cur, v_next, new_beta), (alpha, new_beta)
+
+        init = (jnp.zeros_like(v0_local), v0_local, jnp.asarray(0.0, dtype))
+        _, (alphas, betas) = jax.lax.scan(step, init, None, length=k)
+        return alphas, betas
+
+    mapped = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(mapped)
+
+
 def dist_lanczos_extremal(
     a: "DistCSR", mesh: jax.sharding.Mesh, k: int = 32, seed: int = 0
 ):
-    """Extremal-eigenvalue estimate via k distributed Lanczos steps
-    (eager dist_spmv calls; used to bound distributed Chebyshev)."""
+    """Extremal-eigenvalue estimate via k distributed Lanczos steps.
+
+    The whole k-step recurrence is ONE jitted shard_map scan (all dots are
+    psum collectives inside it) — no per-step host sync, so the cost is a
+    single dispatch instead of ~3k launches on a high-latency link.  Only
+    the tiny (k,) tridiagonal coefficients come back to the host for the
+    dense eigensolve.  Used to bound distributed Chebyshev.
+    """
     import numpy as np
 
     n_pad = a.padded_rows
@@ -498,23 +546,11 @@ def dist_lanczos_extremal(
     v = rng.standard_normal(n_pad).astype(a.dtype)
     v[a.shape[0]:] = 0.0
     v = distribute_vector(v / np.linalg.norm(v), a, mesh)
-    v_prev = jnp.zeros_like(v)
-    beta = 0.0
-    alphas, betas = [], []
-    for _ in range(k):
-        w = dist_spmv(a, v, mesh) - beta * v_prev
-        alpha = float(jnp.vdot(w, v))
-        w = w - alpha * v
-        new_beta = float(jnp.sqrt(jnp.vdot(w, w)))
-        v_prev, v = v, w / max(new_beta, 1e-30)
-        beta = new_beta
-        alphas.append(alpha)
-        betas.append(new_beta)
-    t = (
-        np.diag(alphas)
-        + np.diag(betas[:-1], 1)
-        + np.diag(betas[:-1], -1)
-    )
+    fn = _dist_lanczos_jit(mesh, a.axis, a.block_rows, a.mode, int(k))
+    alphas, betas = fn(a.data, a.cols, a.lrows, v)
+    al = np.asarray(alphas, dtype=np.float64)
+    be = np.asarray(betas, dtype=np.float64)
+    t = np.diag(al) + np.diag(be[:-1], 1) + np.diag(be[:-1], -1)
     eig = np.linalg.eigvalsh(t)
     return float(eig[0]), float(eig[-1])
 
@@ -569,7 +605,18 @@ def dist_solve(
 
     if solver == "chebyshev" and eig_bounds is None:
         lo, hi = dist_lanczos_extremal(a, mesh, k=min(32, a.shape[0]))
-        eig_bounds = (lo * 0.9, hi * 1.05)
+        # Sign-aware widening (see solvers/chebyshev.py): `lo * 0.9` would
+        # narrow a slightly negative Lanczos lmin INTO the spectrum.
+        lo = lo - 0.1 * abs(lo)
+        hi = hi + 0.05 * abs(hi)
+        if lo <= 0.0:
+            lo = 1e-8 * max(hi, 1.0)
+        if hi <= lo:
+            raise ValueError(
+                f"chebyshev: estimated spectrum [{lo}, {hi}] is not "
+                "positive-definite; supply eig_bounds= explicitly"
+            )
+        eig_bounds = (lo, hi)
     cheb = (
         (float(eig_bounds[0]), float(eig_bounds[1]), int(check_every))
         if solver == "chebyshev"

@@ -8,4 +8,5 @@ from .preconditioners import (
     SolverPreconditioner,
     get_preconditioner,
 )
+from .padded_sgs import PaddedSGS
 from .trisolve import TriangularMatrix, triangular_from_csr_arrays

@@ -1,5 +1,6 @@
 from .api import SolverConfig, solve
 from .bicg_symmetric import bicg_symmetric
+from .block import MultiSolveResult, cg_multi
 from .bicgstab import bicgstab
 from .cg import cg, conjugate_gradient
 from .cgs import cgs, conjugate_gradient_squared

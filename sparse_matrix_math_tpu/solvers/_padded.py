@@ -35,26 +35,31 @@ _CORES = {
     "cg": cg_core,
     "bicg_symmetric": bicg_symmetric_core,
     "cgs": cgs_core,
-    # bicgstab_core takes an extra precond arg; identity here (the padded
-    # path only runs unpreconditioned/Jacobi — see eligible())
-    "bicgstab": lambda matvec, dotfn, *rest: bicgstab_core(
-        matvec, lambda v: v, dotfn, *rest
-    ),
+    # bicgstab_core's precond arg is bound in _padded_solve_jit (identity,
+    # Jacobi, or padded-SGS — see eligible())
+    "bicgstab": bicgstab_core,
 }
 
 
 def eligible(a, preconditioner=None) -> bool:
     """Use the padded fast path? (DIA matrix, TPU backend, preconditioner
-    representable in the padded domain — currently None/Jacobi.  The
-    solve picks the VMEM-resident or streamed kernel per size.)"""
-    from ..precond.preconditioners import JacobiPreconditioner
+    representable in the padded domain — None/Jacobi/SGS.  For SGS the
+    strict triangular factors of a DIA matrix are themselves DIA, so the
+    truncated-sweep apply runs as padded Pallas kernels
+    (precond/padded_sgs.py).  The solve picks the VMEM-resident or
+    streamed kernel per size.)"""
+    from ..precond.padded_sgs import PaddedSGS
+    from ..precond.preconditioners import (
+        JacobiPreconditioner,
+        SGSPreconditioner,
+    )
 
     if not isinstance(a, DIAMatrix):
         return False
     if jax.default_backend() != "tpu":
         return False
     if preconditioner is not None and not isinstance(
-        preconditioner, JacobiPreconditioner
+        preconditioner, (JacobiPreconditioner, SGSPreconditioner, PaddedSGS)
     ):
         return False
     return True
@@ -80,25 +85,41 @@ def padded_solve(
     """
     from ..ops.pallas_spmv import pad_dia
     from ..ops.spmv import _warn_pallas_fallback
+    from ..precond.padded_sgs import PaddedSGS
+    from ..precond.preconditioners import (
+        JacobiPreconditioner,
+        SGSPreconditioner,
+    )
 
     pdia = pad_dia(a)
-    inv_diag = (
-        preconditioner.inv_diag if preconditioner is not None else None
-    )
+    pre_kind, inv_diag, psgs = "none", None, None
+    if isinstance(preconditioner, JacobiPreconditioner):
+        pre_kind, inv_diag = "jacobi", preconditioner.inv_diag
+    elif isinstance(preconditioner, PaddedSGS):
+        pre_kind, psgs = "sgs", preconditioner
+    elif isinstance(preconditioner, SGSPreconditioner):
+        # re-lay the truncated-sweep apply into the padded domain; the
+        # exact (dense/deep-sweep) variants stay on the generic path
+        if preconditioner.fwd.method != "jacobi":
+            return None
+        psgs = PaddedSGS.from_dia(
+            a, sweeps=preconditioner.fwd.sweeps, rows_blk=pdia.rows_blk
+        )
+        pre_kind = "sgs"
     try:
         return _padded_solve_jit(
             core_name, pdia, b, x0, jnp.asarray(eps, b.dtype), inv_diag,
-            maxiter, record, interpret,
+            psgs, pre_kind, maxiter, record, interpret,
         )
     except Exception as e:
         _warn_pallas_fallback(e)
         return None
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7, 8))
+@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10))
 def _padded_solve_jit(
-    core_name: str, pdia, b, x0, eps, inv_diag, maxiter: int, record: bool,
-    interpret: bool = False,
+    core_name: str, pdia, b, x0, eps, inv_diag, psgs, pre_kind: str,
+    maxiter: int, record: bool, interpret: bool = False,
 ) -> SolveResult:
     from ..ops.pallas_spmv import dia_spmv_padded, dia_spmv_streamed, fits_in_vmem
 
@@ -117,10 +138,21 @@ def _padded_solve_jit(
     bp = pdia.to_padded(b)
     x0p = pdia.to_padded(x0)
 
-    if core_name == "cg" and inv_diag is not None:
+    if pre_kind == "jacobi":
         invp = pdia.to_padded(inv_diag)  # pad zeros: z padding stays 0
-        res = pcg_core(
-            matvec, lambda r: r * invp, dotfn, bp, x0p, eps, maxiter, record
+        apply_ = lambda r: r * invp  # noqa: E731
+    elif pre_kind == "sgs":
+        apply_ = lambda r: psgs.apply_padded(  # noqa: E731
+            r, resident=resident, interpret=interpret
+        )
+    else:
+        apply_ = None
+
+    if core_name == "cg" and apply_ is not None:
+        res = pcg_core(matvec, apply_, dotfn, bp, x0p, eps, maxiter, record)
+    elif core_name == "bicgstab":
+        res = bicgstab_core(
+            matvec, apply_ or (lambda v: v), dotfn, bp, x0p, eps, maxiter, record
         )
     else:
         res = _CORES[core_name](matvec, dotfn, bp, x0p, eps, maxiter, record)

@@ -80,6 +80,22 @@ def solve(
         raise ValueError(
             f"unknown method {cfg.method!r}; options: {sorted(set(SOLVERS))}"
         )
+    if getattr(b, "ndim", 1) == 2:
+        # multi-RHS panel: route through the blocked solver (one SpMM
+        # feeds every column — solvers/block.py)
+        from .block import cg_multi
+
+        if method not in ("cg", "conjugate_gradient"):
+            raise ValueError(
+                "multi-RHS b (n, m) is supported for method='cg' "
+                "(cg_multi); solve each column separately for other methods"
+            )
+        if cfg.preconditioner not in (None, "none"):
+            raise ValueError("cg_multi does not take a preconditioner yet")
+        return cg_multi(
+            a, b, x0,
+            max_iterations=cfg.max_iterations, epsilon=cfg.epsilon,
+        )
     kwargs: Dict[str, Any] = dict(
         max_iterations=cfg.max_iterations,
         epsilon=cfg.epsilon,

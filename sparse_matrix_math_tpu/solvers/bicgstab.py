@@ -57,15 +57,16 @@ def bicgstab(
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)
     eps = jnp.asarray(epsilon, dtype=b.dtype)
-    if preconditioner is None:
-        from . import _padded
+    from . import _padded
 
-        if _padded.eligible(a):
-            res = _padded.padded_solve(
-                "bicgstab", a, b, x0, eps, maxiter, record_residuals
-            )
-            if res is not None:
-                return res
+    if _padded.eligible(a, preconditioner):
+        res = _padded.padded_solve(
+            "bicgstab", a, b, x0, eps, maxiter, record_residuals,
+            preconditioner=preconditioner,
+        )
+        if res is not None:
+            return res
+    if preconditioner is None:
         return _bicgstab_loop(a, b, x0, eps, maxiter, record_residuals)
     return _bicgstab_precond_loop(
         a, preconditioner, b, x0, eps, maxiter, record_residuals

@@ -1,0 +1,152 @@
+"""Multi-RHS (blocked) solves — one SpMM feeds every right-hand side.
+
+The reference solves one RHS per call (``SolverStatus f(A, b, x, ...)``,
+include/sparse_matrix_math.h:2316-2320); solving k systems costs k full
+Krylov runs.  On TPU the SpMV generalises to SpMM for free (ops/spmv.py
+broadcasts over trailing columns), and the MXU makes the extra columns
+nearly free until the arithmetic-intensity knee — so the TPU-native
+multi-RHS design runs ALL right-hand sides through one iteration loop:
+
+* one SpMM ``A @ P`` per iteration instead of m SpMVs,
+* per-column dots / axpys as axis-0 reductions on (n, m) panels,
+* per-column convergence masking: columns that converged (or broke down)
+  freeze exactly — their x/r/p stop updating — while the rest continue;
+  the loop exits when every column has left the RUNNING state.
+
+This is the "batched CG" formulation (independent recurrences, shared
+kernels), chosen over classical block-CG (O'Leary) deliberately: block-CG
+shares one Krylov space but needs rank-revealing re-orthogonalisation
+when columns become linearly dependent — a poor fit for a fixed-shape
+``lax.while_loop``.  Batched CG has no breakdown coupling: each column
+behaves exactly like its own :func:`solvers.cg.cg` run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.spmv import as_operator, matvec_fn
+from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
+
+__all__ = ["cg_multi", "MultiSolveResult"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MultiSolveResult:
+    """Per-column solve outcome for a multi-RHS run.
+
+    ``x`` is (n, m); ``status``/``iterations``/``residual_norm`` are (m,)
+    — one entry per right-hand side, same semantics as SolveResult.
+    """
+
+    x: jnp.ndarray
+    status: jnp.ndarray          # (m,) int32 SolverStatus values
+    iterations: jnp.ndarray      # (m,) int32: iteration count at freeze
+    residual_norm: jnp.ndarray   # (m,)
+
+    def __getitem__(self, j: int) -> SolveResult:
+        """The j-th column's outcome as a plain SolveResult."""
+        return SolveResult(
+            x=self.x[:, j],
+            status=self.status[j],
+            iterations=self.iterations[j],
+            residual_norm=self.residual_norm[j],
+            residual_trace=None,
+        )
+
+
+def cg_multi(
+    a,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    max_iterations: int = -1,
+    epsilon: float = 1e-8,
+) -> MultiSolveResult:
+    """Solve ``a @ X = B`` for SPD ``a`` and B of shape (n, m).
+
+    Equivalent to m independent :func:`cg` runs (same iterates per
+    column), at roughly the cost of the SLOWEST column — every iteration
+    is one SpMM + per-column reductions instead of m separate loops.
+    """
+    a = as_operator(a)
+    if b.ndim != 2:
+        raise ValueError(f"cg_multi expects B of shape (n, m), got {b.shape}")
+    n = b.shape[0]
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    maxiter = resolve_max_iterations(max_iterations, n)
+    eps = jnp.asarray(epsilon, dtype=b.dtype)
+    return _cg_multi_loop(a, b, x0, eps, maxiter)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _cg_multi_loop(a, b, x0, eps, maxiter: int) -> MultiSolveResult:
+    matvec = matvec_fn(a)
+    eps2 = eps * eps
+    m = b.shape[1]
+
+    def coldot(u, v):
+        return jnp.sum(u * v, axis=0)  # (m,)
+
+    r = b - matvec(x0)
+    rr = coldot(r, r)
+    status0 = jnp.where(rr <= eps2, SolverStatus.SUCCESS, RUNNING).astype(
+        jnp.int32
+    )
+    iters0 = jnp.zeros((m,), jnp.int32)
+
+    def cond(carry):
+        _, _, _, _, k, status, _ = carry
+        return jnp.any(status == RUNNING) & (k < maxiter)
+
+    def body(carry):
+        x, r, p, rr, k, status, iters = carry
+        active = status == RUNNING
+        ap = matvec(p)
+        denom = coldot(ap, p)
+        alpha = jnp.where(active, rr / denom, 0.0)
+        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+        x = x + alpha[None, :] * p
+        r_new = r - alpha[None, :] * ap
+        new_rr = jnp.where(active, coldot(r_new, r_new), rr)
+        converged = new_rr <= eps2
+        # exact breakdown (denom == 0, i.e. p.A.p = 0 on an indefinite
+        # system) and non-finite reductions both mean this column cannot
+        # make progress: DIVERGED, matching the single-RHS cg's guard.
+        diverged = (
+            ~jnp.isfinite(new_rr)
+            | (active & ~jnp.isfinite(denom))
+            | (active & (denom == 0) & ~converged)
+        )
+        new_status = jnp.where(
+            active,
+            jnp.where(
+                diverged,
+                SolverStatus.DIVERGED,
+                jnp.where(converged, SolverStatus.SUCCESS, RUNNING),
+            ),
+            status,
+        ).astype(jnp.int32)
+        iters = jnp.where(active, k + 1, iters)
+        beta = jnp.where(active, new_rr / jnp.where(rr == 0, 1.0, rr), 0.0)
+        p = jnp.where(active[None, :], r_new + beta[None, :] * p, p)
+        r = jnp.where(active[None, :], r_new, r)
+        return x, r, p, new_rr, k + 1, new_status, iters
+
+    carry = (x0, r, r, rr, jnp.int32(0), status0, iters0)
+    x, r, _, rr, _, status, iters = jax.lax.while_loop(cond, body, carry)
+    status = jnp.where(
+        status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status
+    ).astype(jnp.int32)
+    return MultiSolveResult(
+        x=x,
+        status=status,
+        iterations=iters,
+        residual_norm=jnp.sqrt(rr),
+    )

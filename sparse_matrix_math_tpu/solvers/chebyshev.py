@@ -106,9 +106,20 @@ def chebyshev(
     if eig_bounds is None:
         lo, hi = lanczos_extremal(a, k=min(32, n), n=n)
         # Lanczos estimates are interior (lo >= lmin, hi <= lmax); widen
-        # MULTIPLICATIVELY — additive span margins can push lmin toward 0,
-        # which blows the condition estimate up and stalls the recurrence.
-        eig_bounds = (lo * 0.9, hi * 1.05)
+        # with SIGN-AWARE margins — `lo * 0.9` would NARROW a slightly
+        # negative lo (near-singular SPD + f32 roundoff) into the
+        # spectrum.  A nonpositive widened lo means the recurrence has no
+        # valid ellipse: fail loudly instead of stalling silently.
+        lo = lo - 0.1 * abs(lo)
+        hi = hi + 0.05 * abs(hi)
+        if lo <= 0.0:
+            lo = 1e-8 * max(hi, 1.0)  # clamp: SPD spectra are positive
+        if hi <= lo:
+            raise ValueError(
+                f"chebyshev: estimated spectrum [{lo}, {hi}] is not "
+                "positive-definite; supply eig_bounds= explicitly"
+            )
+        eig_bounds = (lo, hi)
     eps = jnp.asarray(epsilon, dtype=b.dtype)
     return _chebyshev_loop(
         a, b, x0, eps, float(eig_bounds[0]), float(eig_bounds[1]),

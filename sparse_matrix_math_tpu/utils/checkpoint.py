@@ -44,15 +44,20 @@ class SolverCheckpoint:
 
 
 def save_checkpoint(path: str, ckpt: SolverCheckpoint) -> None:
-    """Atomic snapshot (write-temp + rename, preemption-safe)."""
-    tmp = path + ".tmp"
+    """Atomic snapshot (write-temp + rename, preemption-safe).
+
+    The temp name is pid-unique so two processes checkpointing the same
+    path cannot interleave savez/os.replace and corrupt each other's
+    snapshot (same policy as native/__init__.py's build lock).
+    """
+    tmp = f"{path}.{os.getpid()}.tmp.npz"
     np.savez(
         tmp,
         x=np.asarray(ckpt.x),
         iterations_done=np.int64(ckpt.iterations_done),
         residual_norm=np.float64(ckpt.residual_norm),
     )
-    os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str) -> Optional[SolverCheckpoint]:
@@ -94,6 +99,17 @@ def checkpointed_solve(
     if ckpt is not None:
         x = jnp.asarray(ckpt.x)
         done = ckpt.iterations_done
+        if ckpt.residual_norm <= epsilon:
+            # The checkpointed run already converged — report it as such
+            # rather than rerunning a 0-iteration solve (which would
+            # mislabel the outcome MAX_ITERATIONS_REACHED).
+            return SolveResult(
+                x=x,
+                status=jnp.int32(SolverStatus.SUCCESS),
+                iterations=jnp.int32(done),
+                residual_norm=jnp.asarray(ckpt.residual_norm, x.dtype),
+                residual_trace=None,
+            )
     else:
         x = None
         done = 0

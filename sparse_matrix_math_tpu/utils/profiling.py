@@ -56,8 +56,11 @@ def spmv_throughput(a, x=None, *, iters: int = 20) -> dict:
 
     if x is None:
         x = jnp.ones((a.shape[1],), a.dtype)
-    f = jax.jit(lambda v: rmult(a, v))
-    sec = benchmark_op(f, x, iters=iters)
+    # The matrix is a jit ARGUMENT, not a closure constant: the remote
+    # compile path rejects large embedded constants (HTTP 413), and
+    # bench.py relies on the same convention.
+    f = jax.jit(rmult)
+    sec = benchmark_op(f, a, x, iters=iters)
     return {
         "seconds_per_op": sec,
         "gnnz_per_s": a.nnz / sec / 1e9,

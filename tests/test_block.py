@@ -1,0 +1,89 @@
+"""Multi-RHS (batched) solves: solvers/block.py.
+
+The reference has no multi-RHS capability (one RHS per call,
+include/sparse_matrix_math.h:2316-2320) — this is TPU-native surplus:
+one SpMM per iteration feeds every column.  Correctness bar: column j of
+cg_multi must match an independent cg run on (a, B[:, j]).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sparse_matrix_math_tpu as smm
+from sparse_matrix_math_tpu.formats.csr import csr_from_dense
+from sparse_matrix_math_tpu.solvers.types import SolverStatus
+from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+
+class TestCGMulti:
+    def test_matches_per_column_cg(self, dtype):
+        a = poisson_2d(12, dtype=dtype)
+        n = a.shape[0]
+        rng = np.random.default_rng(0)
+        B = jnp.asarray(rng.standard_normal((n, 4)).astype(dtype))
+        res = smm.cg_multi(a, B, epsilon=1e-6)
+        assert res.x.shape == (n, 4)
+        for j in range(4):
+            single = smm.cg(a, B[:, j], epsilon=1e-6)
+            assert int(res.status[j]) == int(single.status) == SolverStatus.SUCCESS
+            np.testing.assert_allclose(
+                np.asarray(res.x[:, j]), np.asarray(single.x),
+                rtol=5e-4, atol=5e-5,
+            )
+            # identical recurrences => identical iteration counts
+            assert int(res.iterations[j]) == int(single.iterations)
+
+    def test_mixed_convergence_freezes_columns(self):
+        """A zero column converges at iteration 0 and must freeze there
+        while the other columns keep iterating."""
+        a = poisson_2d(10, dtype=np.float64)
+        n = a.shape[0]
+        B = jnp.stack(
+            [jnp.zeros(n, jnp.float64), a @ jnp.ones(n, jnp.float64)], axis=1
+        )
+        res = smm.cg_multi(a, B, epsilon=1e-10)
+        assert int(res.status[0]) == SolverStatus.SUCCESS
+        assert int(res.iterations[0]) == 0
+        np.testing.assert_array_equal(np.asarray(res.x[:, 0]), np.zeros(n))
+        assert int(res.status[1]) == SolverStatus.SUCCESS
+        assert int(res.iterations[1]) > 0
+        np.testing.assert_allclose(np.asarray(res.x[:, 1]), 1.0, atol=1e-8)
+
+    def test_per_column_divergence_isolated(self):
+        """An indefinite system: the breakdown column reports DIVERGED
+        without poisoning the healthy column."""
+        a = csr_from_dense(np.diag([1.0, -1.0]))
+        # column 0 hits p.A.p = 0 (see test_robustness); column 1 is
+        # solvable in one step (b = e_0 lives in the +1 eigenspace)
+        B = jnp.asarray([[1.0, 1.0], [1.0, 0.0]], jnp.float64)
+        res = smm.cg_multi(a, B, max_iterations=50, epsilon=1e-12)
+        assert int(res.status[0]) == SolverStatus.DIVERGED
+        assert int(res.status[1]) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(
+            np.asarray(res.x[:, 1]), [1.0, 0.0], atol=1e-12
+        )
+
+    def test_getitem_view(self):
+        a = poisson_2d(6, dtype=np.float64)
+        n = a.shape[0]
+        B = a @ jnp.ones((n, 3), jnp.float64)
+        res = smm.cg_multi(a, B, epsilon=1e-10)
+        one = res[1]
+        assert isinstance(one, smm.SolveResult)
+        assert int(one.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(np.asarray(one.x), 1.0, atol=1e-8)
+
+    def test_solve_api_routes_2d_b(self):
+        a = poisson_2d(6, dtype=np.float64)
+        n = a.shape[0]
+        B = a @ jnp.ones((n, 2), jnp.float64)
+        res = smm.solve(a, B, method="cg", epsilon=1e-10)
+        assert res.x.shape == (n, 2)
+        with pytest.raises(ValueError):
+            smm.solve(a, B, method="bicgstab")
+
+    def test_rejects_1d(self):
+        a = poisson_2d(4, dtype=np.float64)
+        with pytest.raises(ValueError):
+            smm.cg_multi(a, jnp.ones(16, jnp.float64))

@@ -184,3 +184,67 @@ def test_factory_parity_spellings():
     m2 = get_preconditioner(a, "symmetric_gauss_seidel")
     assert type(m1) is type(m2) is SGSPreconditioner
     assert isinstance(get_preconditioner(a, "none"), IdentityPreconditioner)
+
+
+class TestPaddedSGS:
+    """PaddedSGS (precond/padded_sgs.py): the padded-DIA-domain SGS whose
+    truncated-sweep apply must match the generic CSR-based
+    SGSPreconditioner with the same sweep count bit-for-... well, to
+    float tolerance (same math, different layout/kernel)."""
+
+    def _dia(self, nx=12, dtype=np.float64):
+        from sparse_matrix_math_tpu.formats.dia import dia_from_csr
+
+        a = poisson_2d(nx, dtype=dtype)
+        return a, dia_from_csr(a)
+
+    @pytest.mark.parametrize("sweeps", [1, 2, 4])
+    def test_apply_matches_generic_sgs(self, sweeps):
+        from sparse_matrix_math_tpu.precond import PaddedSGS
+
+        a, dia = self._dia()
+        generic = get_preconditioner(a, "sgs", method="jacobi", sweeps=sweeps)
+        padded = PaddedSGS.from_dia(dia, sweeps=sweeps)
+        r = jnp.asarray(
+            np.random.default_rng(1).normal(size=a.shape[0])
+        )
+        np.testing.assert_allclose(
+            np.asarray(padded.apply(r)),
+            np.asarray(generic.apply(r)),
+            rtol=1e-12, atol=1e-12,
+        )
+
+    def test_padded_layout_roundtrip_zero_padding(self):
+        from sparse_matrix_math_tpu.precond import PaddedSGS
+
+        _, dia = self._dia(9)
+        p = PaddedSGS.from_dia(dia, sweeps=2)
+        ref = p.p_lower
+        r = jnp.asarray(np.random.default_rng(2).normal(size=dia.shape[0]))
+        rp = ref.to_padded(r)
+        zp = p.apply_padded(rp, resident=True, interpret=True)
+        # padding regions must remain exactly zero through the apply
+        mask = np.asarray(ref.to_padded(jnp.ones_like(r)))
+        np.testing.assert_array_equal(np.asarray(zp)[mask == 0], 0.0)
+
+    def test_requires_diagonal(self):
+        from sparse_matrix_math_tpu.formats.dia import DIAMatrix
+        from sparse_matrix_math_tpu.precond import PaddedSGS
+
+        off_diag = DIAMatrix(
+            diags=jnp.ones((1, 8)), offsets=(1,), shape=(8, 8), nnz=7
+        )
+        with pytest.raises(FactorizationError):
+            PaddedSGS.from_dia(off_diag, sweeps=2)
+
+    def test_pure_diagonal_matrix(self):
+        from sparse_matrix_math_tpu.formats.dia import DIAMatrix
+        from sparse_matrix_math_tpu.precond import PaddedSGS
+
+        d = jnp.asarray(np.linspace(1.0, 2.0, 8))
+        a = DIAMatrix(diags=d[None, :], offsets=(0,), shape=(8, 8), nnz=8)
+        p = PaddedSGS.from_dia(a, sweeps=3)
+        r = jnp.asarray(np.random.default_rng(3).normal(size=8))
+        np.testing.assert_allclose(
+            np.asarray(p.apply(r)), np.asarray(r / d), rtol=1e-12
+        )

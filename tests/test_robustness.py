@@ -26,34 +26,61 @@ class TestBreakdownPaths:
                 SolverStatus.MAX_ITERATIONS_REACHED,
             ), solver.__name__
 
-    def test_cg_indefinite_reports_divergence(self):
-        """CG on an indefinite matrix hits a NaN/negative curvature; the
-        non-finite guard must convert that to DIVERGED, not silent NaN x."""
-        dense = np.diag([1.0, -1.0, 2.0, -2.0, 3.0, -3.0, 4.0, -4.0])
-        dense += 0.01 * np.ones((8, 8))
-        a = csr_from_dense(dense)
-        b = jnp.ones(8, dtype=jnp.float64)
+    def test_cg_exact_breakdown_reports_diverged(self):
+        """CG on A = diag(1, -1), b = ones hits p.A.p = 0 exactly on the
+        first iteration; the non-finite guard must convert the resulting
+        inf into DIVERGED immediately — not SUCCESS, not a silent-NaN
+        march to the iteration cap."""
+        a = csr_from_dense(np.diag([1.0, -1.0]))
+        b = jnp.asarray([1.0, 1.0], jnp.float64)
         res = smm.cg(a, b, max_iterations=100, epsilon=1e-12)
-        assert int(res.status) != SolverStatus.SUCCESS or bool(
-            jnp.isfinite(res.x).all()
+        assert int(res.status) == SolverStatus.DIVERGED
+        assert int(res.iterations) == 1
+        # the reported residual must be consistent with the failure claim
+        assert not bool(res.residual_norm <= 1e-12)
+
+    def test_bicg_symmetric_serious_breakdown_fires(self):
+        """The reference's serious-breakdown heuristic (h:2047-2058):
+        |Ap.p| < eps while ||r||^2 > 1 => DIVERGED.  A = diag(1, -1),
+        b = ones gives p.A.p = 0 exactly with ||r||^2 = 2 on the first
+        iteration, so the heuristic MUST fire there."""
+        a = csr_from_dense(np.diag([1.0, -1.0]))
+        b = jnp.asarray([1.0, 1.0])
+        res = smm.bicg_symmetric(a, b, max_iterations=10, epsilon=1e-10)
+        assert int(res.status) == SolverStatus.DIVERGED
+        assert int(res.iterations) == 1
+        # updates are masked out on serious breakdown: x stays at x0 = 0
+        np.testing.assert_array_equal(np.asarray(res.x), np.zeros(2))
+
+    def test_bicg_symmetric_critical_breakdown_fires(self):
+        """The reference's critical-breakdown heuristic (h:2073-2081):
+        ||r'||^2 > 1 right after ||r||^2 < eps => DIVERGED.  Driven
+        directly through the algorithm core with a mock matvec so the
+        second iteration's residual explodes."""
+        from sparse_matrix_math_tpu.ops.vector import dot as _dot
+        from sparse_matrix_math_tpu.solvers.bicg_symmetric import (
+            bicg_symmetric_core,
         )
 
-    def test_bicg_symmetric_breakdown_heuristics(self):
-        """The reference's serious-breakdown heuristic (h:2047-2058):
-        |Ap.p| < eps while ||r||^2 > 1 => DIVERGED."""
-        # A with p A p = 0 achievable: skew-ish symmetric indefinite
-        dense = np.array([[0.0, 1.0], [1.0, 0.0]])
-        a = csr_from_dense(dense + 1e-12 * np.eye(2))
-        b = jnp.asarray([10.0, -10.0])
-        res = smm.bicg_symmetric(a, b, max_iterations=10, epsilon=1e-10)
-        assert int(res.status) in (
-            SolverStatus.DIVERGED,
-            SolverStatus.MAX_ITERATIONS_REACHED,
-            SolverStatus.SUCCESS,
+        calls = {"n": 0}
+        # b (hence r0) is tiny: rr0 = 2e-14 < eps = 1e-5.  The first
+        # matvec (for r0) returns 0; the next returns a vector nearly
+        # orthogonal to p, so alpha = rr/(ap.p) is huge and alpha*ap
+        # blows ||r'||^2 past 1 while the old rr < eps.
+        def matvec(v):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return jnp.zeros_like(v)
+            return jnp.asarray([1.0, -1.0 + 1e-10], v.dtype)
+
+        b = jnp.asarray([1e-7, 1e-7], jnp.float64)
+        res = bicg_symmetric_core(
+            matvec, _dot, b, jnp.zeros_like(b),
+            jnp.asarray(1e-5, b.dtype), 10, False,
         )
-        assert bool(jnp.isfinite(res.residual_norm)) or int(res.status) == (
-            SolverStatus.DIVERGED
-        )
+        assert int(res.status) == SolverStatus.DIVERGED
+        assert int(res.iterations) == 1
+        assert bool(jnp.isfinite(res.residual_norm))  # critical, not NaN
 
 
 class TestDeterminism:
