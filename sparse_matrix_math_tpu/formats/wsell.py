@@ -1,0 +1,313 @@
+"""W-SELL: windowed sliced-ELL — the TPU-native GENERAL sparse format.
+
+The reference's one compute format is CSR walked by a scalar FMA row loop
+(include/sparse_matrix_math.h:1458-1515) — pattern-agnostic, ~0.5 GNNZ/s
+per CPU core.  A faithful CSR translation on TPU is gather-bound: XLA
+lowers per-element gathers to a serial loop (~0.06 GNNZ/s at 10M nnz,
+measured) because the TPU VPU has no general gather hardware.  What the
+VPU *does* have (via Mosaic) is:
+
+* ``dynamic_gather`` along sublanes of ONE vreg: ``take_along_axis(w8,
+  idx, axis=0)`` with an (8, 128) table — select among 8 sublanes per
+  lane;
+* ``dynamic_gather`` along lanes: ``take_along_axis(z, idx, axis=1)`` —
+  arbitrary per-row lane routing of an (R, 128) value;
+* dynamic sublane slices of a VMEM-resident array.
+
+W-SELL restructures SpMV so those three ops are sufficient:
+
+1. ``x`` lives VMEM-resident as an ``(x_rows, 128)`` table (row = c//128,
+   lane = c%128).
+2. nnz are grouped into **jobs** = (row-slab of 1024 rows x one aligned
+   1024-column window).  A job's slots occupy whole (8, 128) vregs; every
+   vreg carries the job's window base (scalar-prefetched), so the kernel
+   reads its 8-sublane x window with ONE dynamic slice.
+3. Within a slot vreg, a slot for entry (r, c, v) sits at **lane r%128**
+   (scatter-aligned).  The gather runs in two supported steps: axis-0
+   select by the 3-bit sublane index stored per SOURCE lane, then axis-1
+   routing from source lane c%128 to slot lane r%128.
+4. Slot rows are **uniform in target sublane** t = (r%1024)//128, so the
+   reduction into the (8, 128) y-slab is one tiny one-hot (8x8) matmul —
+   no scatter at all.  Consecutive vregs of the same slab accumulate into
+   the same output block (Pallas revisiting).
+
+Build-time constraints (per slot row: distinct source lanes unless the
+column is identical; one slot per lane) are satisfied by a vectorised
+greedy colouring with conflict-repair rounds; the resulting padding is
+reported as ``slot_ratio`` (slots / nnz).  Diagonal-structured matrices
+colour perfectly (each diagonal becomes one slot row — W-SELL degenerates
+to DIA); random-within-window patterns pad by the max residue
+multiplicity (~10-40%).  Matrices whose (slab, window) tiles are mostly
+empty (uniform random at low density) pad badly — ``try_wsell_from_csr``
+refuses above ``max_slot_ratio`` and callers keep the XLA path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .csr import CSRMatrix
+
+__all__ = ["WSellMatrix", "wsell_from_csr", "try_wsell_from_csr"]
+
+SLAB = 1024      # rows per output slab (8 sublanes x 128 lanes)
+LANE = 128
+WIN = 1024       # aligned column window (8 x-table sublane rows)
+
+# meta bit layout (per slot-grid position):
+#   bits 0-2   SW    sublane-in-window of the column read through THIS lane
+#   bits 3-9   LSRC  source lane (c % 128) of the slot AT this lane
+#   bits 10-12 TGT   target y sublane of this row (uniform per row)
+_SW_BITS, _LSRC_SHIFT, _TGT_SHIFT = 7, 3, 10
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WSellMatrix:
+    """Windowed sliced-ELL matrix (see module docstring for layout)."""
+
+    vals: jnp.ndarray   # (V*8, 128) slot values (0 in padding)
+    meta: jnp.ndarray   # (V*8, 128) int32 packed SW|LSRC|TGT
+    base: jnp.ndarray   # (V,) int32 x-table sublane base per vreg
+    slab: jnp.ndarray   # (V,) int32 nondecreasing output slab per vreg
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    n_slabs: int = dataclasses.field(metadata=dict(static=True))
+    x_rows: int = dataclasses.field(metadata=dict(static=True))
+    slot_ratio: float = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def n_vregs(self) -> int:
+        return int(self.base.shape[0])
+
+    def rmult(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops import spmv as _spmv
+
+        return _spmv.rmult(self, x)
+
+    def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.rmult(x)
+
+    def to_dense(self) -> jnp.ndarray:
+        """Densify by probing columns (test/debug sizes only)."""
+        n_rows, n_cols = self.shape
+        eye = jnp.eye(n_cols, dtype=self.dtype)
+        cols = [self.rmult(eye[:, j]) for j in range(n_cols)]
+        return jnp.stack(cols, axis=1)
+
+
+def _group_rank(keys: Tuple[np.ndarray, ...]) -> np.ndarray:
+    """Occurrence index of each element within its key group (vectorised)."""
+    n = keys[0].shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64)
+    order = np.lexsort(keys[::-1])
+    change = np.zeros(n, bool)
+    change[0] = True
+    for k in keys:
+        ks = k[order]
+        change[1:] |= ks[1:] != ks[:-1]
+    idx = np.arange(n)
+    start = np.maximum.accumulate(np.where(change, idx, 0))
+    rank = idx - start
+    out = np.empty(n, np.int64)
+    out[order] = rank
+    return out
+
+
+def _distinct_rank(keys: Tuple[np.ndarray, ...], val: np.ndarray) -> np.ndarray:
+    """Rank of ``val`` among the DISTINCT values within each key group
+    (equal values share a rank)."""
+    n = val.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64)
+    order = np.lexsort((val,) + keys[::-1])
+    change = np.zeros(n, bool)
+    change[0] = True
+    for k in keys:
+        ks = k[order]
+        change[1:] |= ks[1:] != ks[:-1]
+    vs = val[order]
+    newval = change.copy()
+    newval[1:] |= vs[1:] != vs[:-1]
+    idx = np.arange(n)
+    start = np.maximum.accumulate(np.where(change, idx, 0))
+    cs = np.cumsum(newval)
+    rank = cs - cs[start]  # 0 at group start (newval[start] is True)
+    out = np.empty(n, np.int64)
+    out[order] = rank
+    return out
+
+
+def wsell_from_csr(
+    csr: CSRMatrix,
+    *,
+    max_slot_ratio: float = 8.0,
+    max_repair_rounds: int = 200,
+) -> WSellMatrix:
+    """Host-side layout transform CSR -> W-SELL.
+
+    Raises ValueError when the pattern pads worse than ``max_slot_ratio``
+    slots per nnz (tile-sparse patterns W-SELL cannot serve well).
+    """
+    r = np.asarray(csr.row_ids, dtype=np.int64)
+    c = np.asarray(csr.indices, dtype=np.int64)
+    v = np.asarray(csr.data)
+    n_rows, n_cols = csr.shape
+    n_slabs = max(-(-n_rows // SLAB), 1)
+    x_rows = max(_round_up(-(-n_cols // LANE), 8), 8)
+    n_wins = max(-(-n_cols // WIN), 1)
+
+    slab_of = r // SLAB
+    w_of = c // WIN
+    t_of = (r % SLAB) // LANE
+    lane_out = r % LANE
+    lsrc = c % LANE
+    job = slab_of * n_wins + w_of
+
+    # -- slot-row colouring ---------------------------------------------------
+    # rank1: same (job, matrix row) slots must occupy distinct slot rows
+    rank1 = _group_rank((job, r))
+    # rank2: within (job, t, source lane), distinct columns must occupy
+    # distinct slot rows (equal columns share the SW entry -> same row ok)
+    rank2 = _distinct_rank((job, t_of, lsrc), c)
+    row = np.maximum(rank1, rank2)
+
+    if r.size:
+        for _ in range(max_repair_rounds):
+            # conflict A: two slots at the same (job, t, row, lane)
+            dup_a = _group_rank((job, t_of, row, lane_out))
+            # conflict B: same (job, t, row, source lane) but different column
+            dup_b = _distinct_rank((job, t_of, row, lsrc), c)
+            conflict = (dup_a > 0) | (dup_b > 0)
+            if not conflict.any():
+                break
+            row[conflict] += np.maximum(dup_a, dup_b)[conflict]
+        else:
+            raise ValueError(
+                "W-SELL colouring did not converge "
+                f"(pattern too adversarial after {max_repair_rounds} rounds)"
+            )
+
+    # -- per-job row layout ---------------------------------------------------
+    # bucket (job, t) -> rows; buckets laid t-ascending within the job
+    jt = job * 8 + t_of
+    if r.size:
+        uniq_jt, inv_jt = np.unique(jt, return_inverse=True)
+        rows_per_jt = np.zeros(uniq_jt.shape[0], np.int64)
+        np.maximum.at(rows_per_jt, inv_jt, row + 1)
+        uniq_jobs_of_jt = uniq_jt // 8
+        uniq_jobs, inv_job_of_jt = np.unique(uniq_jobs_of_jt, return_inverse=True)
+        # offset of each (job, t) bucket inside its job (buckets sorted by
+        # jt == job-major then t-major, matching uniq_jt order)
+        bucket_off = np.zeros(uniq_jt.shape[0], np.int64)
+        job_change = np.zeros(uniq_jt.shape[0], bool)
+        job_change[0] = True
+        job_change[1:] = uniq_jobs_of_jt[1:] != uniq_jobs_of_jt[:-1]
+        cs = np.cumsum(rows_per_jt) - rows_per_jt
+        job_base = np.maximum.accumulate(np.where(job_change, cs, 0))
+        bucket_off = cs - job_base
+        row_in_job = bucket_off[inv_jt] + row
+        job_rows = np.zeros(uniq_jobs.shape[0], np.int64)
+        np.maximum.at(job_rows, inv_job_of_jt[inv_jt], row_in_job + 1)
+    else:
+        uniq_jobs = np.zeros(0, np.int64)
+        job_rows = np.zeros(0, np.int64)
+        row_in_job = np.zeros(0, np.int64)
+
+    kv = np.maximum(-(-job_rows // 8), 1)  # vregs per job
+
+    # dummy jobs keep every slab's output block written (Pallas output
+    # blocks are undefined unless some vreg writes them)
+    have = np.zeros(n_slabs, bool)
+    have[np.unique(uniq_jobs // n_wins)] = True
+    dummy_slabs = np.nonzero(~have)[0]
+    all_jobs = np.concatenate([uniq_jobs, dummy_slabs * n_wins])
+    all_kv = np.concatenate([kv, np.ones(dummy_slabs.shape[0], np.int64)])
+    order_jobs = np.argsort(all_jobs, kind="stable")
+    all_jobs, all_kv = all_jobs[order_jobs], all_kv[order_jobs]
+    vreg_start = np.cumsum(all_kv) - all_kv
+    n_vregs = int(all_kv.sum())
+
+    # map each nnz's job to its position in the final job order
+    job_pos = np.empty(all_jobs.shape[0], np.int64)
+    job_pos[order_jobs] = np.arange(all_jobs.shape[0])
+    # uniq_jobs entries were first in the pre-order concat
+    vreg_start_of_uniq = vreg_start[job_pos[: uniq_jobs.shape[0]]]
+
+    if r.size:
+        row_global = vreg_start_of_uniq[inv_job_of_jt[inv_jt]] * 8 + row_in_job
+    else:
+        row_global = np.zeros(0, np.int64)
+
+    total_rows = n_vregs * 8
+    vals_plane = np.zeros((total_rows, LANE), dtype=v.dtype)
+    vals_plane[row_global, lane_out] = v
+    lsrc_plane = np.zeros((total_rows, LANE), np.int32)
+    lsrc_plane[row_global, lane_out] = lsrc.astype(np.int32)
+    sw_plane = np.zeros((total_rows, LANE), np.int32)
+    tgt_rows = np.zeros(total_rows, np.int32)
+    tgt_rows[row_global] = t_of.astype(np.int32)
+
+    # per-vreg window base (clamped into the padded x table)
+    base_of_job = np.minimum(8 * (all_jobs % n_wins), x_rows - 8).astype(np.int32)
+    slab_of_job = (all_jobs // n_wins).astype(np.int32)
+    base_vreg = np.repeat(base_of_job, all_kv)
+    slab_vreg = np.repeat(slab_of_job, all_kv)
+
+    if r.size:
+        sw = (c // LANE - base_vreg[row_global // 8].astype(np.int64)).astype(
+            np.int32
+        )
+        if sw.min(initial=0) < 0 or sw.max(initial=0) > 7:
+            raise AssertionError("window base math violated sw in [0, 8)")
+        sw_plane[row_global, lsrc] = sw
+
+    meta = (
+        sw_plane
+        | (lsrc_plane << _LSRC_SHIFT)
+        | (tgt_rows[:, None] << _TGT_SHIFT)
+    ).astype(np.int32)
+
+    slot_ratio = float(total_rows * LANE / max(csr.nnz, 1))
+    if slot_ratio > max_slot_ratio:
+        raise ValueError(
+            f"W-SELL padding too high for this pattern: {slot_ratio:.1f} "
+            f"slots/nnz (> {max_slot_ratio}) — keep the CSR/ELL path"
+        )
+
+    return WSellMatrix(
+        vals=jnp.asarray(vals_plane),
+        meta=jnp.asarray(meta),
+        base=jnp.asarray(base_vreg),
+        slab=jnp.asarray(slab_vreg),
+        shape=(int(n_rows), int(n_cols)),
+        nnz=int(csr.nnz),
+        n_slabs=int(n_slabs),
+        x_rows=int(x_rows),
+        slot_ratio=slot_ratio,
+    )
+
+
+def try_wsell_from_csr(
+    csr: CSRMatrix, *, max_slot_ratio: float = 8.0
+) -> Optional[WSellMatrix]:
+    """wsell_from_csr, or None when the pattern pads beyond the ratio cap
+    (mirrors formats/dia.py:try_dia_from_csr's contract)."""
+    try:
+        return wsell_from_csr(csr, max_slot_ratio=max_slot_ratio)
+    except ValueError:
+        return None

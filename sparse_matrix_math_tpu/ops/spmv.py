@@ -29,6 +29,7 @@ from ..formats.csr import CSRMatrix
 from ..formats.dia import DIAMatrix
 from ..formats.ell import ELLMatrix
 from ..formats.hyb import HYBMatrix
+from ..formats.wsell import WSellMatrix
 
 __all__ = ["rmult", "rmult_add", "rmult_sub", "matvec_fn"]
 
@@ -191,6 +192,19 @@ def _rmult_dia(a: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 
 @rmult.register
+def _rmult_wsell(a: WSellMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    # the general-pattern Pallas kernel (ops/pallas_wsell.py); multi-column
+    # SpMM runs column-at-a-time (the x table is single-vector)
+    from .pallas_wsell import wsell_spmv
+
+    interpret = jax.default_backend() != "tpu"
+    if x.ndim == 1:
+        return wsell_spmv(a, x, interpret=interpret)
+    cols = [wsell_spmv(a, x[:, j], interpret=interpret) for j in range(x.shape[1])]
+    return jnp.stack(cols, axis=1)
+
+
+@rmult.register
 def _rmult_hyb(a: HYBMatrix, x: jnp.ndarray) -> jnp.ndarray:
     # dominant diagonals at stencil speed + sparse remainder
     if a.dia is not None and a.rest is not None:
@@ -221,7 +235,7 @@ def matvec_fn(a):
     Accepts any registered sparse format, a dense 2-D array, or an
     arbitrary callable (the LinearOperator escape hatch the reference
     lacks)."""
-    if isinstance(a, (CSRMatrix, ELLMatrix, DIAMatrix, HYBMatrix)):
+    if isinstance(a, (CSRMatrix, ELLMatrix, DIAMatrix, HYBMatrix, WSellMatrix)):
         return lambda x: rmult(a, x)
     if callable(a):
         return a
@@ -233,7 +247,7 @@ def as_operator(a):
     as a pytree argument: registered formats and arrays pass through,
     bare callables are wrapped in ``jax.tree_util.Partial`` (so solver
     compilations are cached per matrix *structure*, not per call)."""
-    if isinstance(a, (CSRMatrix, ELLMatrix, DIAMatrix, HYBMatrix)):
+    if isinstance(a, (CSRMatrix, ELLMatrix, DIAMatrix, HYBMatrix, WSellMatrix)):
         return a
     if hasattr(a, "ndim") and a.ndim == 2:
         return a

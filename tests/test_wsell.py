@@ -1,0 +1,152 @@
+"""W-SELL general-format correctness (formats/wsell.py, ops/pallas_wsell.py).
+
+The build-time colouring + two-step-gather kernel must reproduce the CSR
+reference SpMV exactly for every pattern class: diagonal-structured,
+banded, banded-broken (random perturbations), moderately random, empty
+slabs, and the reference's own sherman1 matrix.  Kernels run in interpret
+mode on CPU (same code path the TPU hardware suite compiles for real).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_matrix_math_tpu.formats.csr import CSRMatrix, csr_from_dense
+from sparse_matrix_math_tpu.formats.wsell import (
+    WSellMatrix,
+    try_wsell_from_csr,
+    wsell_from_csr,
+)
+from sparse_matrix_math_tpu.io import load_matrix_csr
+from sparse_matrix_math_tpu.ops.spmv import rmult
+from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+ASSETS = "/root/reference/test/assets"
+
+
+def _check(csr: CSRMatrix, seed=0, atol=1e-5):
+    ws = wsell_from_csr(csr)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal(csr.shape[1]).astype(np.float32))
+    want = np.asarray(rmult(csr, x))
+    got = np.asarray(rmult(ws, x))
+    np.testing.assert_allclose(got, want, atol=atol, rtol=1e-4)
+    return ws
+
+
+class TestWSellCorrectness:
+    def test_tridiagonal(self):
+        n = 300
+        d = np.zeros((n, n), np.float32)
+        i = np.arange(n)
+        d[i, i] = 2.0
+        d[i[:-1], i[:-1] + 1] = -1.0
+        d[i[1:], i[1:] - 1] = -1.0
+        ws = _check(csr_from_dense(d))
+        # diagonal structure colours near-perfectly (one slot row per
+        # diagonal); at n=300 the floor is vreg quantisation (2 vregs)
+        assert ws.slot_ratio < 2.5
+
+    def test_poisson2d(self):
+        a = poisson_2d(40, dtype=np.float32)  # n=1600, crosses slab bounds
+        ws = _check(a)
+        assert ws.slot_ratio < 3.0
+
+    def test_banded_broken(self):
+        # banded + random long-range perturbations ("banded-broken random")
+        rng = np.random.default_rng(3)
+        n = 2100
+        rows, cols = [], []
+        i = np.arange(n)
+        for off in (-7, -1, 0, 1, 7):
+            r = i[(i + off >= 0) & (i + off < n)]
+            rows.append(r)
+            cols.append(r + off)
+        nr = rng.integers(0, n, 400)
+        nc = rng.integers(0, n, 400)
+        rows.append(nr)
+        cols.append(nc)
+        r = np.concatenate(rows)
+        c = np.concatenate(cols)
+        keep = np.unique(np.stack([r, c], 1), axis=0)
+        d = np.zeros((n, n), np.float32)
+        d[keep[:, 0], keep[:, 1]] = rng.standard_normal(keep.shape[0])
+        _check(csr_from_dense(d))
+
+    def test_random_moderate_density(self):
+        rng = np.random.default_rng(7)
+        n = 900
+        d = (rng.random((n, n)) < 0.02).astype(np.float32)
+        d *= rng.standard_normal((n, n)).astype(np.float32)
+        _check(csr_from_dense(d))
+
+    def test_empty_rows_and_slabs(self):
+        # nnz confined to the first rows: later slabs must still emit zeros
+        # (slot_ratio is astronomical for 3 nnz — lift the cap, this test
+        # is about dummy-slab zero-fill, not packing)
+        d = np.zeros((2500, 2500), np.float32)
+        d[3, 5] = 2.5
+        d[0, 0] = 1.0
+        d[4, 2400] = -1.5  # far window
+        csr = csr_from_dense(d)
+        ws = wsell_from_csr(csr, max_slot_ratio=1e9)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal(2500).astype(np.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(rmult(ws, x)), np.asarray(rmult(csr, x)),
+            atol=1e-5, rtol=1e-4,
+        )
+
+    def test_rectangular(self):
+        rng = np.random.default_rng(11)
+        d = np.zeros((700, 1500), np.float32)
+        m = rng.random((700, 1500)) < 0.01
+        d[m] = rng.standard_normal(int(m.sum()))
+        _check(csr_from_dense(d))
+
+    def test_sherman1(self):
+        a = load_matrix_csr(f"{ASSETS}/sherman1_1000_1000_2375.mtx")
+        ws = _check(a.astype(jnp.float32))
+        assert ws.slot_ratio < 4.0
+
+    def test_duplicate_column_reads(self):
+        # many rows reading the same column (dense column) — equal-c slots
+        # may share a slot row; colouring must still terminate and be exact
+        n = 400
+        d = np.zeros((n, n), np.float32)
+        d[:, 7] = 1.5
+        d[np.arange(n), np.arange(n)] = 2.0
+        _check(csr_from_dense(d))
+
+    def test_spmm_columns(self):
+        a = poisson_2d(16, dtype=np.float32)
+        ws = wsell_from_csr(a)
+        rng = np.random.default_rng(0)
+        X = jnp.asarray(rng.standard_normal((a.shape[1], 3)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(rmult(ws, X)), np.asarray(rmult(a, X)),
+            atol=1e-5, rtol=1e-4,
+        )
+
+    def test_refusal_on_tile_sparse(self):
+        # uniform random, ~1 nnz per (slab, window) tile: must refuse
+        rng = np.random.default_rng(13)
+        n = 4000
+        k = 500
+        r = rng.integers(0, n, k)
+        c = rng.integers(0, n, k)
+        d = np.zeros((n, n), np.float32)
+        d[r, c] = 1.0
+        csr = csr_from_dense(d)
+        assert try_wsell_from_csr(csr, max_slot_ratio=4.0) is None
+
+    def test_solver_integration(self):
+        a = poisson_2d(32, dtype=np.float32)
+        ws = wsell_from_csr(a)
+        import sparse_matrix_math_tpu as smm
+
+        b = rmult(a, jnp.ones(a.shape[0], jnp.float32))
+        res = smm.cg(ws, b, epsilon=1e-4)
+        assert int(res.status) == 0
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-2)
