@@ -109,17 +109,25 @@ class WSellMatrix:
         return jnp.stack(cols, axis=1)
 
 
-def _group_rank(keys: Tuple[np.ndarray, ...]) -> np.ndarray:
+def _pack_keys(keys: Tuple[np.ndarray, ...], bits: Tuple[int, ...]) -> np.ndarray:
+    """Pack multiple non-negative int keys into one int64 sort key (a
+    single argsort is several times faster than np.lexsort at 10M+ nnz)."""
+    out = keys[0].astype(np.int64)
+    for k, b in zip(keys[1:], bits[1:]):
+        out = (out << b) | k.astype(np.int64)
+    return out
+
+
+def _group_rank(key: np.ndarray) -> np.ndarray:
     """Occurrence index of each element within its key group (vectorised)."""
-    n = keys[0].shape[0]
+    n = key.shape[0]
     if n == 0:
         return np.zeros(0, np.int64)
-    order = np.lexsort(keys[::-1])
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
     change = np.zeros(n, bool)
     change[0] = True
-    for k in keys:
-        ks = k[order]
-        change[1:] |= ks[1:] != ks[:-1]
+    change[1:] = ks[1:] != ks[:-1]
     idx = np.arange(n)
     start = np.maximum.accumulate(np.where(change, idx, 0))
     rank = idx - start
@@ -128,18 +136,19 @@ def _group_rank(keys: Tuple[np.ndarray, ...]) -> np.ndarray:
     return out
 
 
-def _distinct_rank(keys: Tuple[np.ndarray, ...], val: np.ndarray) -> np.ndarray:
+def _distinct_rank(key: np.ndarray, val: np.ndarray, val_bits: int = 3) -> np.ndarray:
     """Rank of ``val`` among the DISTINCT values within each key group
-    (equal values share a rank)."""
+    (equal values share a rank).  ``val`` must fit ``val_bits`` (the
+    callers use the 3-bit window sublane — distinct columns within a
+    (job, t, source-lane) group differ exactly in it)."""
     n = val.shape[0]
     if n == 0:
         return np.zeros(0, np.int64)
-    order = np.lexsort((val,) + keys[::-1])
+    order = np.argsort((key << val_bits) | val.astype(np.int64), kind="stable")
+    ks = key[order]
     change = np.zeros(n, bool)
     change[0] = True
-    for k in keys:
-        ks = k[order]
-        change[1:] |= ks[1:] != ks[:-1]
+    change[1:] = ks[1:] != ks[:-1]
     vs = val[order]
     newval = change.copy()
     newval[1:] |= vs[1:] != vs[:-1]
@@ -179,23 +188,37 @@ def wsell_from_csr(
     job = slab_of * n_wins + w_of
 
     # -- slot-row colouring ---------------------------------------------------
+    # distinct columns within a (job, t, source-lane) group differ exactly
+    # in the 3-bit window sublane (one aligned 1024-window per job)
+    sw3 = ((c // LANE) % 8).astype(np.int64)
     # rank1: same (job, matrix row) slots must occupy distinct slot rows
-    rank1 = _group_rank((job, r))
+    rank1 = _group_rank(_pack_keys((job, r), (0, 27)))
     # rank2: within (job, t, source lane), distinct columns must occupy
     # distinct slot rows (equal columns share the SW entry -> same row ok)
-    rank2 = _distinct_rank((job, t_of, lsrc), c)
+    key_jtl = _pack_keys((job, t_of, lsrc), (0, 3, 7))
+    rank2 = _distinct_rank(key_jtl, sw3)
     row = np.maximum(rank1, rank2)
 
     if r.size:
+        _ROW_BITS = 14  # repair bumps stay far below 2^14 rows
         for _ in range(max_repair_rounds):
             # conflict A: two slots at the same (job, t, row, lane)
-            dup_a = _group_rank((job, t_of, row, lane_out))
+            dup_a = _group_rank(
+                _pack_keys((job, t_of, row, lane_out), (0, 3, _ROW_BITS, 7))
+            )
             # conflict B: same (job, t, row, source lane) but different column
-            dup_b = _distinct_rank((job, t_of, row, lsrc), c)
+            dup_b = _distinct_rank(
+                _pack_keys((job, t_of, row, lsrc), (0, 3, _ROW_BITS, 7)), sw3
+            )
             conflict = (dup_a > 0) | (dup_b > 0)
             if not conflict.any():
                 break
             row[conflict] += np.maximum(dup_a, dup_b)[conflict]
+            if row.max() >= (1 << _ROW_BITS):
+                raise ValueError(
+                    "W-SELL colouring blew past the row budget "
+                    "(pattern too adversarial)"
+                )
         else:
             raise ValueError(
                 "W-SELL colouring did not converge "
@@ -203,32 +226,28 @@ def wsell_from_csr(
             )
 
     # -- per-job row layout ---------------------------------------------------
-    # bucket (job, t) -> rows; buckets laid t-ascending within the job
-    jt = job * 8 + t_of
+    # STATIC-TARGET layout: vreg position i holds ONLY rows of target
+    # sublane t == i, so the kernel's reduction is the identity (the
+    # products vreg IS the slab contribution) — zero reduction ops.  A
+    # job needs K = max_t rows_t vregs; bucket t's k-th row sits at
+    # (vreg k, position t).  Cost: unbalanced buckets pad (slot_ratio
+    # reports it); balanced patterns (stencils, meshes) pad ~nothing.
     if r.size:
-        uniq_jt, inv_jt = np.unique(jt, return_inverse=True)
+        uniq_jt, inv_jt = np.unique(job * 8 + t_of, return_inverse=True)
         rows_per_jt = np.zeros(uniq_jt.shape[0], np.int64)
         np.maximum.at(rows_per_jt, inv_jt, row + 1)
         uniq_jobs_of_jt = uniq_jt // 8
         uniq_jobs, inv_job_of_jt = np.unique(uniq_jobs_of_jt, return_inverse=True)
-        # offset of each (job, t) bucket inside its job (buckets sorted by
-        # jt == job-major then t-major, matching uniq_jt order)
-        bucket_off = np.zeros(uniq_jt.shape[0], np.int64)
-        job_change = np.zeros(uniq_jt.shape[0], bool)
-        job_change[0] = True
-        job_change[1:] = uniq_jobs_of_jt[1:] != uniq_jobs_of_jt[:-1]
-        cs = np.cumsum(rows_per_jt) - rows_per_jt
-        job_base = np.maximum.accumulate(np.where(job_change, cs, 0))
-        bucket_off = cs - job_base
-        row_in_job = bucket_off[inv_jt] + row
-        job_rows = np.zeros(uniq_jobs.shape[0], np.int64)
-        np.maximum.at(job_rows, inv_job_of_jt[inv_jt], row_in_job + 1)
+        job_rows = np.zeros(uniq_jobs.shape[0], np.int64)  # = 8 * K(job)
+        np.maximum.at(job_rows, inv_job_of_jt, rows_per_jt * 8)
+        # global row of a slot: vreg (row) slot of bucket t -> 8*row + t
+        row_in_job = row * 8 + t_of
     else:
         uniq_jobs = np.zeros(0, np.int64)
         job_rows = np.zeros(0, np.int64)
         row_in_job = np.zeros(0, np.int64)
 
-    kv = np.maximum(-(-job_rows // 8), 1)  # vregs per job
+    kv = np.maximum(job_rows // 8, 1)  # vregs per job (K)
 
     # dummy jobs keep every slab's output block written (Pallas output
     # blocks are undefined unless some vreg writes them)

@@ -93,17 +93,12 @@ def _wsell_kernel(
             g0 = jnp.take_along_axis(w8, sw, axis=0)
             lsrc = (meta >> _LSRC_SHIFT) & (LANE - 1)
             g1 = jnp.take_along_axis(g0, lsrc, axis=1)
+            # static-target layout (formats/wsell.py): vreg position i
+            # holds only rows targeting y sublane i, so the products vreg
+            # IS the slab contribution — the reduction is the identity
             p = vals_buf[slot, pl.ds(u * 8, 8), :] * g1
-            tgt = (meta >> _TGT_SHIFT) & 7
-            acc = jnp.concatenate(
-                [
-                    jnp.sum(jnp.where(tgt == s, p, 0.0), axis=0, keepdims=True)
-                    for s in range(8)
-                ],
-                axis=0,
-            )
             yoff = slab_ref[v] * 8
-            y_ref[pl.ds(yoff, 8), :] = y_ref[pl.ds(yoff, 8), :] + acc
+            y_ref[pl.ds(yoff, 8), :] = y_ref[pl.ds(yoff, 8), :] + p
 
         return _
 
@@ -153,6 +148,11 @@ def wsell_spmv(a: WSellMatrix, x: jnp.ndarray, *, interpret: bool = False):
         ),
         out_shape=jax.ShapeDtypeStruct((a.n_slabs * 8, LANE), dtype),
         grid_spec=grid_spec,
+        # x table + y accumulator are VMEM-resident by design; the default
+        # 16 MB scoped limit rejects multi-million-row systems
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(a.base, a.slab, xt, meta, vals)
     return out.reshape(-1)[:n_rows]

@@ -1,5 +1,6 @@
 """Multi-chip distribution: 1-D row-partitioned mesh (SURVEY §2.3, §7)."""
 
+from .dist_dia import DistDIA, dist_dia_solve, dist_dia_spmv, distribute_dia
 from .dist import (
     DistCSR,
     DistPreconditioner,
@@ -14,6 +15,10 @@ from .mesh import ROW_AXIS, make_mesh, replicated_sharding, row_sharding
 
 __all__ = [
     "DistCSR",
+    "DistDIA",
+    "dist_dia_solve",
+    "dist_dia_spmv",
+    "distribute_dia",
     "DistPreconditioner",
     "collect",
     "dist_solve",

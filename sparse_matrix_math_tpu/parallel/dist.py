@@ -76,15 +76,27 @@ class DistCSR:
     """Row-block-partitioned CSR.
 
     ``data``/``cols``/``lrows`` are ``(P, L)``: shard-major padded nnz
-    arrays (value, global column id, local row id).  Padding slots hold
-    value 0 at column 0 of the shard's last row, so they contribute
-    exactly nothing.  The leading axis is sharded over the mesh.
+    arrays (value, column id, local row id).  Padding slots hold value 0
+    at column 0 of the shard's last row, so they contribute exactly
+    nothing.  The leading axis is sharded over the mesh.
+
+    In halo mode the nnz are SPLIT at pack time: the main arrays hold the
+    INTERIOR entries (columns inside the shard's own block, ids local to
+    it) and ``bdata``/``bcols``/``blrows`` hold the BOUNDARY entries
+    (columns in the neighbor blocks, ids window-local in [0, 3B)).  The
+    interior SpMV term reads only the shard's own x block, so it has no
+    data dependency on the ppermute halo — XLA overlaps the collective
+    with the bulk of the compute.  In allgather mode everything is in the
+    main arrays (global column ids) and the boundary arrays are empty.
     """
 
     data: jnp.ndarray    # (P, L)
-    cols: jnp.ndarray    # (P, L) int32: global column ids (mode=allgather)
-                         #               or window-local ids (mode=halo)
+    cols: jnp.ndarray    # (P, L) int32: global ids (allgather) or
+                         #               own-block-local ids (halo interior)
     lrows: jnp.ndarray   # (P, L) int32, local row ids in [0, block_rows)
+    bdata: jnp.ndarray   # (P, Lb) boundary values (halo mode; empty otherwise)
+    bcols: jnp.ndarray   # (P, Lb) int32 window-local ids in [0, 3B)
+    blrows: jnp.ndarray  # (P, Lb) int32 local row ids
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     block_rows: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
@@ -112,6 +124,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pack_group(rows, local_cols, data, shard_of, *, n_dev, block, pad_col):
+    """Lay one group of COO entries (columns already rewritten to the
+    target index space) into padded per-shard (P, L) arrays."""
+    seg_nnz = np.bincount(shard_of, minlength=n_dev) if rows.size else np.zeros(
+        n_dev, np.int64
+    )
+    order = np.argsort(shard_of, kind="stable")
+    rows, local_cols, data = rows[order], local_cols[order], data[order]
+    starts = np.zeros(n_dev + 1, dtype=np.int64)
+    np.cumsum(seg_nnz, out=starts[1:])
+    slots = max(_round_up(int(seg_nnz.max()) if rows.size else 0, _LANE), _LANE)
+    v = np.zeros((n_dev, slots), dtype=data.dtype)
+    c = np.full((n_dev, slots), pad_col, dtype=np.int32)
+    lr = np.full((n_dev, slots), block - 1, dtype=np.int32)
+    for d in range(n_dev):
+        lo, hi = int(starts[d]), int(starts[d + 1])
+        k = hi - lo
+        v[d, :k] = data[lo:hi]
+        c[d, :k] = local_cols[lo:hi]
+        lr[d, :k] = rows[lo:hi] - d * block
+    return v, c, lr
+
+
 def _pack_row_blocks(
     rows: np.ndarray,
     cols: np.ndarray,
@@ -124,15 +159,13 @@ def _pack_row_blocks(
     """Lay row-sorted COO entries into padded per-shard (P, L) arrays.
 
     ``mode="auto"`` picks "halo" when every shard's columns fall within its
-    neighbor window [(d-1)·B, (d+2)·B), else "allgather".  In halo mode,
-    column ids are rewritten window-local (col − (d−1)·B ∈ [0, 3B)); pad
-    slots point at the window's own-block start (value 0 ⇒ no effect).
+    neighbor window [(d-1)·B, (d+2)·B), else "allgather".  In halo mode the
+    entries are split into interior (cols in the shard's own block, ids
+    local to it) and boundary (cols in the neighbor blocks, ids
+    window-local in [0, 3B)) groups, so the SpMV's interior term carries
+    no dependency on the halo exchange.  Pad slots hold value 0.
     """
-    shard_of = rows // block if rows.size else rows
-    seg_nnz = np.bincount(shard_of, minlength=n_dev)
-    starts = np.zeros(n_dev + 1, dtype=np.int64)
-    np.cumsum(seg_nnz, out=starts[1:])
-    slots = max(_round_up(int(seg_nnz.max()) if seg_nnz.size else 0, _LANE), _LANE)
+    shard_of = rows // block if rows.size else rows.astype(np.int64)
 
     if mode == "auto":
         lo_ok = cols >= (shard_of - 1) * block
@@ -146,17 +179,27 @@ def _pack_row_blocks(
                 "matrix columns escape the neighbor window; halo mode invalid"
             )
 
-    v = np.zeros((n_dev, slots), dtype=data.dtype)
-    c = np.full((n_dev, slots), block if mode == "halo" else 0, dtype=np.int32)
-    lr = np.full((n_dev, slots), block - 1, dtype=np.int32)
-    for d in range(n_dev):
-        lo, hi = int(starts[d]), int(starts[d + 1])
-        k = hi - lo
-        v[d, :k] = data[lo:hi]
-        seg_cols = cols[lo:hi]
-        c[d, :k] = seg_cols - (d - 1) * block if mode == "halo" else seg_cols
-        lr[d, :k] = rows[lo:hi] - d * block
-    return v, c, lr, mode
+    if mode == "halo":
+        interior = (cols >= shard_of * block) & (cols < (shard_of + 1) * block)
+        v, c, lr = _pack_group(
+            rows[interior], (cols - shard_of * block)[interior],
+            data[interior], shard_of[interior],
+            n_dev=n_dev, block=block, pad_col=0,
+        )
+        bmask = ~interior
+        bv, bc, blr = _pack_group(
+            rows[bmask], (cols - (shard_of - 1) * block)[bmask],
+            data[bmask], shard_of[bmask],
+            n_dev=n_dev, block=block, pad_col=block,
+        )
+        return v, c, lr, bv, bc, blr, mode
+
+    v, c, lr = _pack_group(
+        rows, cols, data, shard_of, n_dev=n_dev, block=block, pad_col=0
+    )
+    empty_v = np.zeros((n_dev, 0), dtype=data.dtype)
+    empty_i = np.zeros((n_dev, 0), dtype=np.int32)
+    return v, c, lr, empty_v, empty_i.copy(), empty_i.copy(), mode
 
 
 def distribute_csr(
@@ -185,7 +228,7 @@ def distribute_csr(
         )
     block = max(_round_up(int(math.ceil(n_rows / n_dev)), 8), 8)
 
-    vals, cols, lrows, mode = _pack_row_blocks(
+    vals, cols, lrows, bvals, bcols, blrows, mode = _pack_row_blocks(
         np.asarray(csr.row_ids, dtype=np.int64),
         np.asarray(csr.indices, dtype=np.int64),
         np.asarray(csr.data),
@@ -193,10 +236,10 @@ def distribute_csr(
     )
 
     shard2 = jax.sharding.NamedSharding(mesh, P(axis, None))
+    put = lambda a: jax.device_put(jnp.asarray(a), shard2)  # noqa: E731
     return DistCSR(
-        data=jax.device_put(jnp.asarray(vals), shard2),
-        cols=jax.device_put(jnp.asarray(cols), shard2),
-        lrows=jax.device_put(jnp.asarray(lrows), shard2),
+        data=put(vals), cols=put(cols), lrows=put(lrows),
+        bdata=put(bvals), bcols=put(bcols), blrows=put(blrows),
         shape=(int(n_rows), int(n_cols)),
         block_rows=int(block),
         nnz=csr.nnz,
@@ -227,27 +270,37 @@ def collect(x: jnp.ndarray, dist: DistCSR) -> np.ndarray:
 
 
 def _local_spmv(
-    data, cols, lrows, x_local, *, axis: str, block_rows: int,
-    mode: str = "allgather",
+    data, cols, lrows, bdata, bcols, blrows, x_local, *,
+    axis: str, block_rows: int, mode: str = "allgather",
 ):
     """Per-shard SpMV body: halo exchange + gather + segment-sum.
 
     mode="allgather": gather the full x along the mesh axis — exact for
     any sparsity pattern (SURVEY §2.3).  mode="halo": ppermute only the
-    two neighbor blocks and gather from the 3B-wide window (cols are
-    window-local) — O(B) communication for banded/stencil partitions.
-    ``indices_are_sorted`` holds because nnz stay row-major within the
-    shard and pads map to the last local row.
+    two neighbor blocks (O(B) communication), with the nnz split at pack
+    time into an INTERIOR term (own-block-local cols — reads x_local
+    directly, no collective dependency, so XLA overlaps it with the
+    in-flight ppermutes) and a BOUNDARY term gathered from the 3B-wide
+    window once the halo lands.  ``indices_are_sorted`` holds because nnz
+    stay row-major within the shard and pads map to the last local row.
     """
     if mode == "halo":
         n_dev = jax.lax.axis_size(axis)
         fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
         bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        # issue the halo first; the interior term below does not await it
         left = jax.lax.ppermute(x_local, axis, fwd)   # block d-1 arrives here
         right = jax.lax.ppermute(x_local, axis, bwd)  # block d+1 arrives here
+        y = jax.ops.segment_sum(
+            data * jnp.take(x_local, cols, axis=0),
+            lrows, num_segments=block_rows, indices_are_sorted=True,
+        )
         xg = jnp.concatenate([left, x_local, right])
-    else:
-        xg = jax.lax.all_gather(x_local, axis, tiled=True)
+        return y + jax.ops.segment_sum(
+            bdata * jnp.take(xg, bcols, axis=0),
+            blrows, num_segments=block_rows, indices_are_sorted=True,
+        )
+    xg = jax.lax.all_gather(x_local, axis, tiled=True)
     g = data * jnp.take(xg, cols, axis=0)
     return jax.ops.segment_sum(
         g, lrows, num_segments=block_rows, indices_are_sorted=True
@@ -269,24 +322,35 @@ class _DistTriArrays:
     """Distributed strict-triangular factor + diagonal (host-side holder;
     flattened into plain arrays before crossing into shard_map)."""
 
-    data: jnp.ndarray   # (P, L)
-    cols: jnp.ndarray   # (P, L) int32 global
-    lrows: jnp.ndarray  # (P, L) int32 local
-    diag: jnp.ndarray   # (n_pad,) sharded; pad entries 1.0
+    data: jnp.ndarray    # (P, L) interior
+    cols: jnp.ndarray    # (P, L) int32
+    lrows: jnp.ndarray   # (P, L) int32 local
+    bdata: jnp.ndarray   # (P, Lb) boundary
+    bcols: jnp.ndarray   # (P, Lb) int32
+    blrows: jnp.ndarray  # (P, Lb) int32
+    diag: jnp.ndarray    # (n_pad,) sharded; pad entries 1.0
     sweeps: int
+
+    @property
+    def flat(self):
+        return (
+            self.data, self.cols, self.lrows,
+            self.bdata, self.bcols, self.blrows, self.diag,
+        )
 
 
 # Per-kind flat-array ranks: 2 = (P, L) factor arrays, 1 = (n_pad,) sharded
 # vectors.  SINGLE source of truth shared by distribute_preconditioner's
 # construction (validated below) and _dist_solve_jit's shard_map in_specs.
+_TRI = (2, 2, 2, 2, 2, 2, 1)  # interior + boundary arrays + diag
 _PRE_LAYOUT = {
     "none": (),
     "jacobi": (1,),
-    # fwd(data, cols, lrows, diag) + bwd(...) + D scale
-    "sgs": (2, 2, 2, 1, 2, 2, 2, 1, 1),
-    # lower(data, cols, lrows, diag) + upper(...)
-    "ilu0": (2, 2, 2, 1, 2, 2, 2, 1),
-    "ic0": (2, 2, 2, 1, 2, 2, 2, 1),
+    # fwd factor + bwd factor + D scale
+    "sgs": _TRI + _TRI + (1,),
+    # lower factor + upper factor
+    "ilu0": _TRI + _TRI,
+    "ic0": _TRI + _TRI,
 }
 
 
@@ -323,7 +387,7 @@ def _distribute_triangular(
     n = tri.n
     block = dist.block_rows
     n_dev = mesh.shape[dist.axis]
-    v, c, lr, _ = _pack_row_blocks(
+    v, c, lr, bv, bc, blr, _ = _pack_row_blocks(
         np.asarray(tri.row_ids, dtype=np.int64),
         np.asarray(tri.indices, dtype=np.int64),
         np.asarray(tri.data),
@@ -335,10 +399,10 @@ def _distribute_triangular(
 
     shard2 = jax.sharding.NamedSharding(mesh, P(dist.axis, None))
     shard1 = jax.sharding.NamedSharding(mesh, P(dist.axis))
+    put = lambda a: jax.device_put(jnp.asarray(a), shard2)  # noqa: E731
     return _DistTriArrays(
-        data=jax.device_put(jnp.asarray(v), shard2),
-        cols=jax.device_put(jnp.asarray(c), shard2),
-        lrows=jax.device_put(jnp.asarray(lr), shard2),
+        data=put(v), cols=put(c), lrows=put(lr),
+        bdata=put(bv), bcols=put(bc), blrows=put(blr),
         diag=jax.device_put(jnp.asarray(diag), shard1),
         sweeps=tri.sweeps if tri.method != "dense" else tri.depth,
     )
@@ -372,9 +436,7 @@ def distribute_preconditioner(
         dscale[: dist.shape[0]] = np.asarray(precond.diag)
         return DistPreconditioner(
             kind="sgs",
-            arrays=(
-                fwd.data, fwd.cols, fwd.lrows, fwd.diag,
-                bwd.data, bwd.cols, bwd.lrows, bwd.diag,
+            arrays=fwd.flat + bwd.flat + (
                 jax.device_put(jnp.asarray(dscale), shard1),
             ),
             statics=(fwd.sweeps, bwd.sweeps),
@@ -384,27 +446,26 @@ def distribute_preconditioner(
         up = _distribute_triangular(precond.upper, dist, mesh)
         return DistPreconditioner(
             kind="ilu0" if isinstance(precond, ILU0Preconditioner) else "ic0",
-            arrays=(
-                lo.data, lo.cols, lo.lrows, lo.diag,
-                up.data, up.cols, up.lrows, up.diag,
-            ),
+            arrays=lo.flat + up.flat,
             statics=(lo.sweeps, up.sweeps),
         )
     raise TypeError(f"cannot distribute preconditioner {type(precond).__name__}")
 
 
 def _local_tri_solve(
-    data, cols, lrows, diag_local, b_local, *, axis, block_rows, sweeps,
-    mode="allgather",
+    tri7, b_local, *, axis, block_rows, sweeps, mode="allgather",
 ):
     """Distributed triangular solve via Jacobi sweeps:
     x_{k+1} = (b - N x_k) / d with N the strict part (exact once the
-    sweep count reaches the factor's dependency depth)."""
+    sweep count reaches the factor's dependency depth).  ``tri7`` is the
+    factor's 7-array flat group (interior + boundary + diag)."""
+    data, cols, lrows, bdata, bcols, blrows, diag_local = tri7
     inv_d = 1.0 / diag_local
 
     def sweep(x, _):
         nx = _local_spmv(
-            data, cols, lrows, x, axis=axis, block_rows=block_rows, mode=mode
+            data, cols, lrows, bdata, bcols, blrows, x,
+            axis=axis, block_rows=block_rows, mode=mode,
         )
         return (b_local - nx) * inv_d, None
 
@@ -423,32 +484,29 @@ def _build_local_precond_apply(
         (inv_diag,) = arrays
         return lambda r: r * inv_diag
     if kind == "sgs":
-        (fd, fc, fl, fdg, bd, bc, bl, bdg, dscale) = arrays
+        fwd7, bwd7, dscale = arrays[:7], arrays[7:14], arrays[14]
         fs, bs = statics
 
         def apply_sgs(r):
             y = _local_tri_solve(
-                fd, fc, fl, fdg, r,
-                axis=axis, block_rows=block_rows, sweeps=fs, mode=mode,
+                fwd7, r, axis=axis, block_rows=block_rows, sweeps=fs, mode=mode
             )
             return _local_tri_solve(
-                bd, bc, bl, bdg, dscale * y,
+                bwd7, dscale * y,
                 axis=axis, block_rows=block_rows, sweeps=bs, mode=mode,
             )
 
         return apply_sgs
     if kind in ("ilu0", "ic0"):
-        (ld, lc, ll, ldg, ud, uc, ul, udg) = arrays
+        lo7, up7 = arrays[:7], arrays[7:14]
         ls, us = statics
 
         def apply_lu(r):
             y = _local_tri_solve(
-                ld, lc, ll, ldg, r,
-                axis=axis, block_rows=block_rows, sweeps=ls, mode=mode,
+                lo7, r, axis=axis, block_rows=block_rows, sweeps=ls, mode=mode
             )
             return _local_tri_solve(
-                ud, uc, ul, udg, y,
-                axis=axis, block_rows=block_rows, sweeps=us, mode=mode,
+                up7, y, axis=axis, block_rows=block_rows, sweeps=us, mode=mode
             )
 
         return apply_lu
@@ -461,21 +519,21 @@ def _build_local_precond_apply(
 def dist_spmv(a: DistCSR, x: jnp.ndarray, mesh: jax.sharding.Mesh) -> jnp.ndarray:
     """y = A @ x with row-sharded A and x (padded length)."""
     fn = _dist_spmv_jit(mesh, a.axis, a.block_rows, a.mode)
-    return fn(a.data, a.cols, a.lrows, x)
+    return fn(a.data, a.cols, a.lrows, a.bdata, a.bcols, a.blrows, x)
 
 
 @lru_cache(maxsize=None)
 def _dist_spmv_jit(mesh, axis: str, block_rows: int, mode: str):
-    def inner(data, cols, lrows, x_local):
+    def inner(data, cols, lrows, bdata, bcols, blrows, x_local):
         return _local_spmv(
-            data[0], cols[0], lrows[0], x_local,
+            data[0], cols[0], lrows[0], bdata[0], bcols[0], blrows[0], x_local,
             axis=axis, block_rows=block_rows, mode=mode,
         )
 
     mapped = jax.shard_map(
         inner,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        in_specs=(P(axis, None),) * 6 + (P(axis),),
         out_specs=P(axis),
     )
     return jax.jit(mapped)
@@ -495,8 +553,8 @@ _CORES = {
 
 @lru_cache(maxsize=None)
 def _dist_lanczos_jit(mesh, axis: str, block_rows: int, mode: str, k: int):
-    def inner(data, cols, lrows, v0_local):
-        data, cols, lrows = data[0], cols[0], lrows[0]
+    def inner(data, cols, lrows, bdata, bcols, blrows, v0_local):
+        arrs = (data[0], cols[0], lrows[0], bdata[0], bcols[0], blrows[0])
         dotfn = _psum_dot(axis)
         dtype = v0_local.dtype
 
@@ -504,7 +562,7 @@ def _dist_lanczos_jit(mesh, axis: str, block_rows: int, mode: str, k: int):
             v_prev, v_cur, beta = carry
             w = (
                 _local_spmv(
-                    data, cols, lrows, v_cur,
+                    *arrs, v_cur,
                     axis=axis, block_rows=block_rows, mode=mode,
                 )
                 - beta * v_prev
@@ -522,7 +580,7 @@ def _dist_lanczos_jit(mesh, axis: str, block_rows: int, mode: str, k: int):
     mapped = jax.shard_map(
         inner,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        in_specs=(P(axis, None),) * 6 + (P(axis),),
         out_specs=(P(), P()),
     )
     return jax.jit(mapped)
@@ -547,7 +605,7 @@ def dist_lanczos_extremal(
     v[a.shape[0]:] = 0.0
     v = distribute_vector(v / np.linalg.norm(v), a, mesh)
     fn = _dist_lanczos_jit(mesh, a.axis, a.block_rows, a.mode, int(k))
-    alphas, betas = fn(a.data, a.cols, a.lrows, v)
+    alphas, betas = fn(a.data, a.cols, a.lrows, a.bdata, a.bcols, a.blrows, v)
     al = np.asarray(alphas, dtype=np.float64)
     be = np.asarray(betas, dtype=np.float64)
     t = np.diag(al) + np.diag(be[:-1], 1) + np.diag(be[:-1], -1)
@@ -627,7 +685,10 @@ def dist_solve(
         mesh, a.axis, a.block_rows, a.mode, solver, maxiter,
         bool(record_residuals), pre.kind, pre.statics, len(pre.arrays), cheb,
     )
-    return fn(a.data, a.cols, a.lrows, b_arr, x0_arr, eps, *pre.arrays)
+    return fn(
+        a.data, a.cols, a.lrows, a.bdata, a.bcols, a.blrows,
+        b_arr, x0_arr, eps, *pre.arrays,
+    )
 
 
 @lru_cache(maxsize=None)
@@ -646,15 +707,15 @@ def _dist_solve_jit(
 ):
     core = _CORES[solver]
 
-    def inner(data, cols, lrows, b_local, x0_local, eps, *pre_arrays):
+    def inner(data, cols, lrows, bdata, bcols, blrows, b_local, x0_local,
+              eps, *pre_arrays):
         # shard_map delivers (1, L) slices for the (P, L) arrays
-        data, cols, lrows = data[0], cols[0], lrows[0]
+        arrs = (data[0], cols[0], lrows[0], bdata[0], bcols[0], blrows[0])
         pre_local = tuple(a[0] if a.ndim == 2 else a for a in pre_arrays)
 
         def matvec(v):
             return _local_spmv(
-                data, cols, lrows, v,
-                axis=axis, block_rows=block_rows, mode=mode,
+                *arrs, v, axis=axis, block_rows=block_rows, mode=mode
             )
 
         dotfn = _psum_dot(axis)
@@ -707,7 +768,7 @@ def _dist_solve_jit(
         inner,
         mesh=mesh,
         in_specs=(
-            P(axis, None), P(axis, None), P(axis, None),
+            *((P(axis, None),) * 6),
             P(axis), P(axis), P(),
             *pre_specs,
         ),

@@ -33,6 +33,10 @@ import numpy as np
 
 __all__ = ["TriangularMatrix", "triangular_from_csr_arrays"]
 
+# beyond this level-schedule depth, an "exact" Jacobi-sweep apply costs
+# more SpMVs than the Krylov solve it preconditions — warn loudly
+_EXACT_SWEEP_WARN_DEPTH = 64
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -116,12 +120,33 @@ def triangular_from_csr_arrays(
     if not lower and np.any(s_idx < s_row):
         raise ValueError("matrix is not upper triangular")
 
-    depth = _level_depth(s_idx, s_row, n, lower=lower)
     if method == "auto":
         method = "dense" if n <= dense_threshold else "jacobi"
     if method not in ("dense", "jacobi"):
         raise ValueError(f"unknown triangular solve method {method!r}")
-    n_sweeps = depth if sweeps == "exact" else int(sweeps)
+    if sweeps == "exact" or method == "dense":
+        # level-scheduling depth: only computed when actually needed — the
+        # host-side scan is O(n) Python work, pointless for explicit sweeps
+        depth = _level_depth(s_idx, s_row, n, lower=lower)
+    else:
+        depth = -1  # unknown (not needed)
+    if sweeps == "exact":
+        n_sweeps = depth
+        if method == "jacobi" and depth > _EXACT_SWEEP_WARN_DEPTH:
+            import warnings
+
+            warnings.warn(
+                f"sweeps='exact' implies {depth} Jacobi sweeps per "
+                "triangular apply (each sweep is a full SpMV) — at this "
+                "depth the preconditioner is technically exact but "
+                "practically unusable.  Pass an explicit small sweep "
+                "count (e.g. sweeps=2..8, the standard approximate "
+                "triangular solve) for scale.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+    else:
+        n_sweeps = int(sweeps)
 
     dense = None
     if method == "dense":

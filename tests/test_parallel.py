@@ -77,7 +77,15 @@ class TestHaloExchange:
             assert da.mode == mode
             xp = distribute_vector(x, da, mesh)
             ys[mode] = collect(dist_spmv(da, xp, mesh), da)
-        np.testing.assert_array_equal(ys["halo"], ys["allgather"])
+        # halo mode splits interior/boundary terms for collective overlap
+        # (dist.py:_local_spmv) so the summation ORDER differs from the
+        # allgather mode — equality holds to reduction-reorder epsilon,
+        # not bitwise.  (Bitwise determinism across REPEATED runs of the
+        # same mode is covered by test_robustness.py.)
+        tol = 1e-5 if dtype == np.float32 else 1e-13
+        np.testing.assert_allclose(
+            ys["halo"], ys["allgather"], rtol=tol, atol=tol
+        )
 
     def test_halo_rejects_wide_pattern(self, mesh):
         r = random_spd_csr(97, density=0.2, seed=5)
@@ -215,3 +223,61 @@ class TestDistVsReferenceSuite:
             )
             assert int(res.status) == SolverStatus.SUCCESS, name
             assert np.abs(collect(res.x, da) - 1.0).max() <= inf_eps(dtype)
+
+
+class TestDistDIA:
+    """Distributed DIA fast path (parallel/dist_dia.py): the Pallas-class
+    stencil SpMV runs inside shard_map with the O(B) neighbor halo and
+    interior/boundary overlap — parity vs the single-chip DIA path."""
+
+    def _dia(self, nx=40, dtype=np.float64):
+        from sparse_matrix_math_tpu.formats.dia import dia_from_csr
+
+        a = poisson_2d(nx, dtype=dtype)
+        return a, dia_from_csr(a)
+
+    def test_spmv_parity(self, mesh):
+        from sparse_matrix_math_tpu.parallel import (
+            dist_dia_spmv,
+            distribute_dia,
+        )
+
+        csr, dia = self._dia()
+        d = distribute_dia(dia, mesh)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(csr.shape[0])
+        xs = distribute_vector(x, d, mesh)
+        y = collect(dist_dia_spmv(d, xs, mesh), d)
+        want = np.asarray(dia @ jnp.asarray(x))
+        np.testing.assert_allclose(y, want, rtol=1e-12, atol=1e-12)
+
+    @pytest.mark.parametrize("solver", ["cg", "bicgstab"])
+    def test_solve_parity(self, mesh, solver):
+        from sparse_matrix_math_tpu.parallel import (
+            dist_dia_solve,
+            distribute_dia,
+        )
+
+        csr, dia = self._dia()
+        n = csr.shape[0]
+        b = np.asarray(csr @ jnp.ones(n, jnp.float64))
+        d = distribute_dia(dia, mesh)
+        res = dist_dia_solve(d, b, solver=solver, epsilon=1e-10, mesh=mesh)
+        assert int(res.status) == SolverStatus.SUCCESS
+        x = collect(res.x, d)
+        np.testing.assert_allclose(x, 1.0, atol=1e-7)
+        # same algorithm, same reductions: iteration count must match the
+        # single-chip solver on the same matrix
+        single = getattr(smm, solver)(csr, jnp.asarray(b), epsilon=1e-10)
+        assert int(res.iterations) == int(single.iterations)
+
+    def test_offset_span_rejected(self, mesh):
+        from sparse_matrix_math_tpu.formats.dia import DIAMatrix
+        from sparse_matrix_math_tpu.parallel import distribute_dia
+
+        n = 256
+        far = DIAMatrix(
+            diags=jnp.ones((2, n)), offsets=(0, 200), shape=(n, n), nnz=2 * n
+        )
+        with pytest.raises(ValueError):
+            distribute_dia(far, mesh)  # block is 32 rows < offset 200

