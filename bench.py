@@ -19,7 +19,12 @@ import time
 
 import numpy as np
 
-BASELINE_SPMV_GNNZ = 0.47  # BASELINE.md: reference rMult, 1 core Xeon 2.1 GHz
+# Reference rMult on the same 10M-nnz Poisson system, 1 core Xeon 2.1 GHz,
+# g++ -O3 -DNDEBUG (BASELINE.md).  Round 2 re-measured BOTH dtypes so the
+# f32 headline compares dtype-for-dtype (VERDICT r1 weak #1):
+BASELINE_SPMV_GNNZ_F64 = 0.455
+BASELINE_SPMV_GNNZ_F32 = 0.536
+BASELINE_SPMV_GNNZ = BASELINE_SPMV_GNNZ_F32  # headline runs f32
 
 
 def _finite(x):
@@ -134,11 +139,28 @@ def main() -> None:
     from sparse_matrix_math_tpu import bicgstab
 
     cg_res, cg_time = timed_solve(cg)
-    bs_res, bs_time = timed_solve(bicgstab)
+    # BiCGStab preconditioned with truncated-sweep SGS in the padded
+    # domain (precond/padded_sgs.py) — unpreconditioned f32 BiCGStab is
+    # unstable at this scale (the reference notes the same instability,
+    # test/cpp/bicgstab.cpp:68, and also cures it with SGS)
+    bs_pre = None
+    if dia is not None:
+        try:
+            from sparse_matrix_math_tpu.precond import PaddedSGS
+
+            bs_pre = PaddedSGS.from_dia(dia, sweeps=2)
+        except Exception:
+            bs_pre = None
+    bs_res, bs_time = timed_solve(bicgstab, preconditioner=bs_pre)
 
     cg_gnnz = int(cg_res.iterations) * nnz / cg_time / 1e9
-    # BiCGStab does 2 SpMVs/iteration (SURVEY §3.3)
-    bs_gnnz = 2 * int(bs_res.iterations) * nnz / bs_time / 1e9
+    # BiCGStab does 2 SpMVs/iteration (SURVEY §3.3); with SGS(sweeps=k)
+    # each of its 2 preconditioner applies adds (k-1) strict-L + (k-1)
+    # strict-U sweeps = (k-1)*(nnz-n) processed entries
+    bs_work = 2 * nnz
+    if bs_pre is not None:
+        bs_work += 2 * (bs_pre.sweeps - 1) * (nnz - a.shape[0])
+    bs_gnnz = int(bs_res.iterations) * bs_work / bs_time / 1e9
     # only solves that actually converged count toward the headline
     # (f32 unpreconditioned BiCGStab can be unstable on ill-conditioned
     # systems — the reference notes the same, test/cpp/bicgstab.cpp:68)
@@ -149,11 +171,45 @@ def main() -> None:
     ]
     headline = max(converged) if converged else standalone_gnnz
 
+    # -- unstructured/general-pattern SpMV (the reference's own regime:
+    # rMultOp is pattern-agnostic, h:1458-1515).  laplace_3d_jittered has
+    # no diagonal structure (DIA extraction refuses); the W-SELL general
+    # kernel is the fast path.
+    unstructured = None
+    try:
+        from sparse_matrix_math_tpu.formats.wsell import wsell_from_csr
+        from sparse_matrix_math_tpu.utils.generate import laplace_3d_jittered
+
+        ua = laplace_3d_jittered(113, dtype=np.float32)  # ~9.8M nnz
+        ws = wsell_from_csr(ua)
+        usec = _time_spmv_loop(ws, jnp.ones((ua.shape[1],), jnp.float32), 20)
+        unstructured = {
+            "matrix": "laplace3d_jittered_113^3",
+            "n": ua.shape[0],
+            "nnz": ua.nnz,
+            "slot_ratio": round(ws.slot_ratio, 2),
+            "gnnz": round(ua.nnz / usec / 1e9, 3),
+            "vs_baseline_f32": round(
+                ua.nnz / usec / 1e9 / BASELINE_SPMV_GNNZ_F32, 2
+            ),
+        }
+    except Exception:
+        unstructured = None
+
     payload = {
         "metric": "spmv_in_solver_poisson2d_10Mnnz_f32",
         "value": round(headline, 3),
         "unit": "GNNZ/s",
+        # dtype-matched ratio: f32 measurement over the f32 reference
+        # baseline (0.536 GNNZ/s; the f64/f64 pair is 0.455 — see
+        # BASELINE_SPMV_GNNZ_* above)
         "vs_baseline": round(headline / BASELINE_SPMV_GNNZ, 2),
+        "dtype": "float32",
+        "baseline_gnnz": {
+            "f32": BASELINE_SPMV_GNNZ_F32,
+            "f64": BASELINE_SPMV_GNNZ_F64,
+        },
+        "unstructured": unstructured,
         "device": str(dev),
         "spmv_kernel": best,
         "spmv_standalone_gnnz": round(standalone_gnnz, 3),

@@ -161,6 +161,32 @@ def _distinct_rank(key: np.ndarray, val: np.ndarray, val_bits: int = 3) -> np.nd
     return out
 
 
+def _window_jobs(slab_of: np.ndarray, xrow: np.ndarray, x_rows: int):
+    """Group nnz into (slab, aligned 8-x-row window) jobs.
+
+    Returns (job id per nnz [dense, slab-sorted], window base per job,
+    slab per job).
+    """
+    n = slab_of.shape[0]
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z.copy(), z.copy()
+    # ALIGNED 8-x-row windows: job = (slab, xrow // 8).  An unaligned
+    # greedy grouping was tried and measured WORSE (round-2 notes): it
+    # splits band clusters at data-dependent boundaries that concentrate
+    # rows into single target sublanes (heavy static-target padding) and
+    # destabilises the colouring repair on near-diagonal patterns.
+    wdim = np.int64((x_rows + 7) // 8 + 1)
+    aligned = slab_of * wdim + xrow // 8
+    ujobs, jinv = np.unique(aligned, return_inverse=True)
+    base = np.minimum((ujobs % wdim) * 8, x_rows - 8)
+    return (
+        jinv.astype(np.int64),
+        base.astype(np.int64),
+        (ujobs // wdim).astype(np.int64),
+    )
+
+
 def wsell_from_csr(
     csr: CSRMatrix,
     *,
@@ -178,14 +204,14 @@ def wsell_from_csr(
     n_rows, n_cols = csr.shape
     n_slabs = max(-(-n_rows // SLAB), 1)
     x_rows = max(_round_up(-(-n_cols // LANE), 8), 8)
-    n_wins = max(-(-n_cols // WIN), 1)
 
     slab_of = r // SLAB
-    w_of = c // WIN
     t_of = (r % SLAB) // LANE
     lane_out = r % LANE
     lsrc = c % LANE
-    job = slab_of * n_wins + w_of
+    xrow = c // LANE
+    job, job_base, job_slab = _window_jobs(slab_of, xrow, x_rows)
+    n_jobs = job_base.shape[0]
 
     # -- slot-row colouring ---------------------------------------------------
     # distinct columns within a (job, t, source-lane) group differ exactly
@@ -233,18 +259,12 @@ def wsell_from_csr(
     # (vreg k, position t).  Cost: unbalanced buckets pad (slot_ratio
     # reports it); balanced patterns (stencils, meshes) pad ~nothing.
     if r.size:
-        uniq_jt, inv_jt = np.unique(job * 8 + t_of, return_inverse=True)
-        rows_per_jt = np.zeros(uniq_jt.shape[0], np.int64)
-        np.maximum.at(rows_per_jt, inv_jt, row + 1)
-        uniq_jobs_of_jt = uniq_jt // 8
-        uniq_jobs, inv_job_of_jt = np.unique(uniq_jobs_of_jt, return_inverse=True)
-        job_rows = np.zeros(uniq_jobs.shape[0], np.int64)  # = 8 * K(job)
-        np.maximum.at(job_rows, inv_job_of_jt, rows_per_jt * 8)
-        # global row of a slot: vreg (row) slot of bucket t -> 8*row + t
+        # K(job) = max over t of rows_t — one row per (vreg, t) position
+        job_rows = np.zeros(n_jobs, np.int64)  # = 8 * K(job)
+        np.maximum.at(job_rows, job, (row + 1) * 8)
         row_in_job = row * 8 + t_of
     else:
-        uniq_jobs = np.zeros(0, np.int64)
-        job_rows = np.zeros(0, np.int64)
+        job_rows = np.zeros(n_jobs, np.int64)
         row_in_job = np.zeros(0, np.int64)
 
     kv = np.maximum(job_rows // 8, 1)  # vregs per job (K)
@@ -252,23 +272,25 @@ def wsell_from_csr(
     # dummy jobs keep every slab's output block written (Pallas output
     # blocks are undefined unless some vreg writes them)
     have = np.zeros(n_slabs, bool)
-    have[np.unique(uniq_jobs // n_wins)] = True
+    have[job_slab] = True
     dummy_slabs = np.nonzero(~have)[0]
-    all_jobs = np.concatenate([uniq_jobs, dummy_slabs * n_wins])
+    all_slab = np.concatenate([job_slab, dummy_slabs])
+    all_base = np.concatenate([job_base, np.zeros(dummy_slabs.shape[0], np.int64)])
     all_kv = np.concatenate([kv, np.ones(dummy_slabs.shape[0], np.int64)])
-    order_jobs = np.argsort(all_jobs, kind="stable")
-    all_jobs, all_kv = all_jobs[order_jobs], all_kv[order_jobs]
+    order_jobs = np.argsort(all_slab, kind="stable")
+    all_slab, all_base, all_kv = (
+        all_slab[order_jobs], all_base[order_jobs], all_kv[order_jobs]
+    )
     vreg_start = np.cumsum(all_kv) - all_kv
     n_vregs = int(all_kv.sum())
 
-    # map each nnz's job to its position in the final job order
-    job_pos = np.empty(all_jobs.shape[0], np.int64)
-    job_pos[order_jobs] = np.arange(all_jobs.shape[0])
-    # uniq_jobs entries were first in the pre-order concat
-    vreg_start_of_uniq = vreg_start[job_pos[: uniq_jobs.shape[0]]]
+    # map each nnz's (real) job to its position in the final job order
+    job_pos = np.empty(all_slab.shape[0], np.int64)
+    job_pos[order_jobs] = np.arange(all_slab.shape[0])
+    vreg_start_of_job = vreg_start[job_pos[:n_jobs]]
 
     if r.size:
-        row_global = vreg_start_of_uniq[inv_job_of_jt[inv_jt]] * 8 + row_in_job
+        row_global = vreg_start_of_job[job] * 8 + row_in_job
     else:
         row_global = np.zeros(0, np.int64)
 
@@ -281,11 +303,9 @@ def wsell_from_csr(
     tgt_rows = np.zeros(total_rows, np.int32)
     tgt_rows[row_global] = t_of.astype(np.int32)
 
-    # per-vreg window base (clamped into the padded x table)
-    base_of_job = np.minimum(8 * (all_jobs % n_wins), x_rows - 8).astype(np.int32)
-    slab_of_job = (all_jobs // n_wins).astype(np.int32)
-    base_vreg = np.repeat(base_of_job, all_kv)
-    slab_vreg = np.repeat(slab_of_job, all_kv)
+    # per-vreg window base (already clamped into the padded x table)
+    base_vreg = np.repeat(all_base.astype(np.int32), all_kv)
+    slab_vreg = np.repeat(all_slab.astype(np.int32), all_kv)
 
     if r.size:
         sw = (c // LANE - base_vreg[row_global // 8].astype(np.int64)).astype(

@@ -3,16 +3,24 @@
 The general-matrix analogue of the reference's ``rMultOp`` row loop
 (include/sparse_matrix_math.h:1458-1515), built from the per-vreg
 primitives Mosaic actually supports (see formats/wsell.py): dynamic
-sublane slice of the VMEM-resident x table, axis-0 sublane select,
-axis-1 lane routing, masked row-sums — no scatter, no general gather.
+sublane slices of the VMEM-resident x table, per-vreg sublane select,
+per-row axis-1 lane routing — no scatter, no serial gather loop.
 
-Architecture (same shape as the round-1 streamed DIA kernel, which
-reached ~50 GNNZ/s): ONE pallas grid pass whose step count is the DMA
-chunk count, not the vreg count — per-grid-step overhead (~0.5 us/step
-measured) would otherwise dominate.  Within a step, a ``fori_loop``
-walks the chunk's slot vregs; the slot/meta streams are double-buffered
-HBM→VMEM DMAs; ``x`` and the y accumulator stay VMEM-resident for the
-whole pass, so the only O(nnz) HBM traffic is the 8-byte slot stream.
+Kernel architecture (chosen by on-device ablation, round 2):
+
+* grid = slot-stream chunks (256 vregs); Pallas auto-pipelines the
+  meta/vals block streams HBM→VMEM;
+* per chunk, a short ``fori_loop`` only FILLS the per-vreg x windows
+  into a tall buffer (one dynamic 8-sublane slice each) and a second
+  one ACCUMULATES per-vreg products into the VMEM-resident y — all the
+  arithmetic (bit unpack, window sublane select, lane routing,
+  multiply) runs vectorised over the whole (2048, 128) tall tile, which
+  cut the per-vreg cost from ~210 ns (per-vreg loop body) to ~136 ns;
+* the window sublane select is 8 broadcast-compare-selects (the tall
+  equivalent of the (8,128) ``take_along_axis(axis=0)``, which Mosaic
+  only supports at one-vreg table height);
+* the builder's static-target layout makes the reduction the identity:
+  each products vreg IS its slab contribution.
 """
 
 from __future__ import annotations
@@ -24,85 +32,54 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats.wsell import _LSRC_SHIFT, _SW_BITS, _TGT_SHIFT, LANE, WSellMatrix
+from ..formats.wsell import _LSRC_SHIFT, _SW_BITS, LANE, WSellMatrix
 
 __all__ = ["wsell_spmv", "CHUNK_VREGS"]
 
-CHUNK_VREGS = 64  # vregs per DMA chunk (64 * 8KB = 512 KB per buffer slot)
+CHUNK_VREGS = 256  # vregs per grid step (tall tile = 2048 x 128)
 
 
 def _wsell_kernel(
-    # scalar prefetch
-    base_ref, slab_ref,
-    # inputs
-    x_ref, meta_hbm, vals_hbm,
-    # output
-    y_ref,
-    # scratch
-    meta_buf, vals_buf, sems,
-    *, n_chunks: int, n_vregs: int,
+    base_ref, slab_ref, x_ref, meta_ref, vals_ref, y_ref, wbuf, *, chunk: int
 ):
     ch = pl.program_id(0)
-    rows_per_chunk = CHUNK_VREGS * 8
-
-    def start_copy(slot, chunk):
-        off = chunk * rows_per_chunk
-        m = pltpu.make_async_copy(
-            meta_hbm.at[pl.ds(off, rows_per_chunk), :],
-            meta_buf.at[slot], sems.at[slot, 0],
-        )
-        v = pltpu.make_async_copy(
-            vals_hbm.at[pl.ds(off, rows_per_chunk), :],
-            vals_buf.at[slot], sems.at[slot, 1],
-        )
-        m.start()
-        v.start()
-        return m, v
-
-    def wait_copy(slot, chunk):
-        off = chunk * rows_per_chunk
-        pltpu.make_async_copy(
-            meta_hbm.at[pl.ds(off, rows_per_chunk), :],
-            meta_buf.at[slot], sems.at[slot, 0],
-        ).wait()
-        pltpu.make_async_copy(
-            vals_hbm.at[pl.ds(off, rows_per_chunk), :],
-            vals_buf.at[slot], sems.at[slot, 1],
-        ).wait()
+    R = chunk * 8
 
     @pl.when(ch == 0)
     def _():
         y_ref[:, :] = jnp.zeros_like(y_ref)
-        start_copy(0, 0)
 
-    @pl.when(ch + 1 < n_chunks)
-    def _():
-        start_copy((ch + 1) % 2, ch + 1)
-
-    wait_copy(ch % 2, ch)
-    slot = ch % 2
-
-    def body(u, _):
-        v = ch * CHUNK_VREGS + u
-
-        @pl.when(v < n_vregs)
-        def _():
-            meta = meta_buf[slot, pl.ds(u * 8, 8), :]
-            w8 = x_ref[pl.ds(base_ref[v], 8), :]
-            sw = meta & _SW_BITS
-            g0 = jnp.take_along_axis(w8, sw, axis=0)
-            lsrc = (meta >> _LSRC_SHIFT) & (LANE - 1)
-            g1 = jnp.take_along_axis(g0, lsrc, axis=1)
-            # static-target layout (formats/wsell.py): vreg position i
-            # holds only rows targeting y sublane i, so the products vreg
-            # IS the slab contribution — the reduction is the identity
-            p = vals_buf[slot, pl.ds(u * 8, 8), :] * g1
-            yoff = slab_ref[v] * 8
-            y_ref[pl.ds(yoff, 8), :] = y_ref[pl.ds(yoff, 8), :] + p
-
+    def fill(u, _):
+        v = ch * chunk + u
+        wbuf[pl.ds(u * 8, 8), :] = x_ref[pl.ds(base_ref[v], 8), :]
         return _
 
-    jax.lax.fori_loop(0, CHUNK_VREGS, body, None)
+    jax.lax.fori_loop(0, chunk, fill, None)
+
+    meta = meta_ref[:]
+    w = wbuf[:]
+    sw = meta & _SW_BITS
+    # tall window-sublane select: for slot row i (vreg u = i//8), pick
+    # window row sw of vreg u — 8 broadcast rows + compare-selects
+    g0 = jnp.zeros((R, LANE), w.dtype)
+    w3 = w.reshape(R // 8, 8, LANE)
+    for s in range(8):
+        bs = jax.lax.broadcast_in_dim(
+            w3[:, s, :], (R // 8, 8, LANE), (0, 2)
+        ).reshape(R, LANE)
+        g0 = jnp.where(sw == s, bs, g0)
+    lsrc = (meta >> _LSRC_SHIFT) & (LANE - 1)
+    g1 = jnp.take_along_axis(g0, lsrc, axis=1)
+    # static-target layout: the products vreg IS the slab contribution
+    wbuf[:, :] = vals_ref[:] * g1
+
+    def acc(u, _):
+        v = ch * chunk + u
+        yo = slab_ref[v] * 8
+        y_ref[pl.ds(yo, 8), :] = y_ref[pl.ds(yo, 8), :] + wbuf[pl.ds(u * 8, 8), :]
+        return _
+
+    jax.lax.fori_loop(0, chunk, acc, None)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -114,12 +91,15 @@ def wsell_spmv(a: WSellMatrix, x: jnp.ndarray, *, interpret: bool = False):
         a.x_rows, LANE
     )
     n_vregs = a.n_vregs
-    n_chunks = -(-n_vregs // CHUNK_VREGS)
-    rows_pad = n_chunks * CHUNK_VREGS * 8
+    chunk = min(CHUNK_VREGS, max(-(-n_vregs // 8) * 8, 8))
+    n_chunks = -(-n_vregs // chunk)
+    rows_pad = n_chunks * chunk * 8
     meta = jnp.pad(a.meta, ((0, rows_pad - n_vregs * 8), (0, 0)))
-    vals = jnp.pad(
-        a.vals.astype(dtype), ((0, rows_pad - n_vregs * 8), (0, 0))
-    )
+    vals = jnp.pad(a.vals.astype(dtype), ((0, rows_pad - n_vregs * 8), (0, 0)))
+    vpad = n_chunks * chunk - n_vregs
+    base = jnp.pad(a.base, (0, vpad))
+    # pad vregs carry zero values; point them at the last slab (harmless)
+    slab = jnp.pad(a.slab, (0, vpad), constant_values=a.n_slabs - 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -129,23 +109,17 @@ def wsell_spmv(a: WSellMatrix, x: jnp.ndarray, *, interpret: bool = False):
                 (a.x_rows, LANE), lambda c, b, s: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((chunk * 8, LANE), lambda c, b, s: (c, 0)),
+            pl.BlockSpec((chunk * 8, LANE), lambda c, b, s: (c, 0)),
         ],
         out_specs=pl.BlockSpec(
             (a.n_slabs * 8, LANE), lambda c, b, s: (0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, CHUNK_VREGS * 8, LANE), jnp.int32),
-            pltpu.VMEM((2, CHUNK_VREGS * 8, LANE), dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=[pltpu.VMEM((chunk * 8, LANE), dtype)],
     )
     out = pl.pallas_call(
-        functools.partial(
-            _wsell_kernel, n_chunks=n_chunks, n_vregs=n_vregs
-        ),
+        functools.partial(_wsell_kernel, chunk=chunk),
         out_shape=jax.ShapeDtypeStruct((a.n_slabs * 8, LANE), dtype),
         grid_spec=grid_spec,
         # x table + y accumulator are VMEM-resident by design; the default
@@ -154,5 +128,5 @@ def wsell_spmv(a: WSellMatrix, x: jnp.ndarray, *, interpret: bool = False):
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(a.base, a.slab, xt, meta, vals)
+    )(base, slab, xt, meta, vals)
     return out.reshape(-1)[:n_rows]

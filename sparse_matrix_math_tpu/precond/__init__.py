@@ -8,5 +8,6 @@ from .preconditioners import (
     SolverPreconditioner,
     get_preconditioner,
 )
+from .cheby_poly import ChebyshevPreconditioner
 from .padded_sgs import PaddedSGS
 from .trisolve import TriangularMatrix, triangular_from_csr_arrays

@@ -223,6 +223,12 @@ def get_preconditioner(
     which can only create NONE and SGS; this one covers everything,
     including IC0/ILU0 which the reference factory cannot construct)."""
     if isinstance(kind, str):
+        if kind.lower() in ("cheby", "chebyshev", "poly", "polynomial"):
+            # TPU-native addition: polynomial preconditioning (the apply
+            # is k SpMVs with A — launch-light; precond/cheby_poly.py)
+            from .cheby_poly import ChebyshevPreconditioner
+
+            return ChebyshevPreconditioner.from_matrix(a, **kwargs)
         aliases = {
             "none": SolverPreconditioner.NONE,
             "jacobi": SolverPreconditioner.JACOBI,

@@ -48,6 +48,7 @@ def eligible(a, preconditioner=None) -> bool:
     truncated-sweep apply runs as padded Pallas kernels
     (precond/padded_sgs.py).  The solve picks the VMEM-resident or
     streamed kernel per size.)"""
+    from ..precond.cheby_poly import ChebyshevPreconditioner
     from ..precond.padded_sgs import PaddedSGS
     from ..precond.preconditioners import (
         JacobiPreconditioner,
@@ -59,7 +60,9 @@ def eligible(a, preconditioner=None) -> bool:
     if jax.default_backend() != "tpu":
         return False
     if preconditioner is not None and not isinstance(
-        preconditioner, (JacobiPreconditioner, SGSPreconditioner, PaddedSGS)
+        preconditioner,
+        (JacobiPreconditioner, SGSPreconditioner, PaddedSGS,
+         ChebyshevPreconditioner),
     ):
         return False
     return True
@@ -91,8 +94,10 @@ def padded_solve(
         SGSPreconditioner,
     )
 
+    from ..precond.cheby_poly import ChebyshevPreconditioner
+
     pdia = pad_dia(a)
-    pre_kind, inv_diag, psgs = "none", None, None
+    pre_kind, inv_diag, psgs, cheby = "none", None, None, None
     if isinstance(preconditioner, JacobiPreconditioner):
         pre_kind, inv_diag = "jacobi", preconditioner.inv_diag
     elif isinstance(preconditioner, PaddedSGS):
@@ -106,20 +111,27 @@ def padded_solve(
             a, sweeps=preconditioner.fwd.sweeps, rows_blk=pdia.rows_blk
         )
         pre_kind = "sgs"
+    elif isinstance(preconditioner, ChebyshevPreconditioner):
+        # the polynomial apply is k applications of A itself — reuse the
+        # padded matvec; only the static bounds/degree cross over
+        pre_kind = "cheby"
+        cheby = (
+            preconditioner.lmin, preconditioner.lmax, preconditioner.degree
+        )
     try:
         return _padded_solve_jit(
             core_name, pdia, b, x0, jnp.asarray(eps, b.dtype), inv_diag,
-            psgs, pre_kind, maxiter, record, interpret,
+            psgs, pre_kind, cheby, maxiter, record, interpret,
         )
     except Exception as e:
         _warn_pallas_fallback(e)
         return None
 
 
-@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11))
 def _padded_solve_jit(
     core_name: str, pdia, b, x0, eps, inv_diag, psgs, pre_kind: str,
-    maxiter: int, record: bool, interpret: bool = False,
+    cheby, maxiter: int, record: bool, interpret: bool = False,
 ) -> SolveResult:
     from ..ops.pallas_spmv import dia_spmv_padded, dia_spmv_streamed, fits_in_vmem
 
@@ -145,6 +157,10 @@ def _padded_solve_jit(
         apply_ = lambda r: psgs.apply_padded(  # noqa: E731
             r, resident=resident, interpret=interpret
         )
+    elif pre_kind == "cheby":
+        from ..precond.cheby_poly import cheby_apply_fn
+
+        apply_ = cheby_apply_fn(matvec, *cheby)
     else:
         apply_ = None
 

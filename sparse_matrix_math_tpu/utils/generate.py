@@ -18,7 +18,10 @@ import numpy as np
 from ..formats.csr import CSRMatrix, _csr_from_sorted_host
 from ..formats.triplet import coo_from_arrays
 
-__all__ = ["poisson_2d", "poisson_3d", "random_spd_csr", "laplace_1d"]
+__all__ = [
+    "poisson_2d", "poisson_3d", "random_spd_csr", "laplace_1d",
+    "laplace_3d_jittered", "sherman1_tiled",
+]
 
 
 def laplace_1d(n: int, dtype=np.float64) -> CSRMatrix:
@@ -136,3 +139,77 @@ def _sorted_csr(rows, cols, vals, shape: Tuple[int, int]) -> CSRMatrix:
     key = rows * np.int64(shape[1]) + cols
     order = np.argsort(key, kind="stable")
     return _csr_from_sorted_host(rows[order], cols[order], vals[order], shape)
+
+
+def laplace_3d_jittered(
+    m: int, jitter: int = 8, seed: int = 0, dtype=np.float64
+) -> CSRMatrix:
+    """7-point 3-D Laplacian whose off-diagonal COLUMN indices are
+    randomly jittered by up to ``jitter`` — a "banded-broken random"
+    pattern: the band locality survives but no diagonal structure does
+    (DIA extraction fails; the W-SELL general format is the fast path).
+    The benchmark matrix class for unstructured-SpMV measurements."""
+    n = m ** 3
+    i = np.arange(n)
+    iz, iy, ix = i // (m * m), (i // m) % m, i % m
+    rows, cols, vals = [i], [i], [np.full(n, 6.0)]
+    rng = np.random.default_rng(seed)
+    for off, valid in (
+        (1, ix < m - 1), (-1, ix > 0),
+        (m, iy < m - 1), (-m, iy > 0),
+        (m * m, iz < m - 1), (-m * m, iz > 0),
+    ):
+        r = i[valid]
+        c = np.clip(r + off + rng.integers(-jitter, jitter + 1, r.shape[0]), 0, n - 1)
+        rows.append(r)
+        cols.append(c)
+        vals.append(np.full(r.shape[0], -1.0))
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    v = np.concatenate(vals)
+    # jitter collisions sum like the reference's triplet addEntry (h:607-618)
+    key = r * np.int64(n) + c
+    order = np.argsort(key, kind="stable")
+    key, r, c, v = key[order], r[order], c[order], v[order]
+    uniq = np.ones(key.shape[0], bool)
+    uniq[1:] = key[1:] != key[:-1]
+    grp = np.cumsum(uniq) - 1
+    v_sum = np.zeros(int(grp[-1]) + 1)
+    np.add.at(v_sum, grp, v)
+    return _csr_from_sorted_host(r[uniq], c[uniq], v_sum.astype(dtype), (n, n))
+
+
+def sherman1_tiled(copies: int, seed: int = 0, dtype=np.float64) -> CSRMatrix:
+    """'sherman1-class scaled up': block-diagonal copies of the reference
+    sherman1 pattern (test/assets/sherman1_1000_1000_2375.mtx) with
+    per-copy random column jitter — an oil-reservoir-style unstructured
+    pattern at benchmark scale."""
+    from ..io import load_matrix_csr
+
+    a = load_matrix_csr(
+        "/root/reference/test/assets/sherman1_1000_1000_2375.mtx"
+    )
+    r0 = np.asarray(a.row_ids, np.int64)
+    c0 = np.asarray(a.indices, np.int64)
+    v0 = np.asarray(a.data)
+    nb = a.shape[0]
+    n = nb * copies
+    rng = np.random.default_rng(seed)
+    rs, cs, vs = [], [], []
+    for k in range(copies):
+        c = np.clip(c0 + rng.integers(-2, 3, c0.shape[0]), 0, nb - 1)
+        rs.append(r0 + k * nb)
+        cs.append(c + k * nb)
+        vs.append(v0)
+    r = np.concatenate(rs)
+    c = np.concatenate(cs)
+    v = np.concatenate(vs)
+    key = r * np.int64(n) + c
+    order = np.argsort(key, kind="stable")
+    key, r, c, v = key[order], r[order], c[order], v[order]
+    uniq = np.ones(key.shape[0], bool)
+    uniq[1:] = key[1:] != key[:-1]
+    grp = np.cumsum(uniq) - 1
+    v_sum = np.zeros(int(grp[-1]) + 1)
+    np.add.at(v_sum, grp, v)
+    return _csr_from_sorted_host(r[uniq], c[uniq], v_sum.astype(dtype), (n, n))

@@ -268,3 +268,44 @@ def test_exact_deep_sweeps_warns():
         m = get_preconditioner(a, "sgs", method="jacobi", sweeps=4)
     assert not any("practically unusable" in str(x.message) for x in w)
     assert m.fwd.depth == -1  # not computed
+
+
+class TestChebyshevPreconditioner:
+    """Polynomial preconditioning (precond/cheby_poly.py) — TPU-native
+    addition: the apply is k SpMVs with A itself."""
+
+    def test_apply_approximates_inverse(self):
+        a = poisson_2d(12)
+        m = get_preconditioner(a, "chebyshev", degree=24)
+        r = jnp.asarray(np.random.default_rng(0).normal(size=a.shape[0]))
+        z = m.apply(r)
+        # p_k(A) r ~= A^{-1} r: the preconditioned residual must shrink a lot
+        res = np.linalg.norm(np.asarray(a @ z - r)) / np.linalg.norm(
+            np.asarray(r)
+        )
+        assert res < 0.15
+
+    def test_pcg_converges_faster(self):
+        a = poisson_2d(24)
+        n = a.shape[0]
+        b = a @ jnp.ones(n, jnp.float64)
+        plain = cg(a, b, epsilon=1e-10)
+        m = get_preconditioner(a, "cheby", degree=8)
+        pre = cg(a, b, epsilon=1e-10, preconditioner=m)
+        assert pre.status_enum() == SolverStatus.SUCCESS
+        np.testing.assert_allclose(np.asarray(pre.x), 1.0, atol=1e-7)
+        # polynomial preconditioning trades matvecs for iterations (and
+        # hence dots/axpys); a degree-8 polynomial roughly halves the
+        # outer iteration count at this conditioning
+        assert int(pre.iterations) < int(plain.iterations)
+
+    def test_linear_operator(self):
+        # the fixed-step apply must be LINEAR (required for CG theory)
+        a = poisson_2d(8)
+        m = get_preconditioner(a, "cheby", degree=5)
+        rng = np.random.default_rng(1)
+        u = jnp.asarray(rng.normal(size=a.shape[0]))
+        v = jnp.asarray(rng.normal(size=a.shape[0]))
+        lhs = np.asarray(m.apply(2.5 * u - 1.25 * v))
+        rhs = 2.5 * np.asarray(m.apply(u)) - 1.25 * np.asarray(m.apply(v))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-10, atol=1e-12)
