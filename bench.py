@@ -148,7 +148,9 @@ def main() -> None:
         try:
             from sparse_matrix_math_tpu.precond import PaddedSGS
 
-            bs_pre = PaddedSGS.from_dia(dia, sweeps=2)
+            # sweeps=4: measured on hardware — 2 sweeps still lets f32
+            # BiCGStab blow up at this scale, 4 converges (1192 iters)
+            bs_pre = PaddedSGS.from_dia(dia, sweeps=4)
         except Exception:
             bs_pre = None
     bs_res, bs_time = timed_solve(bicgstab, preconditioner=bs_pre)

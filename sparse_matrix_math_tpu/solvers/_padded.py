@@ -154,9 +154,11 @@ def _padded_solve_jit(
         invp = pdia.to_padded(inv_diag)  # pad zeros: z padding stays 0
         apply_ = lambda r: r * invp  # noqa: E731
     elif pre_kind == "sgs":
-        apply_ = lambda r: psgs.apply_padded(  # noqa: E731
-            r, resident=resident, interpret=interpret
-        )
+        # fused halo-deep-sweep kernel: ONE Pallas call per apply instead
+        # of one per sweep per factor (ops/pallas_trisweep.py)
+        from ..ops.pallas_trisweep import sgs_apply_fused
+
+        apply_ = lambda r: sgs_apply_fused(psgs, r, interpret=interpret)  # noqa: E731
     elif pre_kind == "cheby":
         from ..precond.cheby_poly import cheby_apply_fn
 

@@ -309,3 +309,44 @@ class TestChebyshevPreconditioner:
         lhs = np.asarray(m.apply(2.5 * u - 1.25 * v))
         rhs = 2.5 * np.asarray(m.apply(u)) - 1.25 * np.asarray(m.apply(v))
         np.testing.assert_allclose(lhs, rhs, rtol=1e-10, atol=1e-12)
+
+
+class TestFusedSGSApply:
+    """ops/pallas_trisweep.py: the fused halo-deep-sweep SGS apply must
+    match the compositional padded apply exactly (same math, one kernel)."""
+
+    @pytest.mark.parametrize("sweeps", [2, 4])
+    def test_matches_compositional(self, sweeps):
+        from sparse_matrix_math_tpu.formats.dia import dia_from_csr
+        from sparse_matrix_math_tpu.ops.pallas_trisweep import sgs_apply_fused
+        from sparse_matrix_math_tpu.precond import PaddedSGS
+
+        a = poisson_2d(40, dtype=np.float32)  # big enough for > 1 window
+        dia = dia_from_csr(a)
+        p = PaddedSGS.from_dia(dia, sweeps=sweeps)
+        ref_layout = p.p_lower
+        r = ref_layout.to_padded(
+            jnp.asarray(
+                np.random.default_rng(0)
+                .standard_normal(a.shape[0])
+                .astype(np.float32)
+            )
+        )
+        want = p.apply_padded(r, resident=True, interpret=True)
+        got = sgs_apply_fused(p, r, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+    def test_small_matrix_fallback(self):
+        from sparse_matrix_math_tpu.formats.dia import dia_from_csr
+        from sparse_matrix_math_tpu.ops.pallas_trisweep import sgs_apply_fused
+        from sparse_matrix_math_tpu.precond import PaddedSGS
+
+        a = poisson_2d(6, dtype=np.float64)
+        dia = dia_from_csr(a)
+        p = PaddedSGS.from_dia(dia, sweeps=3)
+        r = p.p_lower.to_padded(jnp.ones(a.shape[0], jnp.float64))
+        want = p.apply_padded(r, resident=True, interpret=True)
+        got = sgs_apply_fused(p, r, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
