@@ -398,11 +398,16 @@ def _ell_spmv_call(vals, cols, x, *, shape, interpret=False):
 def ell_spmv(a: ELLMatrix, x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
     """y = A @ x for an ELL matrix via the Pallas gather kernel.
 
-    Current Mosaic stacks reject in-kernel gathers ("Only 2D gather is
-    supported"), so on a real TPU this transparently falls back to the
-    XLA gather formulation (ops/spmv.py) — same result, compiled path.
-    The Pallas kernel remains exercised in interpret mode and activates
-    automatically on stacks that gain gather support.
+    Current Mosaic stacks reject in-kernel 1-D gathers ("Only 2D gather
+    is supported"), so on a real TPU this transparently falls back to
+    the XLA gather formulation (ops/spmv.py) — same result, compiled
+    path.  The HARDWARE answer to general-pattern gathers is the W-SELL
+    format (formats/wsell.py + ops/pallas_wsell.py), which restructures
+    the same computation around the 2-D gather forms Mosaic does support
+    and runs ~40-70x faster than this fallback on chip — convert with
+    ``wsell_from_csr`` for repeated SpMVs on general patterns.  The
+    Pallas ELL kernel remains exercised in interpret mode and activates
+    automatically on stacks that gain 1-D gather support.
     """
     if not interpret and jax.default_backend() == "tpu":
         from .spmv import _rmult_ell
