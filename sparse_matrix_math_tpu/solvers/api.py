@@ -44,6 +44,37 @@ SOLVERS = {
 _PRECONDITIONABLE = {"cg", "conjugate_gradient", "bicgstab"}
 
 
+def _build_preconditioner(a, kind: str, options):
+    """Resolve a preconditioner spec for the matrix's format.
+
+    CSR takes every kind (get_preconditioner); DIA takes the kinds whose
+    factors are representable in the diagonal domain: 'sgs' (PaddedSGS,
+    the padded-fast-path apply) and 'chebyshev' (format-agnostic).
+    """
+    from ..formats.dia import DIAMatrix
+
+    if isinstance(a, CSRMatrix):
+        return get_preconditioner(a, kind, **options)
+    k = kind.lower() if isinstance(kind, str) else kind
+    if k in ("cheby", "chebyshev", "poly", "polynomial"):
+        from ..precond.cheby_poly import ChebyshevPreconditioner
+
+        return ChebyshevPreconditioner.from_matrix(a, **options)
+    if isinstance(a, DIAMatrix) and k in (
+        "sgs", "symmetric_gauss_seidel", "symmetric_gaus_seidel"
+    ):
+        from ..precond.padded_sgs import PaddedSGS
+
+        opts = dict(options)
+        opts.setdefault("sweeps", 4)
+        return PaddedSGS.from_dia(a, **opts)
+    raise ValueError(
+        f"preconditioner {kind!r} is not buildable for "
+        f"{type(a).__name__}; construct from CSR (get_preconditioner) "
+        "or pass a preconditioner object directly"
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Runtime solver configuration (SURVEY §5 config-system plan)."""
@@ -107,9 +138,7 @@ def solve(
                 f"{method} does not take a preconditioner "
                 "(reference parity: only CG and BiCGStab do)"
             )
-        if not isinstance(a, CSRMatrix):
-            raise ValueError("preconditioners are built from CSR matrices")
-        kwargs["preconditioner"] = get_preconditioner(
-            a, cfg.preconditioner, **cfg.preconditioner_options
+        kwargs["preconditioner"] = _build_preconditioner(
+            a, cfg.preconditioner, cfg.preconditioner_options
         )
     return SOLVERS[method](a, b, x0, **kwargs)

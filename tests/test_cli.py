@@ -62,3 +62,26 @@ class TestCLI:
         ])
         assert rc == 0
         assert out["csr"]["gnnz_per_s"] > 0
+
+
+def test_solve_api_dia_preconditioners():
+    """solve() builds DIA-domain preconditioners (PaddedSGS / Chebyshev)
+    without a CSR detour (round-2 API coherence)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparse_matrix_math_tpu import solve
+    from sparse_matrix_math_tpu.formats.dia import dia_from_csr
+    from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+    csr = poisson_2d(16, dtype=np.float64)
+    dia = dia_from_csr(csr)
+    b = csr @ jnp.ones(csr.shape[0], jnp.float64)
+    r1 = solve(dia, b, method="cg", preconditioner="sgs",
+               preconditioner_options={"sweeps": 2}, epsilon=1e-8)
+    assert int(r1.status) == 0
+    r2 = solve(dia, b, method="cg", preconditioner="chebyshev",
+               preconditioner_options={"degree": 4}, epsilon=1e-8)
+    assert int(r2.status) == 0
+    with pytest.raises(ValueError):
+        solve(dia, b, method="cg", preconditioner="ic0")
