@@ -26,10 +26,11 @@ W-SELL restructures SpMV so those three ops are sufficient:
    (scatter-aligned).  The gather runs in two supported steps: axis-0
    select by the 3-bit sublane index stored per SOURCE lane, then axis-1
    routing from source lane c%128 to slot lane r%128.
-4. Slot rows are **uniform in target sublane** t = (r%1024)//128, so the
-   reduction into the (8, 128) y-slab is one tiny one-hot (8x8) matmul —
-   no scatter at all.  Consecutive vregs of the same slab accumulate into
-   the same output block (Pallas revisiting).
+4. Slot rows are placed by the STATIC-TARGET rule — a row holding rows
+   of target sublane t sits at vreg position t — so each products vreg
+   IS its (8, 128) y-slab contribution: the reduction is the identity,
+   no scatter at all.  Consecutive vregs of the same slab accumulate
+   into the VMEM-resident y.
 
 Build-time constraints (per slot row: distinct source lanes unless the
 column is identical; one slot per lane) are satisfied by a vectorised
@@ -62,8 +63,13 @@ WIN = 1024       # aligned column window (8 x-table sublane rows)
 # meta bit layout (per slot-grid position):
 #   bits 0-2   SW    sublane-in-window of the column read through THIS lane
 #   bits 3-9   LSRC  source lane (c % 128) of the slot AT this lane
-#   bits 10-12 TGT   target y sublane of this row (uniform per row)
-_SW_BITS, _LSRC_SHIFT, _TGT_SHIFT = 7, 3, 10
+# (the target sublane is implicit in the static-target layout: vreg
+# position i holds only rows targeting y sublane i)
+_SW_BITS, _LSRC_SHIFT = 7, 3
+
+# vregs per kernel grid step; the builder pads the vreg count so the
+# kernel's blocked streams need no per-call padding (ops/pallas_wsell.py)
+CHUNK_VREGS = 256
 
 
 def _round_up(x: int, m: int) -> int:
@@ -76,7 +82,7 @@ class WSellMatrix:
     """Windowed sliced-ELL matrix (see module docstring for layout)."""
 
     vals: jnp.ndarray   # (V*8, 128) slot values (0 in padding)
-    meta: jnp.ndarray   # (V*8, 128) int32 packed SW|LSRC|TGT
+    meta: jnp.ndarray   # (V*8, 128) int32 packed SW|LSRC
     base: jnp.ndarray   # (V,) int32 x-table sublane base per vreg
     slab: jnp.ndarray   # (V,) int32 nondecreasing output slab per vreg
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
@@ -283,6 +289,12 @@ def wsell_from_csr(
     )
     vreg_start = np.cumsum(all_kv) - all_kv
     n_vregs = int(all_kv.sum())
+    # chunk-align the vreg count at BUILD time so SpMV calls stream the
+    # planes as-is (no per-call pad/copy of O(nnz) arrays)
+    if n_vregs > CHUNK_VREGS:
+        n_vregs_padded = -(-n_vregs // CHUNK_VREGS) * CHUNK_VREGS
+    else:
+        n_vregs_padded = n_vregs
 
     # map each nnz's (real) job to its position in the final job order
     job_pos = np.empty(all_slab.shape[0], np.int64)
@@ -294,18 +306,24 @@ def wsell_from_csr(
     else:
         row_global = np.zeros(0, np.int64)
 
-    total_rows = n_vregs * 8
+    total_rows = n_vregs_padded * 8
     vals_plane = np.zeros((total_rows, LANE), dtype=v.dtype)
     vals_plane[row_global, lane_out] = v
     lsrc_plane = np.zeros((total_rows, LANE), np.int32)
     lsrc_plane[row_global, lane_out] = lsrc.astype(np.int32)
     sw_plane = np.zeros((total_rows, LANE), np.int32)
-    tgt_rows = np.zeros(total_rows, np.int32)
-    tgt_rows[row_global] = t_of.astype(np.int32)
 
-    # per-vreg window base (already clamped into the padded x table)
-    base_vreg = np.repeat(all_base.astype(np.int32), all_kv)
-    slab_vreg = np.repeat(all_slab.astype(np.int32), all_kv)
+    # per-vreg window base (already clamped into the padded x table);
+    # chunk-pad vregs carry zero values and point at the last slab
+    pad_v = n_vregs_padded - n_vregs
+    base_vreg = np.concatenate([
+        np.repeat(all_base.astype(np.int32), all_kv),
+        np.zeros(pad_v, np.int32),
+    ])
+    slab_vreg = np.concatenate([
+        np.repeat(all_slab.astype(np.int32), all_kv),
+        np.full(pad_v, n_slabs - 1, np.int32),
+    ])
 
     if r.size:
         sw = (c // LANE - base_vreg[row_global // 8].astype(np.int64)).astype(
@@ -315,11 +333,7 @@ def wsell_from_csr(
             raise AssertionError("window base math violated sw in [0, 8)")
         sw_plane[row_global, lsrc] = sw
 
-    meta = (
-        sw_plane
-        | (lsrc_plane << _LSRC_SHIFT)
-        | (tgt_rows[:, None] << _TGT_SHIFT)
-    ).astype(np.int32)
+    meta = (sw_plane | (lsrc_plane << _LSRC_SHIFT)).astype(np.int32)
 
     slot_ratio = float(total_rows * LANE / max(csr.nnz, 1))
     if slot_ratio > max_slot_ratio:

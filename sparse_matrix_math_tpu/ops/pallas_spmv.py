@@ -174,10 +174,17 @@ class PaddedDIA:
 
 
 def _dia_layout_params(offsets, shape, rows_blk: int):
-    """Static layout geometry: (lblk, nblk, rblk, total elems)."""
+    """Static layout geometry: (lblk, nblk, rblk, total elems).
+
+    At least one leading guard block is ALWAYS allocated (even for
+    matrices with no sub-diagonal): downstream kernels — notably the
+    fused SGS sweeps (ops/pallas_trisweep.py) — rely on the first rows
+    of the layout being zero-padding so that clamped window bases at the
+    array edge only ever misalign guard rows.
+    """
     n_rows, n_cols = shape
     blk = rows_blk * _LANE
-    lblk = max((-min(offsets) + blk - 1) // blk, 0)
+    lblk = max((-min(offsets) + blk - 1) // blk, 1)
     nblk = (max(n_rows, n_cols) + blk - 1) // blk
     # trailing blocks must cover the largest read: base + off + window
     max_off = max(max(offsets), 0)

@@ -172,6 +172,11 @@ def sgs_apply_fused(psgs, r_padded: jnp.ndarray, *, interpret: bool = False):
         # matrix smaller than one halo-deep window: the compositional
         # apply is cheap at this size and avoids degenerate windows
         return psgs.apply_padded(r_padded, resident=True, interpret=interpret)
+    if psgs.lead // _LANE < m0:
+        # the correctness argument requires the first m0 window rows to
+        # be layout guard rows (zero diags/inv-diag); with extreme
+        # offsets the lead padding may not cover them — fall back
+        return psgs.apply_padded(r_padded, resident=True, interpret=interpret)
 
     ld = pL.diags3 if pL is not None else jnp.zeros((1, tot_rows, _LANE), dtype)
     ud = pU.diags3 if pU is not None else jnp.zeros((1, tot_rows, _LANE), dtype)

@@ -32,11 +32,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats.wsell import _LSRC_SHIFT, _SW_BITS, LANE, WSellMatrix
+from ..formats.wsell import (
+    _LSRC_SHIFT,
+    _SW_BITS,
+    CHUNK_VREGS,
+    LANE,
+    WSellMatrix,
+)
 
 __all__ = ["wsell_spmv", "CHUNK_VREGS"]
-
-CHUNK_VREGS = 256  # vregs per grid step (tall tile = 2048 x 128)
 
 
 def _wsell_kernel(
@@ -90,16 +94,15 @@ def wsell_spmv(a: WSellMatrix, x: jnp.ndarray, *, interpret: bool = False):
     xt = jnp.pad(x.astype(dtype), (0, a.x_rows * LANE - n_cols)).reshape(
         a.x_rows, LANE
     )
+    # the builder chunk-aligns the vreg count (formats/wsell.py), so the
+    # O(nnz) planes stream as-is — no per-call padding copies
     n_vregs = a.n_vregs
-    chunk = min(CHUNK_VREGS, max(-(-n_vregs // 8) * 8, 8))
-    n_chunks = -(-n_vregs // chunk)
-    rows_pad = n_chunks * chunk * 8
-    meta = jnp.pad(a.meta, ((0, rows_pad - n_vregs * 8), (0, 0)))
-    vals = jnp.pad(a.vals.astype(dtype), ((0, rows_pad - n_vregs * 8), (0, 0)))
-    vpad = n_chunks * chunk - n_vregs
-    base = jnp.pad(a.base, (0, vpad))
-    # pad vregs carry zero values; point them at the last slab (harmless)
-    slab = jnp.pad(a.slab, (0, vpad), constant_values=a.n_slabs - 1)
+    chunk = n_vregs if n_vregs <= CHUNK_VREGS else CHUNK_VREGS
+    assert n_vregs % chunk == 0, "builder must chunk-align the vreg count"
+    n_chunks = n_vregs // chunk
+    meta = a.meta
+    vals = a.vals if a.vals.dtype == dtype else a.vals.astype(dtype)
+    base, slab = a.base, a.slab
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -662,19 +662,10 @@ def dist_solve(
     eps = jnp.asarray(epsilon, dtype=b_arr.dtype)
 
     if solver == "chebyshev" and eig_bounds is None:
+        from ..solvers.chebyshev import widen_eig_bounds
+
         lo, hi = dist_lanczos_extremal(a, mesh, k=min(32, a.shape[0]))
-        # Sign-aware widening (see solvers/chebyshev.py): `lo * 0.9` would
-        # narrow a slightly negative Lanczos lmin INTO the spectrum.
-        lo = lo - 0.1 * abs(lo)
-        hi = hi + 0.05 * abs(hi)
-        if lo <= 0.0:
-            lo = 1e-8 * max(hi, 1.0)
-        if hi <= lo:
-            raise ValueError(
-                f"chebyshev: estimated spectrum [{lo}, {hi}] is not "
-                "positive-definite; supply eig_bounds= explicitly"
-            )
-        eig_bounds = (lo, hi)
+        eig_bounds = widen_eig_bounds(lo, hi)
     cheb = (
         (float(eig_bounds[0]), float(eig_bounds[1]), int(check_every))
         if solver == "chebyshev"

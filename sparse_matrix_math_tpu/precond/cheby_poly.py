@@ -95,14 +95,10 @@ class ChebyshevPreconditioner:
         if degree < 1:
             raise ValueError("degree must be >= 1")
         if eig_bounds is None:
-            from ..solvers.chebyshev import lanczos_extremal
+            from ..solvers.chebyshev import lanczos_extremal, widen_eig_bounds
 
             lo, hi = lanczos_extremal(a)
-            lo = lo - 0.1 * abs(lo)
-            hi = hi + 0.05 * abs(hi)
-            if lo <= 0.0:
-                lo = 1e-8 * max(hi, 1.0)
-            eig_bounds = (lo, hi)
+            eig_bounds = widen_eig_bounds(lo, hi)
         return cls(
             a=a, lmin=float(eig_bounds[0]), lmax=float(eig_bounds[1]),
             degree=int(degree),

@@ -113,7 +113,12 @@ def padded_solve(
         pre_kind = "sgs"
     elif isinstance(preconditioner, ChebyshevPreconditioner):
         # the polynomial apply is k applications of A itself — reuse the
-        # padded matvec; only the static bounds/degree cross over
+        # padded matvec; only the static bounds/degree cross over.  That
+        # rewrite is only valid when the preconditioner really wraps the
+        # matrix being solved; otherwise keep the generic path (which
+        # applies p_k(preconditioner.a) as documented).
+        if preconditioner.a is not a:
+            return None
         pre_kind = "cheby"
         cheby = (
             preconditioner.lmin, preconditioner.lmax, preconditioner.degree

@@ -101,6 +101,10 @@ def solve(
 ) -> SolveResult:
     """Solve ``a @ x = b`` according to ``config`` (plus keyword overrides).
 
+    A 2-D ``b`` of shape (n, m) is a multi-RHS panel: it routes through
+    :func:`solvers.block.cg_multi` and returns a ``MultiSolveResult``
+    (per-column statuses) instead of a SolveResult.
+
     >>> solve(a, b, method="bicgstab", preconditioner="sgs", epsilon=1e-8)
     """
     cfg = (config or SolverConfig()).replace(**overrides) if (
@@ -113,7 +117,8 @@ def solve(
         )
     if getattr(b, "ndim", 1) == 2:
         # multi-RHS panel: route through the blocked solver (one SpMM
-        # feeds every column — solvers/block.py)
+        # feeds every column — solvers/block.py).  Returns a
+        # MultiSolveResult (per-column statuses), not a SolveResult.
         from .block import cg_multi
 
         if method not in ("cg", "conjugate_gradient"):
@@ -123,6 +128,11 @@ def solve(
             )
         if cfg.preconditioner not in (None, "none"):
             raise ValueError("cg_multi does not take a preconditioner yet")
+        if cfg.record_residuals:
+            raise ValueError(
+                "cg_multi does not record residual traces; call it per "
+                "column (or vmap a single-RHS solver) for traces"
+            )
         return cg_multi(
             a, b, x0,
             max_iterations=cfg.max_iterations, epsilon=cfg.epsilon,

@@ -32,7 +32,31 @@ from ..ops.spmv import as_operator, matvec_fn
 from ..ops.vector import dot
 from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
 
-__all__ = ["chebyshev", "chebyshev_core", "lanczos_extremal"]
+__all__ = [
+    "chebyshev", "chebyshev_core", "lanczos_extremal", "widen_eig_bounds",
+]
+
+
+def widen_eig_bounds(lo: float, hi: float) -> Tuple[float, float]:
+    """Sign-aware widening of interior Lanczos eigenvalue estimates.
+
+    ``lo * 0.9`` would NARROW a slightly negative lo (near-singular SPD
+    + f32 roundoff) into the spectrum; widen with sign-aware margins,
+    clamp a nonpositive lo to a small positive floor (SPD spectra are
+    positive), and fail loudly when the result is not a valid positive
+    interval.  Shared by chebyshev(), dist_solve() and the polynomial
+    preconditioner so the three sites cannot drift.
+    """
+    lo = lo - 0.1 * abs(lo)
+    hi = hi + 0.05 * abs(hi)
+    if lo <= 0.0:
+        lo = 1e-8 * max(hi, 1.0)
+    if hi <= lo:
+        raise ValueError(
+            f"estimated spectrum [{lo}, {hi}] is not positive-definite; "
+            "supply eig_bounds= explicitly"
+        )
+    return lo, hi
 
 
 def lanczos_extremal(
@@ -105,21 +129,7 @@ def chebyshev(
     maxiter = resolve_max_iterations(max_iterations, n)
     if eig_bounds is None:
         lo, hi = lanczos_extremal(a, k=min(32, n), n=n)
-        # Lanczos estimates are interior (lo >= lmin, hi <= lmax); widen
-        # with SIGN-AWARE margins — `lo * 0.9` would NARROW a slightly
-        # negative lo (near-singular SPD + f32 roundoff) into the
-        # spectrum.  A nonpositive widened lo means the recurrence has no
-        # valid ellipse: fail loudly instead of stalling silently.
-        lo = lo - 0.1 * abs(lo)
-        hi = hi + 0.05 * abs(hi)
-        if lo <= 0.0:
-            lo = 1e-8 * max(hi, 1.0)  # clamp: SPD spectra are positive
-        if hi <= lo:
-            raise ValueError(
-                f"chebyshev: estimated spectrum [{lo}, {hi}] is not "
-                "positive-definite; supply eig_bounds= explicitly"
-            )
-        eig_bounds = (lo, hi)
+        eig_bounds = widen_eig_bounds(lo, hi)
     eps = jnp.asarray(epsilon, dtype=b.dtype)
     return _chebyshev_loop(
         a, b, x0, eps, float(eig_bounds[0]), float(eig_bounds[1]),

@@ -179,16 +179,32 @@ def laplace_3d_jittered(
     return _csr_from_sorted_host(r[uniq], c[uniq], v_sum.astype(dtype), (n, n))
 
 
-def sherman1_tiled(copies: int, seed: int = 0, dtype=np.float64) -> CSRMatrix:
-    """'sherman1-class scaled up': block-diagonal copies of the reference
-    sherman1 pattern (test/assets/sherman1_1000_1000_2375.mtx) with
-    per-copy random column jitter — an oil-reservoir-style unstructured
-    pattern at benchmark scale."""
+def sherman1_tiled(
+    copies: int, seed: int = 0, dtype=np.float64, mtx_path: str = None
+) -> CSRMatrix:
+    """'sherman1-class scaled up': block-diagonal copies of the sherman1
+    pattern with per-copy random column jitter — an oil-reservoir-style
+    unstructured pattern at benchmark scale.
+
+    ``mtx_path`` locates the seed matrix; defaults to the
+    ``SMM_SHERMAN1_MTX`` environment variable or this build environment's
+    reference checkout, and raises a clear error when neither exists.
+    """
+    import os
+
     from ..io import load_matrix_csr
 
-    a = load_matrix_csr(
-        "/root/reference/test/assets/sherman1_1000_1000_2375.mtx"
-    )
+    if mtx_path is None:
+        mtx_path = os.environ.get(
+            "SMM_SHERMAN1_MTX",
+            "/root/reference/test/assets/sherman1_1000_1000_2375.mtx",
+        )
+    if not os.path.exists(mtx_path):
+        raise FileNotFoundError(
+            f"sherman1 seed matrix not found at {mtx_path!r}; pass "
+            "mtx_path= or set SMM_SHERMAN1_MTX"
+        )
+    a = load_matrix_csr(mtx_path)
     r0 = np.asarray(a.row_ids, np.int64)
     c0 = np.asarray(a.indices, np.int64)
     v0 = np.asarray(a.data)

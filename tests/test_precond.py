@@ -350,3 +350,34 @@ class TestFusedSGSApply:
         want = p.apply_padded(r, resident=True, interpret=True)
         got = sgs_apply_fused(p, r, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
+
+    def test_no_subdiagonal_matrix(self):
+        """Regression (round-2 review): a DIA matrix with no sub-diagonal
+        used to get a padded layout with no leading guard block, so the
+        fused kernel's first window rows were REAL rows that never
+        received sweep updates — silently wrong first ~1024 entries."""
+        import jax.numpy as jnp
+
+        from sparse_matrix_math_tpu.formats.dia import DIAMatrix
+        from sparse_matrix_math_tpu.ops.pallas_trisweep import sgs_apply_fused
+        from sparse_matrix_math_tpu.precond import PaddedSGS
+
+        n = 200_000
+        rng = np.random.default_rng(0)
+        diags = jnp.asarray(
+            np.stack([
+                rng.uniform(2.0, 3.0, n),          # main
+                rng.uniform(-1.0, -0.5, n),        # +1 super-diagonal
+            ]).astype(np.float32)
+        )
+        a = DIAMatrix(diags=diags, offsets=(0, 1), shape=(n, n), nnz=2 * n - 1)
+        p = PaddedSGS.from_dia(a, sweeps=4)
+        ref_layout = p.p_upper
+        r = ref_layout.to_padded(
+            jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        )
+        want = p.apply_padded(r, resident=True, interpret=True)
+        got = sgs_apply_fused(p, r, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
