@@ -58,11 +58,13 @@ def _lane_shifted(w, r: int, rows_blk: int):
     """Rotate a (rows_blk + 1, 128) window left by ``r`` lanes in flat
     order: lanes j < 128-r come from row i rotated, lanes j >= 128-r from
     row i+1 (pltpu.roll requires a POSITIVE shift on this stack, so
-    left-rotate r == right-rotate 128-r).  Shared by all three DIA
-    kernels — the index math lives only here."""
+    left-rotate r == right-rotate 128-r).  Shared by all DIA-family
+    kernels — the index math lives only here.  The shift is pinned to
+    int32: under jax_enable_x64 a bare Python int becomes an i64
+    constant, which tpu.dynamic_rotate rejects."""
     if r == 0:
         return w[:-1, :]
-    rolled = pltpu.roll(w, _LANE - r, 1)
+    rolled = pltpu.roll(w, np.int32(_LANE - r), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, _LANE), dimension=1)
     return jnp.where(lane < _LANE - r, rolled[:-1, :], rolled[1:, :])
 
