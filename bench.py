@@ -139,6 +139,25 @@ def main() -> None:
     from sparse_matrix_math_tpu import bicgstab
 
     cg_res, cg_time = timed_solve(cg)
+
+    # Geometric-multigrid-preconditioned CG (solvers/multigrid.py): the
+    # operator-aware solver — O(10) iterations mesh-independently.  The
+    # reference has nothing comparable (its best is IC(0) PCG).
+    mg_entry = None
+    try:
+        from sparse_matrix_math_tpu.solvers.multigrid import PoissonMultigrid
+
+        mg = PoissonMultigrid.for_grid(nx)
+        mg_res, mg_time = timed_solve(cg, preconditioner=mg)
+        mg_entry = {
+            "status": int(mg_res.status),
+            "iterations": int(mg_res.iterations),
+            "residual": _finite(mg_res.residual_norm),
+            "time_to_tol_s": round(mg_time, 4),
+            "speedup_vs_plain_cg": round(cg_time / mg_time, 2),
+        }
+    except Exception:
+        mg_entry = None
     # BiCGStab preconditioned with truncated-sweep SGS in the padded
     # domain (precond/padded_sgs.py) — unpreconditioned f32 BiCGStab is
     # unstable at this scale (the reference notes the same instability,
@@ -219,6 +238,7 @@ def main() -> None:
             k: (round(v * 1e3, 4) if np.isfinite(v) else None)
             for k, v in results.items()
         },
+        "pcg_multigrid": mg_entry,
         "cg": {
             "status": int(cg_res.status),
             "iterations": int(cg_res.iterations),

@@ -43,6 +43,7 @@ from .solvers.cg import cg, conjugate_gradient
 from .solvers.cgs import cgs, conjugate_gradient_squared
 from .solvers.chebyshev import chebyshev, lanczos_extremal
 from .solvers.implicit import cg_solve
+from .solvers.multigrid import PoissonMultigrid
 from .solvers.pipelined import cg_pipelined
 from .solvers.types import SolveResult, SolverStatus
 from .utils.checkpoint import (
@@ -72,7 +73,7 @@ __all__ = [
     "bicg_symmetric", "bicgstab", "cg", "conjugate_gradient",
     "cgs", "conjugate_gradient_squared", "cg_solve",
     "chebyshev", "lanczos_extremal", "cg_pipelined",
-    "cg_multi", "MultiSolveResult",
+    "cg_multi", "MultiSolveResult", "PoissonMultigrid",
     "SolveResult", "SolverStatus", "SolverConfig", "solve",
     "checkpointed_solve", "load_checkpoint", "save_checkpoint",
     "load_csr_npz", "save_csr_npz",

@@ -6,5 +6,6 @@ from .cg import cg, conjugate_gradient
 from .cgs import cgs, conjugate_gradient_squared
 from .chebyshev import chebyshev, lanczos_extremal
 from .implicit import cg_solve
+from .multigrid import PoissonMultigrid
 from .pipelined import cg_pipelined
 from .types import SolveResult, SolverStatus, resolve_max_iterations

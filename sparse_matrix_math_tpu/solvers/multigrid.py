@@ -1,0 +1,233 @@
+"""Geometric multigrid for 2-D 5-point Poisson-class grids.
+
+The reference tops out at Krylov + one-level preconditioners; on a
+machine whose SpMV runs at the HBM roofline, no one-level
+preconditioner can buy back its own apply cost (measured —
+docs/BENCH_NOTES.md).  The operator-aware answer is multigrid: O(1)
+V-cycles, each a handful of stencil applies, instead of O(sqrt(kappa))
+Krylov iterations.  This module implements classical geometric MG for
+the dimensionless 5-point Laplacian family that `utils.generate
+.poisson_2d` produces (diag 4, neighbors -1, homogeneous Dirichlet) —
+the benchmark system class:
+
+* vectors live GRID-SHAPED (ny, nx): every operator — the 5-point
+  stencil apply, bilinear prolongation, full-weighting restriction — is
+  a few shifted adds XLA fuses into bandwidth-bound elementwise code.
+  No gather, no Pallas needed;
+* smoothing: weighted Jacobi (omega = 4/5, the classical optimum for
+  the model problem);
+* coarse grids: rediscretised 5-point operators (entries stay (4, -1)
+  in the h^2-scaled convention, so the restricted residual carries the
+  standard factor-4 level scaling via R = P^T);
+* coarsest level (<= 31 points per side): exact dense solve with a
+  precomputed inverse;
+* `PoissonMultigrid.solve` runs V-cycles in a jitted while_loop with
+  the usual SolveResult statuses; `.apply(r)` is one V-cycle — a
+  symmetric positive operation usable as a CG preconditioner.
+
+Numerical contract (tests/test_multigrid.py): residual contraction
+>= 4x per V-cycle on the model family, mesh-size independent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .types import RUNNING, SolveResult, SolverStatus
+
+__all__ = ["PoissonMultigrid"]
+
+# <= this many points per side -> exact dense solve (measured optimum:
+# stopping earlier at ~44 points/side costs more in the dense coarse
+# matmul than the saved small-grid level)
+_COARSEST = 31
+
+
+def _stencil_apply(x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x for the dimensionless 5-point Laplacian on a grid-shaped
+    x (homogeneous Dirichlet outside the grid).  Written as padded
+    shifts — one fused elementwise expression — rather than .at[].add
+    updates, which lower to separate dynamic-update ops."""
+    p = jnp.pad(x, 1)
+    return (
+        4.0 * x
+        - p[:-2, 1:-1]
+        - p[2:, 1:-1]
+        - p[1:-1, :-2]
+        - p[1:-1, 2:]
+    )
+
+
+def _prolong_1d(c: jnp.ndarray, nf: int, axis: int) -> jnp.ndarray:
+    """Bilinear interpolation along ``axis``: coarse node j sits at fine
+    index 2j+1; even fine indices average their coarse neighbors
+    (Dirichlet zeros beyond the ends)."""
+    c = jnp.moveaxis(c, axis, 0)
+    nc = c.shape[0]
+    out = jnp.zeros((nf,) + c.shape[1:], c.dtype)
+    out = out.at[1 : 2 * nc : 2].set(c)
+    cpad = jnp.pad(c, ((1, 1),) + ((0, 0),) * (c.ndim - 1))
+    n_even = (nf + 1) // 2  # fine indices 0, 2, 4, ...
+    avg = 0.5 * (cpad[:n_even] + cpad[1 : n_even + 1])
+    out = out.at[0 : 2 * n_even : 2].set(avg)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def _restrict_1d(f: jnp.ndarray, nc: int, axis: int) -> jnp.ndarray:
+    """Adjoint of :func:`_prolong_1d` (full weighting, level-scaling
+    included): rc[j] = f[2j+1] + 0.5 f[2j] + 0.5 f[2j+2]."""
+    f = jnp.moveaxis(f, axis, 0)
+    fpad = jnp.pad(f, ((0, 2),) + ((0, 0),) * (f.ndim - 1))
+    center = f[1 : 2 * nc : 2]
+    left = fpad[0 : 2 * nc : 2]
+    right = fpad[2 : 2 * nc + 2 : 2]
+    out = center + 0.5 * (left + right)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def _coarse_dims(n: int) -> int:
+    return n // 2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PoissonMultigrid:
+    """Geometric V-cycle solver/preconditioner for `poisson_2d(nx, ny)`.
+
+    ``coarse_inv`` is the dense inverse of the coarsest-level operator.
+    The grid hierarchy is static (baked into the jitted cycle).
+    """
+
+    coarse_inv: jnp.ndarray
+    dims: Tuple[Tuple[int, int], ...] = dataclasses.field(
+        metadata=dict(static=True)
+    )
+    nu1: int = dataclasses.field(metadata=dict(static=True), default=2)
+    nu2: int = dataclasses.field(metadata=dict(static=True), default=2)
+    omega: float = dataclasses.field(metadata=dict(static=True), default=0.8)
+
+    @classmethod
+    def for_grid(
+        cls, nx: int, ny: Optional[int] = None, *,
+        nu1: int = 2, nu2: int = 2, omega: float = 0.8,
+        dtype=jnp.float32,
+    ) -> "PoissonMultigrid":
+        """Build the hierarchy for an ``nx x ny`` interior grid."""
+        ny = nx if ny is None else ny
+        dims = [(int(ny), int(nx))]
+        while min(dims[-1]) > _COARSEST:
+            dims.append(
+                (_coarse_dims(dims[-1][0]), _coarse_dims(dims[-1][1]))
+            )
+        cy, cx = dims[-1]
+        # dense coarsest operator (dimensionless 5-point stencil)
+        n = cy * cx
+        a = np.zeros((n, n))
+        for i in range(n):
+            yy, xx = divmod(i, cx)
+            a[i, i] = 4.0
+            if yy > 0:
+                a[i, i - cx] = -1.0
+            if yy < cy - 1:
+                a[i, i + cx] = -1.0
+            if xx > 0:
+                a[i, i - 1] = -1.0
+            if xx < cx - 1:
+                a[i, i + 1] = -1.0
+        inv = np.linalg.inv(a)
+        return cls(
+            coarse_inv=jnp.asarray(inv, dtype),
+            dims=tuple(dims),
+            nu1=int(nu1), nu2=int(nu2), omega=float(omega),
+        )
+
+    # -- cycle ---------------------------------------------------------------
+
+    def _smooth(self, x, b, steps: int):
+        w = self.omega / 4.0
+        for _ in range(steps):
+            x = x + w * (b - _stencil_apply(x))
+        return x
+
+    def _vcycle(self, b, level: int):
+        """One V-cycle for A e = b from a zero initial guess."""
+        if level == len(self.dims) - 1:
+            flat = self.coarse_inv @ b.reshape(-1).astype(self.coarse_inv.dtype)
+            return flat.reshape(b.shape).astype(b.dtype)
+        x = self._smooth(jnp.zeros_like(b), b, self.nu1)
+        r = b - _stencil_apply(x)
+        cy, cx = self.dims[level + 1]
+        rc = _restrict_1d(_restrict_1d(r, cy, 0), cx, 1)
+        ec = self._vcycle(rc, level + 1)
+        fy, fx = self.dims[level]
+        x = x + _prolong_1d(_prolong_1d(ec, fy, 0), fx, 1)
+        return self._smooth(x, b, self.nu2)
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        """One V-cycle as a linear operator z ~= A^{-1} r (flat in/out:
+        usable directly as a CG preconditioner apply)."""
+        ny, nx = self.dims[0]
+        return self._vcycle(r.reshape(ny, nx), 0).reshape(-1)
+
+    def solve(
+        self,
+        b: jnp.ndarray,
+        x0: Optional[jnp.ndarray] = None,
+        max_iterations: int = 100,
+        epsilon: float = 1e-8,
+    ) -> SolveResult:
+        """Stationary V-cycle iteration to ||r|| <= epsilon."""
+        ny, nx = self.dims[0]
+        bg = b.reshape(ny, nx)
+        x0g = jnp.zeros_like(bg) if x0 is None else x0.reshape(ny, nx)
+        eps = jnp.asarray(epsilon, b.dtype)
+        res = _mg_solve_jit(self, bg, x0g, eps, int(max_iterations))
+        return dataclasses.replace(res, x=res.x.reshape(-1))
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _mg_solve_jit(mg: PoissonMultigrid, b, x0, eps, maxiter: int) -> SolveResult:
+    eps2 = eps * eps
+
+    def rr_of(x):
+        r = b - _stencil_apply(x)
+        return r, jnp.sum(r * r)
+
+    _, rr0 = rr_of(x0)
+
+    def cond(carry):
+        _, rr, k, status = carry
+        return (status == RUNNING) & (k < maxiter)
+
+    def body(carry):
+        x, _, k, status = carry
+        r = b - _stencil_apply(x)
+        x = x + mg._vcycle(r, 0)
+        _, rr = rr_of(x)
+        status = jnp.where(
+            ~jnp.isfinite(rr),
+            SolverStatus.DIVERGED,
+            jnp.where(rr <= eps2, SolverStatus.SUCCESS, RUNNING),
+        ).astype(jnp.int32)
+        return x, rr, k + 1, status
+
+    init_status = jnp.where(rr0 <= eps2, SolverStatus.SUCCESS, RUNNING).astype(
+        jnp.int32
+    )
+    x, rr, k, status = jax.lax.while_loop(
+        cond, body, (x0, rr0, jnp.int32(0), init_status)
+    )
+    status = jnp.where(status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status)
+    return SolveResult(
+        x=x,
+        status=status.astype(jnp.int32),
+        iterations=k,
+        residual_norm=jnp.sqrt(rr),
+        residual_trace=None,
+    )
