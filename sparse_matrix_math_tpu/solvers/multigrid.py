@@ -1,4 +1,4 @@
-"""Geometric multigrid for 2-D 5-point Poisson-class grids.
+"""Geometric multigrid for 2-D/3-D Poisson-class grids (5/7-point).
 
 The reference tops out at Krylov + one-level preconditioners; on a
 machine whose SpMV runs at the HBM roofline, no one-level
@@ -10,17 +10,17 @@ the dimensionless 5-point Laplacian family that `utils.generate
 .poisson_2d` produces (diag 4, neighbors -1, homogeneous Dirichlet) —
 the benchmark system class:
 
-* vectors live GRID-SHAPED (ny, nx): every operator — the 5-point
-  stencil apply, bilinear prolongation, full-weighting restriction — is
-  a few shifted adds XLA fuses into bandwidth-bound elementwise code.
-  No gather, no Pallas needed;
+* vectors live GRID-SHAPED ((ny, nx) or (nz, ny, nx)): every operator —
+  the 2d+1-point stencil apply, per-axis linear prolongation,
+  full-weighting restriction — is a few shifted adds XLA fuses into
+  bandwidth-bound elementwise code.  No gather, no Pallas needed;
 * smoothing: weighted Jacobi (omega = 4/5, the classical optimum for
   the model problem);
-* coarse grids: rediscretised 5-point operators (entries stay (4, -1)
-  in the h^2-scaled convention, so the restricted residual carries the
-  standard factor-4 level scaling via R = P^T);
-* coarsest level (<= 31 points per side): exact dense solve with a
-  precomputed inverse;
+* coarse grids: rediscretised 2d+1-point operators (entries stay
+  (2d, -1) in the h^2-scaled convention, so the restricted residual
+  carries the standard factor-4 level scaling via R = P^T per axis
+  pair);
+* coarsest level: exact dense solve with a precomputed inverse;
 * `PoissonMultigrid.solve` runs V-cycles in a jitted while_loop with
   the usual SolveResult statuses; `.apply(r)` is one V-cycle — a
   symmetric positive operation usable as a CG preconditioner.
@@ -43,25 +43,31 @@ from .types import RUNNING, SolveResult, SolverStatus
 
 __all__ = ["PoissonMultigrid"]
 
-# <= this many points per side -> exact dense solve (measured optimum:
-# stopping earlier at ~44 points/side costs more in the dense coarse
-# matmul than the saved small-grid level)
-_COARSEST = 31
+# <= this many points per side -> exact dense solve; measured 2-D
+# optimum is 31 (stopping at ~44 costs more in the dense coarse matmul
+# than the saved small-grid level).  3-D stops earlier: the dense
+# inverse is cubic in side length.
+_COARSEST = {2: 31, 3: 12}
 
 
 def _stencil_apply(x: jnp.ndarray) -> jnp.ndarray:
-    """y = A x for the dimensionless 5-point Laplacian on a grid-shaped
-    x (homogeneous Dirichlet outside the grid).  Written as padded
-    shifts — one fused elementwise expression — rather than .at[].add
-    updates, which lower to separate dynamic-update ops."""
+    """y = A x for the dimensionless 2d+1-point Laplacian on a
+    grid-shaped x (homogeneous Dirichlet outside the grid).  Written as
+    padded shifts — one fused elementwise expression — rather than
+    .at[].add updates, which lower to separate dynamic-update ops."""
+    d = x.ndim
     p = jnp.pad(x, 1)
-    return (
-        4.0 * x
-        - p[:-2, 1:-1]
-        - p[2:, 1:-1]
-        - p[1:-1, :-2]
-        - p[1:-1, 2:]
-    )
+    mid = tuple(slice(1, -1) for _ in range(d))
+    y = (2.0 * d) * x
+    for ax in range(d):
+        lo = tuple(
+            slice(0, -2) if a == ax else slice(1, -1) for a in range(d)
+        )
+        hi = tuple(
+            slice(2, None) if a == ax else slice(1, -1) for a in range(d)
+        )
+        y = y - p[lo] - p[hi]
+    return y
 
 
 def _prolong_1d(c: jnp.ndarray, nf: int, axis: int) -> jnp.ndarray:
@@ -105,7 +111,7 @@ class PoissonMultigrid:
     """
 
     coarse_inv: jnp.ndarray
-    dims: Tuple[Tuple[int, int], ...] = dataclasses.field(
+    dims: Tuple[Tuple[int, ...], ...] = dataclasses.field(
         metadata=dict(static=True)
     )
     nu1: int = dataclasses.field(metadata=dict(static=True), default=2)
@@ -114,32 +120,35 @@ class PoissonMultigrid:
 
     @classmethod
     def for_grid(
-        cls, nx: int, ny: Optional[int] = None, *,
+        cls, nx: int, ny: Optional[int] = None, nz: Optional[int] = None, *,
         nu1: int = 2, nu2: int = 2, omega: float = 0.8,
         dtype=jnp.float32,
     ) -> "PoissonMultigrid":
-        """Build the hierarchy for an ``nx x ny`` interior grid."""
+        """Build the hierarchy for an ``nx x ny`` (2-D) or
+        ``nx x ny x nz`` (3-D) interior grid, matching the row-major
+        node ordering of ``poisson_2d`` / ``poisson_3d``."""
         ny = nx if ny is None else ny
-        dims = [(int(ny), int(nx))]
-        while min(dims[-1]) > _COARSEST:
-            dims.append(
-                (_coarse_dims(dims[-1][0]), _coarse_dims(dims[-1][1]))
-            )
-        cy, cx = dims[-1]
-        # dense coarsest operator (dimensionless 5-point stencil)
-        n = cy * cx
+        if nz is None:
+            dims = [(int(ny), int(nx))]
+        else:
+            dims = [(int(nz), int(ny), int(nx))]
+        d = len(dims[0])
+        coarsest = _COARSEST[d]
+        while min(dims[-1]) > coarsest:
+            dims.append(tuple(_coarse_dims(m) for m in dims[-1]))
+        cdims = dims[-1]
+        # dense coarsest operator (dimensionless 2d+1-point stencil)
+        n = int(np.prod(cdims))
         a = np.zeros((n, n))
-        for i in range(n):
-            yy, xx = divmod(i, cx)
-            a[i, i] = 4.0
-            if yy > 0:
-                a[i, i - cx] = -1.0
-            if yy < cy - 1:
-                a[i, i + cx] = -1.0
-            if xx > 0:
-                a[i, i - 1] = -1.0
-            if xx < cx - 1:
-                a[i, i + 1] = -1.0
+        strides = [int(np.prod(cdims[k + 1:])) for k in range(d)]
+        idx = np.arange(n)
+        coords = [(idx // strides[k]) % cdims[k] for k in range(d)]
+        a[idx, idx] = 2.0 * d
+        for k in range(d):
+            lo = coords[k] > 0
+            a[idx[lo], idx[lo] - strides[k]] = -1.0
+            hi = coords[k] < cdims[k] - 1
+            a[idx[hi], idx[hi] + strides[k]] = -1.0
         inv = np.linalg.inv(a)
         return cls(
             coarse_inv=jnp.asarray(inv, dtype),
@@ -150,7 +159,7 @@ class PoissonMultigrid:
     # -- cycle ---------------------------------------------------------------
 
     def _smooth(self, x, b, steps: int):
-        w = self.omega / 4.0
+        w = self.omega / (2.0 * len(self.dims[0]))
         for _ in range(steps):
             x = x + w * (b - _stencil_apply(x))
         return x
@@ -162,18 +171,26 @@ class PoissonMultigrid:
             return flat.reshape(b.shape).astype(b.dtype)
         x = self._smooth(jnp.zeros_like(b), b, self.nu1)
         r = b - _stencil_apply(x)
-        cy, cx = self.dims[level + 1]
-        rc = _restrict_1d(_restrict_1d(r, cy, 0), cx, 1)
+        rc = r
+        for ax, m in enumerate(self.dims[level + 1]):
+            rc = _restrict_1d(rc, m, ax)
+        # level scaling: the dimensionless (h^2-folded) operator needs the
+        # restricted residual scaled by (2h/h)^2 = 4; per-axis P^T carries
+        # 2^d, so correct by 2^(2-d) (identity in 2-D, 1/2 in 3-D)
+        d = len(self.dims[0])
+        if d != 2:
+            rc = rc * (2.0 ** (2 - d))
         ec = self._vcycle(rc, level + 1)
-        fy, fx = self.dims[level]
-        x = x + _prolong_1d(_prolong_1d(ec, fy, 0), fx, 1)
+        up = ec
+        for ax, m in enumerate(self.dims[level]):
+            up = _prolong_1d(up, m, ax)
+        x = x + up
         return self._smooth(x, b, self.nu2)
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
         """One V-cycle as a linear operator z ~= A^{-1} r (flat in/out:
         usable directly as a CG preconditioner apply)."""
-        ny, nx = self.dims[0]
-        return self._vcycle(r.reshape(ny, nx), 0).reshape(-1)
+        return self._vcycle(r.reshape(self.dims[0]), 0).reshape(-1)
 
     def solve(
         self,
@@ -183,9 +200,8 @@ class PoissonMultigrid:
         epsilon: float = 1e-8,
     ) -> SolveResult:
         """Stationary V-cycle iteration to ||r|| <= epsilon."""
-        ny, nx = self.dims[0]
-        bg = b.reshape(ny, nx)
-        x0g = jnp.zeros_like(bg) if x0 is None else x0.reshape(ny, nx)
+        bg = b.reshape(self.dims[0])
+        x0g = jnp.zeros_like(bg) if x0 is None else x0.reshape(self.dims[0])
         eps = jnp.asarray(epsilon, b.dtype)
         res = _mg_solve_jit(self, bg, x0g, eps, int(max_iterations))
         return dataclasses.replace(res, x=res.x.reshape(-1))

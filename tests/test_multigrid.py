@@ -87,3 +87,31 @@ class TestMGPreconditionedCG:
         res = smm.cg(a, b, epsilon=1e-8, preconditioner=mg)
         assert int(res.status) == SolverStatus.SUCCESS
         assert int(res.iterations) <= 15
+
+
+class TestMultigrid3D:
+    def test_pcg_3d(self):
+        """3-D hierarchy (7-point Laplacian, poisson_3d ordering)."""
+        from sparse_matrix_math_tpu.utils.generate import poisson_3d
+
+        m = 24
+        a = poisson_3d(m, dtype=np.float32)
+        b = a @ jnp.ones(a.shape[0], jnp.float32)
+        mg = PoissonMultigrid.for_grid(m, m, m)
+        res = smm.cg(a, b, epsilon=1e-4, preconditioner=mg)
+        assert int(res.status) == SolverStatus.SUCCESS
+        assert int(res.iterations) <= 15
+        plain = smm.cg(a, b, epsilon=1e-4)
+        assert int(res.iterations) * 3 < int(plain.iterations)
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-3)
+
+    def test_3d_solve_odd_grid(self):
+        from sparse_matrix_math_tpu.utils.generate import poisson_3d
+
+        m = 31  # odd: textbook vertex-centred hierarchy (31 -> 15 -> 7)
+        a = poisson_3d(m, dtype=np.float64)
+        b = a @ jnp.ones(a.shape[0], jnp.float64)
+        mg = PoissonMultigrid.for_grid(m, m, m, dtype=jnp.float64)
+        res = mg.solve(b, epsilon=1e-8, max_iterations=30)
+        assert int(res.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-7)
