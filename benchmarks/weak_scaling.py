@@ -37,10 +37,13 @@ def run(rows_per_device: int, widths, platform):
 
     import numpy as np
 
+    from sparse_matrix_math_tpu.formats.dia import try_dia_from_csr
     from sparse_matrix_math_tpu.parallel import (
         collect,
+        dist_dia_solve,
         dist_solve,
         distribute_csr,
+        distribute_dia,
         make_mesh,
     )
     from sparse_matrix_math_tpu.utils.generate import poisson_3d
@@ -67,14 +70,40 @@ def run(rows_per_device: int, widths, platform):
         jax.block_until_ready(r.x)
         dt = (time.perf_counter() - t0) / iters
         assert np.isfinite(collect(r.x, da)).all()
-        results.append({
+        B = da.block_rows
+        # analytic collective volume per device per CG iteration
+        # (docs/BENCH_NOTES.md "Distributed collective-volume model"):
+        # halo exchange bytes for the SpMV + 2 psum latencies for dots
+        halo_bytes = (
+            4 * B * (p - 1) if da.mode == "allgather" else 2 * 4 * B
+        )
+        row = {
             "devices": p,
             "n": a.shape[0],
             "nnz": a.nnz,
             "mode": da.mode,
             "s_per_iteration": round(dt, 6),
             "gnnz_per_s": round(a.nnz / dt / 1e9, 3),
-        })
+            "halo_bytes_per_device_per_spmv": halo_bytes,
+            "psums_per_iteration": 2,
+        }
+        # DIA fast path (overlapped neighbor halo) on the same system
+        dia = try_dia_from_csr(a)
+        if dia is not None:
+            dd = distribute_dia(dia, mesh)
+            rd = dist_dia_solve(dd, b, solver="cg", max_iterations=iters,
+                                epsilon=1e-30, mesh=mesh)
+            jax.block_until_ready(rd.x)
+            t0 = time.perf_counter()
+            rd = dist_dia_solve(dd, b, solver="cg", max_iterations=iters,
+                                epsilon=1e-30, mesh=mesh)
+            jax.block_until_ready(rd.x)
+            dtd = (time.perf_counter() - t0) / iters
+            assert np.isfinite(collect(rd.x, dd)).all()
+            row["dia_s_per_iteration"] = round(dtd, 6)
+            row["dia_gnnz_per_s"] = round(a.nnz / dtd / 1e9, 3)
+            row["dia_halo_bytes_per_device_per_spmv"] = 2 * 4 * dd.block_rows
+        results.append(row)
 
     base = results[0]["s_per_iteration"]
     for r in results:
