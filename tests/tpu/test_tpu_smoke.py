@@ -104,3 +104,54 @@ def test_single_device_dist_solve(smm, jnp):
     res = dist_solve(da, b, solver="cg", epsilon=1e-4, mesh=mesh)
     assert int(res.status) == 0
     assert np.abs(collect(res.x, da) - 1).max() < 1e-3
+
+
+def test_wsell_general_pattern_on_hw(smm, jnp):
+    """W-SELL two-step-gather kernel on chip vs a host reference."""
+    from sparse_matrix_math_tpu.formats.wsell import wsell_from_csr
+    from sparse_matrix_math_tpu.utils.generate import laplace_3d_jittered
+
+    a = laplace_3d_jittered(24, dtype=np.float32)  # banded-broken, no DIA
+    ws = wsell_from_csr(a)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(a.shape[1]).astype(np.float32))
+    y = np.asarray(ws @ x, dtype=np.float64)
+    r = np.asarray(a.row_ids)
+    c = np.asarray(a.indices)
+    v = np.asarray(a.data, np.float64)
+    ref = np.zeros(a.shape[0], np.float64)
+    np.add.at(ref, r, v * np.asarray(x, np.float64)[c])
+    scale = np.max(np.abs(ref))
+    np.testing.assert_allclose(y / scale, ref / scale, atol=2e-6)
+
+
+def test_fused_sgs_apply_on_hw(smm, jnp):
+    """Fused halo-deep-sweep SGS apply vs the compositional apply."""
+    from sparse_matrix_math_tpu.formats.dia import dia_from_csr
+    from sparse_matrix_math_tpu.ops.pallas_trisweep import sgs_apply_fused
+    from sparse_matrix_math_tpu.precond import PaddedSGS
+    from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+    dia = dia_from_csr(poisson_2d(120, dtype=np.float32))
+    p = PaddedSGS.from_dia(dia, sweeps=4)
+    r = p.p_lower.to_padded(
+        jnp.asarray(
+            np.random.default_rng(2).standard_normal(120 * 120).astype(np.float32)
+        )
+    )
+    want = np.asarray(p.apply_padded(r, resident=True, interpret=False))
+    got = np.asarray(sgs_apply_fused(p, r, interpret=False))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_multigrid_pcg_on_hw(smm, jnp):
+    from sparse_matrix_math_tpu.solvers.multigrid import PoissonMultigrid
+    from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+    nx = 128
+    a = poisson_2d(nx, dtype=np.float32)
+    b = a @ jnp.ones(a.shape[0], jnp.float32)
+    mg = PoissonMultigrid.for_grid(nx)
+    res = smm.cg(a, b, epsilon=1e-4, preconditioner=mg)
+    assert int(res.status) == 0
+    assert int(res.iterations) <= 15
