@@ -156,7 +156,10 @@ def main() -> None:
             "time_to_tol_s": round(mg_time, 4),
             "speedup_vs_plain_cg": round(cg_time / mg_time, 2),
         }
-    except Exception:
+    except Exception as e:  # keep the headline visible when it breaks
+        import sys as _sys
+
+        print(f"pcg_multigrid bench failed: {e!r}", file=_sys.stderr)
         mg_entry = None
     # BiCGStab preconditioned with truncated-sweep SGS in the padded
     # domain (precond/padded_sgs.py) — unpreconditioned f32 BiCGStab is

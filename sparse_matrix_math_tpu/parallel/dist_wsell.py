@@ -33,7 +33,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..formats.csr import CSRMatrix, _csr_from_sorted_host
-from ..formats.wsell import SLAB, WSellMatrix, wsell_from_csr
+from ..formats.wsell import SLAB, WSellMatrix, _round_up, wsell_from_csr
 from ..solvers.types import SolveResult, resolve_max_iterations
 from .dist import _CORES, _psum_dot, distribute_vector
 from .mesh import ROW_AXIS, make_mesh
@@ -69,10 +69,6 @@ class DistWSell:
     @property
     def dtype(self):
         return self.vals.dtype
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def distribute_wsell(
@@ -118,7 +114,7 @@ def distribute_wsell(
         # nnz by construction) — the padding cap applies GLOBALLY below
         locals_.append(wsell_from_csr(local, max_slot_ratio=float("inf")))
 
-    total_slots = sum(np.asarray(w.vals).shape[0] * 128 for w in locals_)
+    total_slots = sum(w.vals.shape[0] * 128 for w in locals_)
     global_ratio = total_slots / max(csr.nnz, 1)
     if global_ratio > max_slot_ratio:
         raise ValueError(
@@ -161,7 +157,7 @@ def distribute_wsell(
         n_slabs=int(n_slabs),
         x_rows=int(x_rows),
         nnz=csr.nnz,
-        slot_ratio=float(max(w.slot_ratio for w in locals_)),
+        slot_ratio=float(global_ratio),
         axis=axis,
     )
 
@@ -186,8 +182,8 @@ def _local_wsell_spmv(
         nnz=0, n_slabs=n_slabs, x_rows=x_rows, slot_ratio=ratio,
     )
     interpret = jax.default_backend() != "tpu"
-    y = wsell_spmv(local, xg, interpret=interpret)
-    return y[:block_rows]
+    # wsell_spmv returns exactly shape[0] == block_rows rows here
+    return wsell_spmv(local, xg, interpret=interpret)
 
 
 def dist_wsell_spmv(a: DistWSell, x: jnp.ndarray, mesh: jax.sharding.Mesh):

@@ -134,7 +134,13 @@ class PoissonMultigrid:
             dims = [(int(nz), int(ny), int(nx))]
         d = len(dims[0])
         coarsest = _COARSEST[d]
-        while min(dims[-1]) > coarsest:
+        # keep coarsening while the grid is large on ANY measure: the
+        # per-side cap handles isotropic grids; the product cap keeps
+        # anisotropic grids (e.g. 4096 x 16) from leaving a huge
+        # "coarsest" level whose dense inverse would be O(n^2) memory
+        while (
+            min(dims[-1]) > coarsest or int(np.prod(dims[-1])) > 2048
+        ) and min(dims[-1]) > 2:
             dims.append(tuple(_coarse_dims(m) for m in dims[-1]))
         cdims = dims[-1]
         # dense coarsest operator (dimensionless 2d+1-point stencil)
@@ -199,7 +205,17 @@ class PoissonMultigrid:
         max_iterations: int = 100,
         epsilon: float = 1e-8,
     ) -> SolveResult:
-        """Stationary V-cycle iteration to ||r|| <= epsilon."""
+        """Stationary V-cycle iteration to ||r|| <= epsilon.
+
+        The stationary iteration contracts ~4-10x per cycle on the
+        classical vertex-centred hierarchies (ODD sides, e.g. 2^k - 1);
+        on even sides the rediscretised coarse boundary geometry is
+        inconsistent and the iteration can AMPLIFY — that is detected
+        (residual growth beyond 100x the initial) and reported as
+        DIVERGED.  For arbitrary grid sizes use the V-cycle as a CG
+        preconditioner (``cg(a, b, preconditioner=mg)``), which is
+        robust to the inconsistency and stays at O(10) iterations.
+        """
         bg = b.reshape(self.dims[0])
         x0g = jnp.zeros_like(bg) if x0 is None else x0.reshape(self.dims[0])
         eps = jnp.asarray(epsilon, b.dtype)
@@ -211,33 +227,33 @@ class PoissonMultigrid:
 def _mg_solve_jit(mg: PoissonMultigrid, b, x0, eps, maxiter: int) -> SolveResult:
     eps2 = eps * eps
 
-    def rr_of(x):
-        r = b - _stencil_apply(x)
-        return r, jnp.sum(r * r)
-
-    _, rr0 = rr_of(x0)
+    r0 = b - _stencil_apply(x0)
+    rr0 = jnp.sum(r0 * r0)
+    # amplification guard: the stationary cycle diverges on inconsistent
+    # (even-side) hierarchies — catch runaway growth early
+    rr_cap = 1e4 * rr0 + jnp.asarray(1.0, rr0.dtype)
 
     def cond(carry):
-        _, rr, k, status = carry
+        _, _, _, k, status = carry
         return (status == RUNNING) & (k < maxiter)
 
     def body(carry):
-        x, _, k, status = carry
-        r = b - _stencil_apply(x)
+        x, r, _, k, status = carry
         x = x + mg._vcycle(r, 0)
-        _, rr = rr_of(x)
+        r = b - _stencil_apply(x)
+        rr = jnp.sum(r * r)
         status = jnp.where(
-            ~jnp.isfinite(rr),
+            ~jnp.isfinite(rr) | (rr > rr_cap),
             SolverStatus.DIVERGED,
             jnp.where(rr <= eps2, SolverStatus.SUCCESS, RUNNING),
         ).astype(jnp.int32)
-        return x, rr, k + 1, status
+        return x, r, rr, k + 1, status
 
     init_status = jnp.where(rr0 <= eps2, SolverStatus.SUCCESS, RUNNING).astype(
         jnp.int32
     )
-    x, rr, k, status = jax.lax.while_loop(
-        cond, body, (x0, rr0, jnp.int32(0), init_status)
+    x, _, rr, k, status = jax.lax.while_loop(
+        cond, body, (x0, r0, rr0, jnp.int32(0), init_status)
     )
     status = jnp.where(status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status)
     return SolveResult(

@@ -115,3 +115,28 @@ class TestMultigrid3D:
         res = mg.solve(b, epsilon=1e-8, max_iterations=30)
         assert int(res.status) == SolverStatus.SUCCESS
         np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-7)
+
+    def test_even_grid_stationary_reports_diverged(self):
+        """Even-side hierarchies make the STATIONARY iteration amplify
+        (inconsistent coarse boundary geometry); the runaway guard must
+        report DIVERGED, not march to the cap with garbage x (round-2
+        review finding).  The PCG-preconditioned form stays robust."""
+        nx = 128
+        a = poisson_2d(nx, dtype=np.float32)
+        b = a @ jnp.ones(a.shape[0], jnp.float32)
+        mg = PoissonMultigrid.for_grid(nx)
+        res = mg.solve(b, epsilon=1e-8, max_iterations=60)
+        assert int(res.status) == SolverStatus.DIVERGED
+        # same hierarchy through CG: converges
+        pre = smm.cg(a, b, epsilon=1e-4, preconditioner=mg)
+        assert int(pre.status) == SolverStatus.SUCCESS
+
+    def test_anisotropic_grid_coarsening_bounded(self):
+        """A 512 x 8 grid must not leave a huge dense coarsest level
+        (round-2 review finding: min-side-only stopping)."""
+        mg = PoissonMultigrid.for_grid(512, 8, dtype=jnp.float64)
+        assert mg.coarse_inv.shape[0] <= 2048
+        a = poisson_2d(512, 8, dtype=np.float64)
+        b = a @ jnp.ones(a.shape[0], jnp.float64)
+        res = smm.cg(a, b, epsilon=1e-8, preconditioner=mg)
+        assert int(res.status) == SolverStatus.SUCCESS

@@ -316,7 +316,6 @@ class TestDistWSell:
 
         csr = self._matrix()
         # symmetrise so CG applies (keeps the banded-broken pattern)
-        import sparse_matrix_math_tpu as _smm
         from sparse_matrix_math_tpu.formats.csr import _csr_from_sorted_host
 
         r = np.asarray(csr.row_ids, np.int64)
