@@ -204,11 +204,25 @@ def main() -> None:
         from sparse_matrix_math_tpu.formats.wsell import wsell_from_csr
         from sparse_matrix_math_tpu.utils.generate import laplace_3d_jittered
 
-        ua = laplace_3d_jittered(113, dtype=np.float32)  # ~9.8M nnz
+        # symmetric variant: same unstructured pattern class, SPD — the
+        # in-solver rate is measurable through a resident CG while_loop
+        ua = laplace_3d_jittered(113, dtype=np.float32, symmetric=True)
         ws = wsell_from_csr(ua)
         usec = _time_spmv_loop(ws, jnp.ones((ua.shape[1],), jnp.float32), 20)
+        # fixed-iteration resident CG loop: this measures the W-SELL
+        # SpMV rate as solvers actually run it (carries VMEM-resident,
+        # zero dispatch per iteration).  The near-singular symmetrised
+        # Laplacian needs preconditioning to actually reach 1e-4 in f32,
+        # so cg_status reports MAX_ITERATIONS_REACHED by design here.
+        ub = rmult(ws, jnp.ones((ua.shape[0],), jnp.float32))
+        ures = cg(ws, ub, max_iterations=1500, epsilon=1e-4)
+        ures.x.block_until_ready()
+        t0 = time.perf_counter()
+        ures = cg(ws, ub, max_iterations=1500, epsilon=1e-4)
+        ures.x.block_until_ready()
+        uwall = time.perf_counter() - t0
         unstructured = {
-            "matrix": "laplace3d_jittered_113^3",
+            "matrix": "laplace3d_jittered_113^3_sym",
             "n": ua.shape[0],
             "nnz": ua.nnz,
             "slot_ratio": round(ws.slot_ratio, 2),
@@ -216,8 +230,17 @@ def main() -> None:
             "vs_baseline_f32": round(
                 ua.nnz / usec / 1e9 / BASELINE_SPMV_GNNZ_F32, 2
             ),
+            "cg_status": int(ures.status),
+            "cg_iterations": int(ures.iterations),
+            "cg_time_to_tol_s": round(uwall, 4),
+            "in_solver_gnnz": round(
+                int(ures.iterations) * ua.nnz / uwall / 1e9, 3
+            ),
         }
-    except Exception:
+    except Exception as e:
+        import sys as _sys
+
+        print(f"unstructured bench failed: {e!r}", file=_sys.stderr)
         unstructured = None
 
     payload = {

@@ -142,13 +142,18 @@ def _sorted_csr(rows, cols, vals, shape: Tuple[int, int]) -> CSRMatrix:
 
 
 def laplace_3d_jittered(
-    m: int, jitter: int = 8, seed: int = 0, dtype=np.float64
+    m: int, jitter: int = 8, seed: int = 0, dtype=np.float64,
+    symmetric: bool = False,
 ) -> CSRMatrix:
     """7-point 3-D Laplacian whose off-diagonal COLUMN indices are
     randomly jittered by up to ``jitter`` — a "banded-broken random"
     pattern: the band locality survives but no diagonal structure does
     (DIA extraction fails; the W-SELL general format is the fast path).
-    The benchmark matrix class for unstructured-SpMV measurements."""
+    The benchmark matrix class for unstructured-SpMV measurements.
+
+    ``symmetric=True`` returns (A + A^T)/2 — same unstructured pattern
+    class, but SPD(-ish, diagonally dominant), so CG applies and the
+    in-solver SpMV rate is measurable through a Krylov loop."""
     n = m ** 3
     i = np.arange(n)
     iz, iy, ix = i // (m * m), (i // m) % m, i % m
@@ -167,6 +172,12 @@ def laplace_3d_jittered(
     r = np.concatenate(rows)
     c = np.concatenate(cols)
     v = np.concatenate(vals)
+    if symmetric:
+        r, c, v = (
+            np.concatenate([r, c]),
+            np.concatenate([c, r]),
+            np.concatenate([v, v]) * 0.5,
+        )
     # jitter collisions sum like the reference's triplet addEntry (h:607-618)
     key = r * np.int64(n) + c
     order = np.argsort(key, kind="stable")
