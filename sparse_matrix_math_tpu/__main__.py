@@ -107,6 +107,14 @@ def cmd_bench_spmv(args) -> int:
     if dia is not None:
         report["dia"] = spmv_throughput(dia, iters=args.iters)
     report["ell"] = spmv_throughput(ell_from_csr(a), iters=args.iters)
+    try:
+        from .formats.wsell import wsell_from_csr
+
+        report["wsell"] = spmv_throughput(
+            wsell_from_csr(a), iters=args.iters
+        )
+    except ValueError:
+        report["wsell"] = None  # pattern pads beyond the W-SELL cap
     print(json.dumps(report))
     return 0
 
@@ -125,7 +133,8 @@ def main(argv=None) -> int:
     ps.add_argument("--method", default="cg",
                     choices=["cg", "bicg_symmetric", "cgs", "bicgstab"])
     ps.add_argument("--preconditioner", default="none",
-                    choices=["none", "jacobi", "sgs", "ilu0", "ic0"])
+                    choices=["none", "jacobi", "sgs", "ilu0", "ic0",
+                             "chebyshev"])
     ps.add_argument("--tol", type=float, default=1e-8)
     ps.add_argument("--max-iterations", type=int, default=-1)
     ps.add_argument("--rhs", default="ones",

@@ -9,9 +9,12 @@ available simultaneously and merge into ONE collective, with the SpMV
 (q = A w) overlappable with the reduction.  No reference equivalent.
 
 Trade-offs: one extra SpMV-sized vector triple (w, z, s) in the carry and
-slightly weaker rounding behavior than textbook CG (residual drift grows
-~2x faster) — the standard pipelined-CG caveat; use plain cg when
-single-chip.
+weaker rounding behavior than textbook CG (residual drift) — the
+standard pipelined-CG caveat.  Measured consequence (round 2): at the
+2M-row f32 benchmark the drift stalls convergence before 1e-4 where
+plain cg converges in 2038 iterations — pipelined CG is a DISTRIBUTED
+tool (latency-bound pods, f64 or looser tolerances), not a single-chip
+f32 replacement; use plain cg when single-chip.
 
     r0 = b - A x0;  w0 = A r0
     loop i:

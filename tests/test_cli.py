@@ -85,3 +85,15 @@ def test_solve_api_dia_preconditioners():
     assert int(r2.status) == 0
     with pytest.raises(ValueError):
         solve(dia, b, method="cg", preconditioner="ic0")
+
+
+def test_bench_spmv_includes_wsell(capsys, tmp_path):
+    from sparse_matrix_math_tpu.io import save_dense_text
+    from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+    a = poisson_2d(6, dtype=np.float64)
+    path = str(tmp_path / "m.smmdt")
+    save_dense_text(path, a)
+    rc, out = run_cli(capsys, ["bench-spmv", path, "--iters", "2"])
+    assert rc == 0
+    assert "wsell" in out
