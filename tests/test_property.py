@@ -109,3 +109,43 @@ def test_preconditioners_preserve_solution(sys_pair):
         np.testing.assert_allclose(
             np.asarray(res.x), x_true, atol=1e-6, err_msg=kind
         )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=30),
+    st.integers(min_value=0, max_value=2 ** 31 - 1),
+    st.floats(min_value=0.005, max_value=0.2),
+)
+def test_wsell_matches_csr_spmv(n_scale, seed, density):
+    """W-SELL colouring + kernel must reproduce the CSR SpMV for random
+    patterns of any density it accepts (refusals are allowed — that is
+    the documented contract for tile-sparse patterns)."""
+    import jax.numpy as jnp
+
+    from sparse_matrix_math_tpu.formats.wsell import wsell_from_csr
+    from sparse_matrix_math_tpu.ops.spmv import rmult
+
+    n = 40 * n_scale  # 80 .. 2400 (crosses slab/window boundaries)
+    rng = np.random.default_rng(seed)
+    nnz_target = max(int(n * n * density), n)
+    r = rng.integers(0, n, nnz_target)
+    c = rng.integers(0, n, nnz_target)
+    v = rng.standard_normal(nnz_target)
+    key = r.astype(np.int64) * n + c
+    order = np.argsort(key, kind="stable")
+    key, r, c, v = key[order], r[order], c[order], v[order]
+    uniq = np.ones(key.shape[0], bool)
+    uniq[1:] = key[1:] != key[:-1]
+    from sparse_matrix_math_tpu.formats.csr import _csr_from_sorted_host
+
+    csr = _csr_from_sorted_host(r[uniq], c[uniq], v[uniq], (n, n))
+    try:
+        ws = wsell_from_csr(csr, max_slot_ratio=64.0)
+    except ValueError:
+        return  # pattern refused — acceptable
+    x = jnp.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(
+        np.asarray(rmult(ws, x)), np.asarray(rmult(csr, x)),
+        rtol=1e-9, atol=1e-9,
+    )
