@@ -70,31 +70,50 @@ def _stencil_apply(x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def _sl(x: jnp.ndarray, axis: int, start: int, limit: int, stride: int):
+    """Strided slice along one axis — a single lax.slice, NO transpose.
+    (moveaxis-based transfers cost a full transpose per call; profiled
+    on hardware, the V-cycle was op-bound on exactly those.)"""
+    starts = [0] * x.ndim
+    limits = list(x.shape)
+    strides = [1] * x.ndim
+    starts[axis], limits[axis], strides[axis] = start, limit, stride
+    return jax.lax.slice(x, starts, limits, strides)
+
+
+def _pad_axis(x: jnp.ndarray, axis: int, lo: int, hi: int):
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (lo, hi)
+    return jnp.pad(x, pads)
+
+
 def _prolong_1d(c: jnp.ndarray, nf: int, axis: int) -> jnp.ndarray:
     """Bilinear interpolation along ``axis``: coarse node j sits at fine
     index 2j+1; even fine indices average their coarse neighbors
-    (Dirichlet zeros beyond the ends)."""
-    c = jnp.moveaxis(c, axis, 0)
-    nc = c.shape[0]
-    out = jnp.zeros((nf,) + c.shape[1:], c.dtype)
-    out = out.at[1 : 2 * nc : 2].set(c)
-    cpad = jnp.pad(c, ((1, 1),) + ((0, 0),) * (c.ndim - 1))
+    (Dirichlet zeros beyond the ends).  Built transpose-free: the even
+    and odd fine sequences interleave via stack+reshape."""
+    nc = c.shape[axis]
+    cpad = _pad_axis(c, axis, 1, 1)
     n_even = (nf + 1) // 2  # fine indices 0, 2, 4, ...
-    avg = 0.5 * (cpad[:n_even] + cpad[1 : n_even + 1])
-    out = out.at[0 : 2 * n_even : 2].set(avg)
-    return jnp.moveaxis(out, 0, axis)
+    even = 0.5 * (
+        _sl(cpad, axis, 0, n_even, 1) + _sl(cpad, axis, 1, n_even + 1, 1)
+    )
+    odd = c if nc == n_even else _pad_axis(c, axis, 0, n_even - nc)
+    pair = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(c.shape)
+    shape[axis] = 2 * n_even
+    out = pair.reshape(shape)
+    return _sl(out, axis, 0, nf, 1)
 
 
 def _restrict_1d(f: jnp.ndarray, nc: int, axis: int) -> jnp.ndarray:
     """Adjoint of :func:`_prolong_1d` (full weighting, level-scaling
     included): rc[j] = f[2j+1] + 0.5 f[2j] + 0.5 f[2j+2]."""
-    f = jnp.moveaxis(f, axis, 0)
-    fpad = jnp.pad(f, ((0, 2),) + ((0, 0),) * (f.ndim - 1))
-    center = f[1 : 2 * nc : 2]
-    left = fpad[0 : 2 * nc : 2]
-    right = fpad[2 : 2 * nc + 2 : 2]
-    out = center + 0.5 * (left + right)
-    return jnp.moveaxis(out, 0, axis)
+    fpad = _pad_axis(f, axis, 0, 2)
+    center = _sl(f, axis, 1, 2 * nc, 2)
+    left = _sl(fpad, axis, 0, 2 * nc, 2)
+    right = _sl(fpad, axis, 2, 2 * nc + 2, 2)
+    return center + 0.5 * (left + right)
 
 
 def _coarse_dims(n: int) -> int:
