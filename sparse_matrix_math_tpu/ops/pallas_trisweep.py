@@ -54,7 +54,12 @@ def _pick_block(tot_rows: int) -> int:
 def _make_kernel(
     *, l_shifts, u_shifts, nd_l: int, nd_u: int, sweeps: int,
     win: int, margin: int, m0: int, upd: int, n_grid: int, rows_blk: int,
+    use_mid: bool = True,
 ):
+    """Fused sweep-pair kernel.  ``use_mid=True`` is the SGS shape
+    (shared inverse diagonal, middle D-scale); ``use_mid=False`` is the
+    LU/Cholesky factor-pair shape (per-direction inverse diagonals, the
+    forward result feeds the backward solve directly)."""
     def term(buf_getter, shifts, nd, x_buf):
         """sum_d diag_w[d] * shifted(x) over the update region."""
         acc = None
@@ -65,10 +70,17 @@ def _make_kernel(
             acc = t if acc is None else acc + t
         return acc
 
-    def kernel(
-        r_hbm, invd_hbm, dscale_hbm, ld_hbm, ud_hbm, out_ref,
-        r_buf, invd_buf, dscale_buf, ld_buf, ud_buf, x_buf, sems,
-    ):
+    n_vec = 4 if use_mid else 3  # r, invd_l[, invd_u | mid] streams
+
+    def kernel(*refs):
+        if use_mid:
+            (r_hbm, invd_hbm, dscale_hbm, ld_hbm, ud_hbm, out_ref,
+             r_buf, invd_buf, dscale_buf, ld_buf, ud_buf, x_buf, sems) = refs
+            invdu_hbm, invdu_buf = invd_hbm, invd_buf  # shared diagonal
+        else:
+            (r_hbm, invd_hbm, invdu_hbm, ld_hbm, ud_hbm, out_ref,
+             r_buf, invd_buf, invdu_buf, ld_buf, ud_buf, x_buf, sems) = refs
+            dscale_hbm = dscale_buf = None
         j = pl.program_id(0)
         xrows = r_hbm.shape[0]
 
@@ -83,11 +95,17 @@ def _make_kernel(
                     invd_hbm.at[pl.ds(base, win), :], invd_buf.at[slot],
                     sems.at[slot, 1],
                 ),
-                pltpu.make_async_copy(
+            ]
+            if use_mid:
+                out.append(pltpu.make_async_copy(
                     dscale_hbm.at[pl.ds(base, win), :], dscale_buf.at[slot],
                     sems.at[slot, 2],
-                ),
-            ]
+                ))
+            else:
+                out.append(pltpu.make_async_copy(
+                    invdu_hbm.at[pl.ds(base, win), :], invdu_buf.at[slot],
+                    sems.at[slot, 2],
+                ))
             for d in range(nd_l):
                 out.append(pltpu.make_async_copy(
                     ld_hbm.at[d, pl.ds(base, win), :], ld_buf.at[slot, d],
@@ -114,25 +132,30 @@ def _make_kernel(
             c.wait()
         slot = j % 2
 
-        invd = invd_buf[slot]
+        invd_l = invd_buf[slot]
+        invd_u = invd_l if use_mid else invdu_buf[slot]
 
         # forward sweeps in the x scratch; rows outside the update region
         # go stale — the margin keeps the contamination cone away from
         # the written center rows
-        x_buf[:, :] = r_buf[slot] * invd
+        x_buf[:, :] = r_buf[slot] * invd_l
         for _ in range(sweeps - 1):
             acc = term(lambda d: ld_buf[slot, d], l_shifts, nd_l, x_buf)
             x_buf[m0 : m0 + upd, :] = (
                 r_buf[slot, m0 : m0 + upd, :] - acc
-            ) * invd[m0 : m0 + upd, :]
-        # rhs2 = d * y overwrites the r buffer slot (no longer needed)
-        r_buf[slot, :, :] = dscale_buf[slot] * x_buf[:, :]
-        x_buf[:, :] = r_buf[slot] * invd
+            ) * invd_l[m0 : m0 + upd, :]
+        # rhs2 overwrites the r buffer slot (no longer needed): the SGS
+        # middle D-scale, or the forward result directly for factor pairs
+        if use_mid:
+            r_buf[slot, :, :] = dscale_buf[slot] * x_buf[:, :]
+        else:
+            r_buf[slot, :, :] = x_buf[:, :]
+        x_buf[:, :] = r_buf[slot] * invd_u
         for _ in range(sweeps - 1):
             acc = term(lambda d: ud_buf[slot, d], u_shifts, nd_u, x_buf)
             x_buf[m0 : m0 + upd, :] = (
                 r_buf[slot, m0 : m0 + upd, :] - acc
-            ) * invd[m0 : m0 + upd, :]
+            ) * invd_u[m0 : m0 + upd, :]
 
         base = jnp.clip(j * rows_blk - margin, 0, xrows - win)
         off = j * rows_blk - base  # center start inside the window
@@ -210,6 +233,71 @@ def sgs_apply_fused(psgs, r_padded: jnp.ndarray, *, interpret: bool = False):
         r_padded,
         psgs.inv_diag_p.astype(dtype),
         psgs.diag_p.astype(dtype),
+        ld.astype(dtype),
+        ud.astype(dtype),
+    )
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def tri_pair_apply_fused(pair, r_padded: jnp.ndarray, *, interpret: bool = False):
+    """z = (L U)^{-1} r for a PaddedTriPair (IC0: U = L^T; ILU0: unit-L,
+    U) — forward then backward Jacobi sweeps fused into one grid pass
+    (same halo-deep architecture as :func:`sgs_apply_fused`)."""
+    pL, pU = pair.p_lower, pair.p_upper
+    tot_rows = r_padded.shape[0]
+    rows_blk = _pick_block(tot_rows)
+    n_grid = tot_rows // rows_blk
+    dtype = r_padded.dtype
+
+    def shifts_of(p):
+        if p is None:
+            return ((0, 0),)
+        return tuple((off // _LANE, off % _LANE) for off in p.offsets)
+
+    l_shifts = shifts_of(pL)
+    u_shifts = shifts_of(pU)
+    all_s8 = [abs(s) for s, _ in l_shifts + u_shifts]
+    reach = max(all_s8) + 1
+    m0 = _align8(reach + 1)
+    margin = _align8(m0 + (pair.sweeps - 1) * reach + 8)
+    win = rows_blk + 2 * margin
+    upd = win - 2 * m0
+    if tot_rows < win or pair.lead // _LANE < m0:
+        return pair.apply_padded_compositional(r_padded, interpret=interpret)
+
+    ld = pL.diags3 if pL is not None else jnp.zeros((1, tot_rows, _LANE), dtype)
+    ud = pU.diags3 if pU is not None else jnp.zeros((1, tot_rows, _LANE), dtype)
+    nd_l, nd_u = ld.shape[0], ud.shape[0]
+
+    kernel = _make_kernel(
+        l_shifts=l_shifts, u_shifts=u_shifts, nd_l=nd_l, nd_u=nd_u,
+        sweeps=pair.sweeps, win=win, margin=margin, m0=m0, upd=upd,
+        n_grid=n_grid, rows_blk=rows_blk, use_mid=False,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((tot_rows, _LANE), dtype),
+        grid=(n_grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        out_specs=pl.BlockSpec((rows_blk, _LANE), lambda j: (j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, win, _LANE), dtype),
+            pltpu.VMEM((2, win, _LANE), dtype),
+            pltpu.VMEM((2, win, _LANE), dtype),
+            pltpu.VMEM((2, nd_l, win, _LANE), dtype),
+            pltpu.VMEM((2, nd_u, win, _LANE), dtype),
+            pltpu.VMEM((win, _LANE), dtype),
+            pltpu.SemaphoreType.DMA((2, 3 + nd_l + nd_u)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        r_padded,
+        pair.inv_diag_l_p.astype(dtype),
+        pair.inv_diag_u_p.astype(dtype),
         ld.astype(dtype),
         ud.astype(dtype),
     )

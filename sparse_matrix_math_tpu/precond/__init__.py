@@ -10,4 +10,5 @@ from .preconditioners import (
 )
 from .cheby_poly import ChebyshevPreconditioner
 from .padded_sgs import PaddedSGS
+from .padded_tri import PaddedTriPair
 from .trisolve import TriangularMatrix, triangular_from_csr_arrays

@@ -50,7 +50,10 @@ def eligible(a, preconditioner=None) -> bool:
     streamed kernel per size.)"""
     from ..precond.cheby_poly import ChebyshevPreconditioner
     from ..precond.padded_sgs import PaddedSGS
+    from ..precond.padded_tri import PaddedTriPair
     from ..precond.preconditioners import (
+        IC0Preconditioner,
+        ILU0Preconditioner,
         JacobiPreconditioner,
         SGSPreconditioner,
     )
@@ -62,7 +65,8 @@ def eligible(a, preconditioner=None) -> bool:
     if preconditioner is not None and not isinstance(
         preconditioner,
         (JacobiPreconditioner, SGSPreconditioner, PaddedSGS,
-         ChebyshevPreconditioner),
+         ChebyshevPreconditioner, IC0Preconditioner, ILU0Preconditioner,
+         PaddedTriPair),
     ):
         return False
     return True
@@ -95,6 +99,11 @@ def padded_solve(
     )
 
     from ..precond.cheby_poly import ChebyshevPreconditioner
+    from ..precond.padded_tri import PaddedTriPair
+    from ..precond.preconditioners import (
+        IC0Preconditioner,
+        ILU0Preconditioner,
+    )
 
     pdia = pad_dia(a)
     pre_kind, inv_diag, psgs, cheby = "none", None, None, None
@@ -111,6 +120,19 @@ def padded_solve(
             a, sweeps=preconditioner.fwd.sweeps, rows_blk=pdia.rows_blk
         )
         pre_kind = "sgs"
+    elif isinstance(preconditioner, PaddedTriPair):
+        pre_kind, psgs = "tripair", preconditioner
+    elif isinstance(preconditioner, (IC0Preconditioner, ILU0Preconditioner)):
+        # re-lay the incomplete factors into the padded DIA domain; the
+        # exact (dense) variants and escape-geometry patterns stay generic
+        try:
+            psgs = PaddedTriPair.from_factors(
+                preconditioner.lower, preconditioner.upper, a,
+                rows_blk=pdia.rows_blk,
+            )
+        except ValueError:
+            return None
+        pre_kind = "tripair"
     elif isinstance(preconditioner, ChebyshevPreconditioner):
         # the polynomial apply is k applications of A itself — reuse the
         # padded matvec; only the static bounds/degree cross over.  That
@@ -164,6 +186,8 @@ def _padded_solve_jit(
         from ..ops.pallas_trisweep import sgs_apply_fused
 
         apply_ = lambda r: sgs_apply_fused(psgs, r, interpret=interpret)  # noqa: E731
+    elif pre_kind == "tripair":
+        apply_ = lambda r: psgs.apply_padded(r, interpret=interpret)  # noqa: E731
     elif pre_kind == "cheby":
         from ..precond.cheby_poly import cheby_apply_fn
 
