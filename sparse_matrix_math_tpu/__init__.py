@@ -15,6 +15,7 @@ reference library vasil-pashov/sparse_matrix_math (see SURVEY.md):
   reductions (parallel/)
 """
 
+from .formats import best_format
 from .formats.csr import CSRMatrix, csr_from_coo, csr_from_dense, csr_from_triplet
 from .formats.dia import DIAMatrix, dia_from_csr, try_dia_from_csr
 from .formats.ell import ELLMatrix, ell_from_csr
@@ -73,7 +74,7 @@ __all__ = [
     "bicg_symmetric", "bicgstab", "cg", "conjugate_gradient",
     "cgs", "conjugate_gradient_squared", "cg_solve",
     "chebyshev", "lanczos_extremal", "cg_pipelined",
-    "cg_multi", "MultiSolveResult", "PoissonMultigrid",
+    "cg_multi", "MultiSolveResult", "PoissonMultigrid", "best_format",
     "SolveResult", "SolverStatus", "SolverConfig", "solve",
     "checkpointed_solve", "load_checkpoint", "save_checkpoint",
     "load_csr_npz", "save_csr_npz",

@@ -10,11 +10,18 @@ available simultaneously and merge into ONE collective, with the SpMV
 
 Trade-offs: one extra SpMV-sized vector triple (w, z, s) in the carry and
 weaker rounding behavior than textbook CG (residual drift) — the
-standard pipelined-CG caveat.  Measured consequence (round 2): at the
-2M-row f32 benchmark the drift stalls convergence before 1e-4 where
-plain cg converges in 2038 iterations — pipelined CG is a DISTRIBUTED
-tool (latency-bound pods, f64 or looser tolerances), not a single-chip
-f32 replacement; use plain cg when single-chip.
+standard pipelined-CG caveat, bounded here with PERIODIC RESIDUAL
+REPLACEMENT (Ghysels & Vanroose §4: every ``replace_every`` iterations
+the true residual r = b - A x and the auxiliary recurrences are
+recomputed from scratch inside a lax.cond — ~4 extra SpMVs per period).
+Measured on hardware (round 2, 2M-row f32 Poisson, kappa ~ 4e6):
+without replacement the recurrence drifts to max-error ~7e+2; with
+replacement the error is bounded at ~6e-2 (period 50 and period 5
+alike) — replacement bounds the drift but the ATTAINABLE ACCURACY of
+the pipelined recurrence in f32 remains above tight tolerances at high
+condition number (the known attainable-accuracy gap of pipelined CG).
+Use plain ``cg`` single-chip or for tight f32 tolerances; pipelined CG
+pays on latency-bound meshes at f64 or moderate tolerances.
 
     r0 = b - A x0;  w0 = A r0
     loop i:
@@ -55,26 +62,34 @@ def cg_pipelined(
     epsilon: float = 1e-8,
     *,
     record_residuals: bool = False,
+    replace_every: int = 50,
 ) -> SolveResult:
-    """Solve SPD ``a @ x = b`` with pipelined CG."""
+    """Solve SPD ``a @ x = b`` with pipelined CG.  ``replace_every``:
+    true-residual replacement period (0 disables)."""
     a = as_operator(a)
     n = b.shape[0]
     if x0 is None:
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)
     eps = jnp.asarray(epsilon, dtype=b.dtype)
-    return _pipelined_loop(a, b, x0, eps, maxiter, record_residuals)
+    return _pipelined_loop(
+        a, b, x0, eps, maxiter, record_residuals, int(replace_every)
+    )
 
 
-@partial(jax.jit, static_argnums=(4, 5))
-def _pipelined_loop(a, b, x0, eps, maxiter: int, record: bool) -> SolveResult:
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _pipelined_loop(
+    a, b, x0, eps, maxiter: int, record: bool, replace_every: int
+) -> SolveResult:
     return cg_pipelined_core(
-        matvec_fn(a), _dot2_local, b, x0, eps, maxiter, record
+        matvec_fn(a), _dot2_local, b, x0, eps, maxiter, record,
+        replace_every=replace_every,
     )
 
 
 def cg_pipelined_core(
-    matvec, dot2fn, b, x0, eps, maxiter: int, record: bool
+    matvec, dot2fn, b, x0, eps, maxiter: int, record: bool,
+    replace_every: int = 50,
 ) -> SolveResult:
     """Algorithm core; ``dot2fn(u1, v1, u2, v2) -> (d1, d2)`` computes both
     inner products — the distributed layer supplies a single-psum fused
@@ -114,6 +129,27 @@ def cg_pipelined_core(
         x = x + alpha * p
         r = r - alpha * s
         w = w - alpha * z
+        if replace_every > 0:
+            # periodic true-residual replacement: recompute r and the
+            # auxiliary recurrences from scratch (lax.cond executes the
+            # 4 extra SpMVs only on replacement steps)
+            do_replace = (k + 1) % replace_every == 0
+
+            def _replace(args):
+                xx, pp, *_ = args
+                r2 = b - matvec(xx)
+                w2 = matvec(r2)
+                s2 = matvec(pp)
+                z2 = matvec(s2)
+                return r2, w2, s2, z2
+
+            def _keep(args):
+                _, _, rr_, ww_, ss_, zz_ = args
+                return rr_, ww_, ss_, zz_
+
+            r, w, s, z = jax.lax.cond(
+                do_replace, _replace, _keep, (x, p, r, w, s, z)
+            )
         diverged = ~jnp.isfinite(gamma)
         converged = gamma < eps2  # gamma is LAST iteration's ||r||^2
         status = jnp.where(

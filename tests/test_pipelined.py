@@ -37,6 +37,29 @@ class TestPipelinedCG:
         assert int(res.status) == SolverStatus.MAX_ITERATIONS_REACHED
         assert int(res.iterations) == 3
 
+    def test_residual_replacement_bounds_drift(self):
+        """Periodic true-residual replacement keeps the recurrence honest:
+        without it, at high iteration counts in f32 the recurrence
+        residual underreports the TRUE residual by orders of magnitude;
+        with it the two agree (pipelined.py drift caveat, measured)."""
+        a = poisson_2d(64, dtype=np.float32)
+        b = a @ jnp.ones(a.shape[0], jnp.float32)
+
+        def true_res(res):
+            return float(jnp.linalg.norm(b - a @ res.x))
+
+        drift = smm.cg_pipelined(
+            a, b, max_iterations=3000, epsilon=1e-12, replace_every=0
+        )
+        fixed = smm.cg_pipelined(
+            a, b, max_iterations=3000, epsilon=1e-12, replace_every=25
+        )
+        # no replacement: recurrence residual lies by >100x
+        assert true_res(drift) > 100 * float(drift.residual_norm)
+        # replacement: recurrence and true residuals agree to 2x
+        assert true_res(fixed) <= 2 * float(fixed.residual_norm)
+        assert true_res(fixed) < 1e-2
+
     def test_record_residuals(self):
         a = poisson_2d(10)
         b = a @ jnp.ones(100)

@@ -162,3 +162,24 @@ class TestWSellCorrectness:
         res = smm.cg(ws, b, epsilon=1e-4)
         assert int(res.status) == 0
         np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-2)
+
+
+def test_best_format_selection():
+    """formats.best_format: DIA for stencils, W-SELL for banded-broken,
+    CSR for tile-sparse patterns (the auto-selection contract)."""
+    from sparse_matrix_math_tpu import best_format
+    from sparse_matrix_math_tpu.formats.dia import DIAMatrix
+    from sparse_matrix_math_tpu.utils.generate import laplace_3d_jittered
+
+    assert isinstance(best_format(poisson_2d(12, dtype=np.float32)), DIAMatrix)
+    assert isinstance(
+        best_format(laplace_3d_jittered(14, dtype=np.float32)), WSellMatrix
+    )
+    rng = np.random.default_rng(3)
+    n = 4000
+    d = np.zeros((n, n), np.float32)
+    r = rng.integers(0, n, 400)
+    c = rng.integers(0, n, 400)
+    d[r, c] = 1.0
+    sparse = csr_from_dense(d)
+    assert isinstance(best_format(sparse), CSRMatrix)
