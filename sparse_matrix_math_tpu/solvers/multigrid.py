@@ -5,28 +5,34 @@ machine whose SpMV runs at the HBM roofline, no one-level
 preconditioner can buy back its own apply cost (measured —
 docs/BENCH_NOTES.md).  The operator-aware answer is multigrid: O(1)
 V-cycles, each a handful of stencil applies, instead of O(sqrt(kappa))
-Krylov iterations.  This module implements classical geometric MG for
-the dimensionless 5-point Laplacian family that `utils.generate
-.poisson_2d` produces (diag 4, neighbors -1, homogeneous Dirichlet) —
-the benchmark system class:
+Krylov iterations.  This module implements geometric MG for the
+dimensionless 5/7-point Laplacian family that `utils.generate
+.poisson_2d` / `poisson_3d` produce (diag 2d, neighbors -1, homogeneous
+Dirichlet) — the benchmark system class:
 
-* vectors live GRID-SHAPED ((ny, nx) or (nz, ny, nx)): every operator —
-  the 2d+1-point stencil apply, per-axis linear prolongation,
-  full-weighting restriction — is a few shifted adds XLA fuses into
-  bandwidth-bound elementwise code.  No gather, no Pallas needed;
-* smoothing: weighted Jacobi (omega = 4/5, the classical optimum for
-  the model problem);
-* coarse grids: rediscretised 2d+1-point operators (entries stay
-  (2d, -1) in the h^2-scaled convention, so the restricted residual
-  carries the standard factor-4 level scaling via R = P^T per axis
-  pair);
+* vectors live GRID-SHAPED ((ny, nx) or (nz, ny, nx)): every operator
+  is a few shifted adds XLA fuses into bandwidth-bound elementwise
+  code.  No gather, no Pallas needed;
+* coarse operators are GALERKIN (A_c = P^T A P), kept in closed
+  tensor-product form: with P = kron of per-axis prolongations and
+  A = sum_ax kron(M_1, ..., L_ax, ..., M_d) (1-D tridiagonal factors,
+  L = Laplacian-like, M = mass-like; at the finest level M = I), the
+  Galerkin triple product stays in the same family with
+  L' = P_ax^T L P_ax, M' = P_ax^T M P_ax — so every level is an exact
+  Galerkin operator applied as d^2 one-axis tridiagonal stencils.
+  Unlike rediscretisation this is geometry-exact for ANY side length
+  (even, odd, anisotropic): no vertex-centred 2^k-1 restriction;
+* smoothing: weighted Jacobi (omega = 4/5) with the level's TRUE
+  operator diagonal (position-dependent on coarse levels);
 * coarsest level: exact dense solve with a precomputed inverse;
 * `PoissonMultigrid.solve` runs V-cycles in a jitted while_loop with
   the usual SolveResult statuses; `.apply(r)` is one V-cycle — a
   symmetric positive operation usable as a CG preconditioner.
 
 Numerical contract (tests/test_multigrid.py): residual contraction
->= 4x per V-cycle on the model family, mesh-size independent.
+>= 4x per V-cycle on the model family, mesh-size independent, for
+arbitrary grid dims (measured prototype rates: ~0.12/cycle 2-D,
+~0.26/cycle 3-D, even and anisotropic sides included).
 """
 
 from __future__ import annotations
@@ -52,12 +58,12 @@ _COARSEST = {2: 31, 3: 12}
 
 def _stencil_apply(x: jnp.ndarray) -> jnp.ndarray:
     """y = A x for the dimensionless 2d+1-point Laplacian on a
-    grid-shaped x (homogeneous Dirichlet outside the grid).  Written as
-    padded shifts — one fused elementwise expression — rather than
-    .at[].add updates, which lower to separate dynamic-update ops."""
+    grid-shaped x (homogeneous Dirichlet outside the grid) — the
+    finest-level fast path (uniform stencil, M = I).  Written as padded
+    shifts — one fused elementwise expression — rather than .at[].add
+    updates, which lower to separate dynamic-update ops."""
     d = x.ndim
     p = jnp.pad(x, 1)
-    mid = tuple(slice(1, -1) for _ in range(d))
     y = (2.0 * d) * x
     for ax in range(d):
         lo = tuple(
@@ -87,6 +93,28 @@ def _pad_axis(x: jnp.ndarray, axis: int, lo: int, hi: int):
     return jnp.pad(x, pads)
 
 
+def _bcast(v: jnp.ndarray, ndim: int, axis: int) -> jnp.ndarray:
+    """Reshape a 1-D coefficient vector to broadcast along ``axis`` of an
+    ``ndim``-D grid."""
+    shape = [1] * ndim
+    shape[axis] = v.shape[0]
+    return v.reshape(shape)
+
+
+def _tridiag_apply(x, diag, upper, axis: int):
+    """Apply a symmetric tridiagonal operator along one grid axis:
+    y_i = diag_i x_i + upper_i x_{i+1} + upper_{i-1} x_{i-1}
+    (``upper`` has length n with upper_{n-1} = 0) — three shifted
+    multiplies XLA fuses; transpose-free."""
+    n = x.shape[axis]
+    d = _bcast(diag, x.ndim, axis)
+    u = _bcast(upper, x.ndim, axis)
+    lo = _bcast(jnp.pad(upper[:-1], (1, 0)), x.ndim, axis)  # upper_{i-1}
+    x_up = _pad_axis(_sl(x, axis, 1, n, 1), axis, 0, 1)  # x_{i+1}
+    x_dn = _pad_axis(_sl(x, axis, 0, n - 1, 1), axis, 1, 0)  # x_{i-1}
+    return d * x + u * x_up + lo * x_dn
+
+
 def _prolong_1d(c: jnp.ndarray, nf: int, axis: int) -> jnp.ndarray:
     """Bilinear interpolation along ``axis``: coarse node j sits at fine
     index 2j+1; even fine indices average their coarse neighbors
@@ -107,8 +135,8 @@ def _prolong_1d(c: jnp.ndarray, nf: int, axis: int) -> jnp.ndarray:
 
 
 def _restrict_1d(f: jnp.ndarray, nc: int, axis: int) -> jnp.ndarray:
-    """Adjoint of :func:`_prolong_1d` (full weighting, level-scaling
-    included): rc[j] = f[2j+1] + 0.5 f[2j] + 0.5 f[2j+2]."""
+    """Adjoint of :func:`_prolong_1d` (exact P^T, matching the Galerkin
+    coarse operators): rc[j] = f[2j+1] + 0.5 f[2j] + 0.5 f[2j+2]."""
     fpad = _pad_axis(f, axis, 0, 2)
     center = _sl(f, axis, 1, 2 * nc, 2)
     left = _sl(fpad, axis, 0, 2 * nc, 2)
@@ -116,20 +144,54 @@ def _restrict_1d(f: jnp.ndarray, nc: int, axis: int) -> jnp.ndarray:
     return center + 0.5 * (left + right)
 
 
-def _coarse_dims(n: int) -> int:
-    return n // 2
+# -- host-side hierarchy construction (NumPy, float64) -----------------------
+
+
+def _prolong_matrix_np(nf: int, nc: int) -> np.ndarray:
+    """Dense 1-D prolongation: column j has tap 1 at fine 2j+1 and taps
+    0.5 at fine 2j, 2j+2 — the matrix _prolong_1d applies."""
+    p = np.zeros((nf, nc))
+    for j in range(nc):
+        p[2 * j + 1, j] = 1.0
+        p[2 * j, j] += 0.5
+        if 2 * j + 2 < nf:
+            p[2 * j + 2, j] += 0.5
+    return p
+
+
+def _lap1d_np(n: int) -> np.ndarray:
+    lap = 2.0 * np.eye(n)
+    lap -= np.diag(np.ones(n - 1), 1) + np.diag(np.ones(n - 1), -1)
+    return lap
+
+
+def _tri_vectors(t: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(diag, upper) of a symmetric tridiagonal matrix; upper padded to
+    length n with a trailing zero."""
+    n = t.shape[0]
+    upper = np.zeros(n)
+    if n > 1:
+        upper[:-1] = np.diag(t, 1)
+    return np.diag(t).copy(), upper
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PoissonMultigrid:
-    """Geometric V-cycle solver/preconditioner for `poisson_2d(nx, ny)`.
+    """Galerkin tensor-product V-cycle solver/preconditioner for
+    `poisson_2d(nx, ny)` / `poisson_3d` systems.
 
     ``coarse_inv`` is the dense inverse of the coarsest-level operator.
+    ``factors[l][ax] = (dL, uL, dM, uM)``: the 1-D tridiagonal Galerkin
+    factors of intermediate level ``l+1`` (level 0 uses the uniform
+    fused stencil), as (diag, upper) coefficient vectors.
+    ``winv[l]``: grid-shaped omega / diag(A_{l+1}) Jacobi weights.
     The grid hierarchy is static (baked into the jitted cycle).
     """
 
     coarse_inv: jnp.ndarray
+    factors: Tuple[Tuple[Tuple[jnp.ndarray, ...], ...], ...]
+    winv: Tuple[jnp.ndarray, ...]
     dims: Tuple[Tuple[int, ...], ...] = dataclasses.field(
         metadata=dict(static=True)
     )
@@ -160,33 +222,93 @@ class PoissonMultigrid:
         while (
             min(dims[-1]) > coarsest or int(np.prod(dims[-1])) > 2048
         ) and min(dims[-1]) > 2:
-            dims.append(tuple(_coarse_dims(m) for m in dims[-1]))
+            dims.append(tuple(m // 2 for m in dims[-1]))
+
+        # Galerkin recursion on the 1-D factors (exact for any dims)
+        level_mats = [[(_lap1d_np(n), np.eye(n)) for n in dims[0]]]
+        for lvl in range(1, len(dims)):
+            prev = level_mats[-1]
+            cur = []
+            for ax in range(d):
+                p = _prolong_matrix_np(dims[lvl - 1][ax], dims[lvl][ax])
+                lap, mass = prev[ax]
+                cur.append((p.T @ lap @ p, p.T @ mass @ p))
+            level_mats.append(cur)
+
+        def as_dt(a):
+            return jnp.asarray(a, dtype)
+
+        factors = []
+        winv = []
+        for lvl in range(1, len(dims) - 1):  # intermediate levels only
+            per_axis = []
+            diag_grid = np.zeros(dims[lvl])
+            for ax in range(d):
+                lap, mass = level_mats[lvl][ax]
+                dl, ul = _tri_vectors(lap)
+                dm, um = _tri_vectors(mass)
+                per_axis.append((as_dt(dl), as_dt(ul), as_dt(dm), as_dt(um)))
+                vecs = [
+                    np.diag(level_mats[lvl][a][0 if a == ax else 1])
+                    for a in range(d)
+                ]
+                g = vecs[0]
+                for v in vecs[1:]:
+                    g = np.multiply.outer(g, v)
+                diag_grid += g
+            factors.append(tuple(per_axis))
+            winv.append(as_dt(omega / diag_grid))
+
+        # dense coarsest operator: sum over axes of kron(T_1, ..., T_d)
         cdims = dims[-1]
-        # dense coarsest operator (dimensionless 2d+1-point stencil)
         n = int(np.prod(cdims))
         a = np.zeros((n, n))
-        strides = [int(np.prod(cdims[k + 1:])) for k in range(d)]
-        idx = np.arange(n)
-        coords = [(idx // strides[k]) % cdims[k] for k in range(d)]
-        a[idx, idx] = 2.0 * d
-        for k in range(d):
-            lo = coords[k] > 0
-            a[idx[lo], idx[lo] - strides[k]] = -1.0
-            hi = coords[k] < cdims[k] - 1
-            a[idx[hi], idx[hi] + strides[k]] = -1.0
+        for ax in range(d):
+            term = np.ones((1, 1))
+            for aa in range(d):
+                term = np.kron(term, level_mats[-1][aa][0 if aa == ax else 1])
+            a += term
         inv = np.linalg.inv(a)
         return cls(
-            coarse_inv=jnp.asarray(inv, dtype),
+            coarse_inv=as_dt(inv),
+            factors=tuple(factors),
+            winv=tuple(winv),
             dims=tuple(dims),
             nu1=int(nu1), nu2=int(nu2), omega=float(omega),
         )
 
     # -- cycle ---------------------------------------------------------------
 
-    def _smooth(self, x, b, steps: int):
-        w = self.omega / (2.0 * len(self.dims[0]))
+    def _apply(self, level: int, x: jnp.ndarray) -> jnp.ndarray:
+        """y = A_level x.  Level 0: the uniform fused stencil; coarse
+        levels: the Galerkin tensor operator — for each axis term,
+        apply L along that axis and M along the others (d^2 tridiagonal
+        passes, all shifted elementwise code)."""
+        if level == 0:
+            return _stencil_apply(x)
+        per_axis = self.factors[level - 1]
+        d = x.ndim
+        y = None
+        for ax in range(d):
+            t = x
+            for a in range(d):
+                dl, ul, dm, um = per_axis[a]
+                if a == ax:
+                    t = _tridiag_apply(t, dl, ul, a)
+                else:
+                    t = _tridiag_apply(t, dm, um, a)
+            y = t if y is None else y + t
+        return y
+
+    def _smooth(self, level: int, x, b, steps: int):
+        if level == 0:
+            w = self.omega / (2.0 * len(self.dims[0]))
+            for _ in range(steps):
+                x = x + w * (b - _stencil_apply(x))
+            return x
+        w = self.winv[level - 1]
         for _ in range(steps):
-            x = x + w * (b - _stencil_apply(x))
+            x = x + w * (b - self._apply(level, x))
         return x
 
     def _vcycle(self, b, level: int):
@@ -194,23 +316,17 @@ class PoissonMultigrid:
         if level == len(self.dims) - 1:
             flat = self.coarse_inv @ b.reshape(-1).astype(self.coarse_inv.dtype)
             return flat.reshape(b.shape).astype(b.dtype)
-        x = self._smooth(jnp.zeros_like(b), b, self.nu1)
-        r = b - _stencil_apply(x)
+        x = self._smooth(level, jnp.zeros_like(b), b, self.nu1)
+        r = b - self._apply(level, x)
         rc = r
         for ax, m in enumerate(self.dims[level + 1]):
             rc = _restrict_1d(rc, m, ax)
-        # level scaling: the dimensionless (h^2-folded) operator needs the
-        # restricted residual scaled by (2h/h)^2 = 4; per-axis P^T carries
-        # 2^d, so correct by 2^(2-d) (identity in 2-D, 1/2 in 3-D)
-        d = len(self.dims[0])
-        if d != 2:
-            rc = rc * (2.0 ** (2 - d))
         ec = self._vcycle(rc, level + 1)
         up = ec
         for ax, m in enumerate(self.dims[level]):
             up = _prolong_1d(up, m, ax)
         x = x + up
-        return self._smooth(x, b, self.nu2)
+        return self._smooth(level, x, b, self.nu2)
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
         """One V-cycle as a linear operator z ~= A^{-1} r (flat in/out:
@@ -226,14 +342,13 @@ class PoissonMultigrid:
     ) -> SolveResult:
         """Stationary V-cycle iteration to ||r|| <= epsilon.
 
-        The stationary iteration contracts ~4-10x per cycle on the
-        classical vertex-centred hierarchies (ODD sides, e.g. 2^k - 1);
-        on even sides the rediscretised coarse boundary geometry is
-        inconsistent and the iteration can AMPLIFY — that is detected
-        (residual growth beyond 100x the initial) and reported as
-        DIVERGED.  For arbitrary grid sizes use the V-cycle as a CG
-        preconditioner (``cg(a, b, preconditioner=mg)``), which is
-        robust to the inconsistency and stays at O(10) iterations.
+        With Galerkin coarse operators the stationary iteration
+        contracts mesh-independently (~4-10x per cycle) for ARBITRARY
+        grid sizes — even, odd, rectangular, 3-D.  A runaway guard
+        (residual growth beyond 100x the initial) still reports
+        DIVERGED if the operator is not from the supported Laplacian
+        family.  The V-cycle also serves as a CG preconditioner
+        (``cg(a, b, preconditioner=mg)``).
         """
         bg = b.reshape(self.dims[0])
         x0g = jnp.zeros_like(bg) if x0 is None else x0.reshape(self.dims[0])
@@ -248,8 +363,8 @@ def _mg_solve_jit(mg: PoissonMultigrid, b, x0, eps, maxiter: int) -> SolveResult
 
     r0 = b - _stencil_apply(x0)
     rr0 = jnp.sum(r0 * r0)
-    # amplification guard: the stationary cycle diverges on inconsistent
-    # (even-side) hierarchies — catch runaway growth early
+    # runaway guard: catches mismatched operators (the cycle assumes the
+    # dimensionless Laplacian family) rather than marching to the cap
     rr_cap = 1e4 * rr0 + jnp.asarray(1.0, rr0.dtype)
 
     def cond(carry):
