@@ -16,6 +16,12 @@ reference library vasil-pashov/sparse_matrix_math (see SURVEY.md):
 """
 
 from .formats import best_format
+from .formats.reorder import (
+    ReorderedMatrix,
+    permute_csr,
+    rcm_permutation,
+    reorder_to_wsell,
+)
 from .formats.csr import CSRMatrix, csr_from_coo, csr_from_dense, csr_from_triplet
 from .formats.dia import DIAMatrix, dia_from_csr, try_dia_from_csr
 from .formats.ell import ELLMatrix, ell_from_csr
@@ -75,6 +81,7 @@ __all__ = [
     "cgs", "conjugate_gradient_squared", "cg_solve",
     "chebyshev", "lanczos_extremal", "cg_pipelined",
     "cg_multi", "MultiSolveResult", "PoissonMultigrid", "best_format",
+    "ReorderedMatrix", "rcm_permutation", "permute_csr", "reorder_to_wsell",
     "SolveResult", "SolverStatus", "SolverConfig", "solve",
     "checkpointed_solve", "load_checkpoint", "save_checkpoint",
     "load_csr_npz", "save_csr_npz",

@@ -3,10 +3,16 @@ from .dia import DIAMatrix, dia_from_csr, try_dia_from_csr
 from .ell import ELLMatrix, ell_from_csr
 from .hyb import HYBMatrix, hyb_from_csr
 from .wsell import WSellMatrix, try_wsell_from_csr, wsell_from_csr
+from .reorder import (
+    ReorderedMatrix,
+    permute_csr,
+    rcm_permutation,
+    reorder_to_wsell,
+)
 from .triplet import COOArrays, TripletMatrix, coo_from_arrays
 
 
-def best_format(csr, *, max_slot_ratio: float = 8.0):
+def best_format(csr, *, max_slot_ratio: float = 8.0, allow_reorder: bool = True):
     """Pick the fastest TPU layout for a CSR matrix's pattern.
 
     Selection order mirrors the measured kernel hierarchy
@@ -17,8 +23,13 @@ def best_format(csr, *, max_slot_ratio: float = 8.0):
     2. W-SELL — general patterns with window locality (banded-broken,
        mesh-like, reservoir-class): the two-step-gather kernel,
        >= 10x the reference CPU core;
-    3. CSR itself — tile-sparse patterns W-SELL refuses (the XLA
-       segment-sum path, plus the dense-MXU rescue at small n).
+    3. RCM + W-SELL — scattered patterns whose bandwidth a reverse
+       Cuthill-McKee renumbering reduces (shuffled meshes, arbitrary
+       node numberings); solvers hoist the permutation out of their
+       loops (formats/reorder.py).  Skipped with ``allow_reorder=False``
+       or for rectangular matrices;
+    4. CSR itself — genuinely tile-sparse patterns (the XLA segment-sum
+       path, plus the dense-MXU rescue at small n).
 
     The returned object plugs into every solver/``rmult`` call site.
     """
@@ -28,4 +39,8 @@ def best_format(csr, *, max_slot_ratio: float = 8.0):
     ws = try_wsell_from_csr(csr, max_slot_ratio=max_slot_ratio)
     if ws is not None:
         return ws
+    if allow_reorder and csr.shape[0] == csr.shape[1]:
+        ro = reorder_to_wsell(csr, max_slot_ratio=max_slot_ratio)
+        if ro is not None:
+            return ro
     return csr

@@ -29,6 +29,7 @@ from ..formats.csr import CSRMatrix
 from ..formats.dia import DIAMatrix
 from ..formats.ell import ELLMatrix
 from ..formats.hyb import HYBMatrix
+from ..formats.reorder import ReorderedMatrix
 from ..formats.wsell import WSellMatrix
 
 __all__ = ["rmult", "rmult_add", "rmult_sub", "matvec_fn"]
@@ -205,6 +206,15 @@ def _rmult_wsell(a: WSellMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 
 @rmult.register
+def _rmult_reordered(a: ReorderedMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    # acts as the ORIGINAL A: route through the permutation (two vector
+    # gathers per call — solvers hoist these out of their loops instead,
+    # formats/reorder.py:reorder_hoisted)
+    yp = rmult(a.inner, jnp.take(x, a.perm, axis=0))
+    return jnp.take(yp, a.iperm, axis=0)
+
+
+@rmult.register
 def _rmult_hyb(a: HYBMatrix, x: jnp.ndarray) -> jnp.ndarray:
     # dominant diagonals at stencil speed + sparse remainder
     if a.dia is not None and a.rest is not None:
@@ -235,7 +245,9 @@ def matvec_fn(a):
     Accepts any registered sparse format, a dense 2-D array, or an
     arbitrary callable (the LinearOperator escape hatch the reference
     lacks)."""
-    if isinstance(a, (CSRMatrix, ELLMatrix, DIAMatrix, HYBMatrix, WSellMatrix)):
+    if isinstance(
+        a, (CSRMatrix, ELLMatrix, DIAMatrix, HYBMatrix, WSellMatrix, ReorderedMatrix)
+    ):
         return lambda x: rmult(a, x)
     if callable(a):
         return a
@@ -247,7 +259,9 @@ def as_operator(a):
     as a pytree argument: registered formats and arrays pass through,
     bare callables are wrapped in ``jax.tree_util.Partial`` (so solver
     compilations are cached per matrix *structure*, not per call)."""
-    if isinstance(a, (CSRMatrix, ELLMatrix, DIAMatrix, HYBMatrix, WSellMatrix)):
+    if isinstance(
+        a, (CSRMatrix, ELLMatrix, DIAMatrix, HYBMatrix, WSellMatrix, ReorderedMatrix)
+    ):
         return a
     if hasattr(a, "ndim") and a.ndim == 2:
         return a

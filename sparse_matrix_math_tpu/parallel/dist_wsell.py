@@ -162,9 +162,19 @@ def distribute_wsell(
     )
 
 
+def _mesh_interpret(mesh: jax.sharding.Mesh) -> bool:
+    """Pallas interpret mode iff the MESH devices aren't TPUs.
+
+    ``jax.default_backend()`` is the wrong predicate here: with the TPU
+    plugin initialised it says "tpu" even when the shard_map runs on a
+    forced-host CPU mesh (the driver's multichip dryrun)."""
+    return mesh.devices.flat[0].platform != "tpu"
+
+
 def _local_wsell_spmv(
     vals, meta, base, slab, x_local, *,
     axis: str, block_rows: int, n_slabs: int, x_rows: int, shape, ratio,
+    interpret: bool,
 ):
     """Per-shard body: neighbor-window ppermute + local W-SELL kernel."""
     n_dev = jax.lax.axis_size(axis)
@@ -181,7 +191,6 @@ def _local_wsell_spmv(
         shape=(block_rows, 3 * block_rows),
         nnz=0, n_slabs=n_slabs, x_rows=x_rows, slot_ratio=ratio,
     )
-    interpret = jax.default_backend() != "tpu"
     # wsell_spmv returns exactly shape[0] == block_rows rows here
     return wsell_spmv(local, xg, interpret=interpret)
 
@@ -196,11 +205,13 @@ def dist_wsell_spmv(a: DistWSell, x: jnp.ndarray, mesh: jax.sharding.Mesh):
 
 @lru_cache(maxsize=None)
 def _dist_wsell_spmv_jit(mesh, axis, block_rows, n_slabs, x_rows, shape, ratio):
+    interpret = _mesh_interpret(mesh)
+
     def inner(vals, meta, base, slab, x_local):
         return _local_wsell_spmv(
             vals[0], meta[0], base[0], slab[0], x_local,
             axis=axis, block_rows=block_rows, n_slabs=n_slabs,
-            x_rows=x_rows, shape=shape, ratio=ratio,
+            x_rows=x_rows, shape=shape, ratio=ratio, interpret=interpret,
         )
 
     # check_vma=False: the pallas_call inside the body produces outputs
@@ -261,6 +272,7 @@ def _dist_wsell_solve_jit(
     solver: str, maxiter: int, record: bool,
 ):
     core = _CORES[solver]
+    interpret = _mesh_interpret(mesh)
 
     def inner(vals, meta, base, slab, b_local, x0_local, eps):
         arrs = (vals[0], meta[0], base[0], slab[0])
@@ -269,6 +281,7 @@ def _dist_wsell_solve_jit(
             return _local_wsell_spmv(
                 *arrs, v, axis=axis, block_rows=block_rows,
                 n_slabs=n_slabs, x_rows=x_rows, shape=shape, ratio=ratio,
+                interpret=interpret,
             )
 
         dotfn = _psum_dot(axis)

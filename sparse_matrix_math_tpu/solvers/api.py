@@ -52,7 +52,18 @@ def _build_preconditioner(a, kind: str, options):
     the padded-fast-path apply) and 'chebyshev' (format-agnostic).
     """
     from ..formats.dia import DIAMatrix
+    from ..formats.reorder import ReorderedMatrix
 
+    if isinstance(a, ReorderedMatrix):
+        # the hoisted solvers run entirely in the permuted domain
+        # (formats/reorder.py:reorder_hoisted), so the preconditioner
+        # must be factored from the PERMUTED matrix
+        if a.inner_csr is None:
+            raise ValueError(
+                "ReorderedMatrix carries no permuted CSR; pass a "
+                "preconditioner object built in the permuted domain"
+            )
+        return _build_preconditioner(a.inner_csr, kind, options)
     if isinstance(a, CSRMatrix):
         return get_preconditioner(a, kind, **options)
     k = kind.lower() if isinstance(kind, str) else kind

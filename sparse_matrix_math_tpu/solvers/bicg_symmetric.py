@@ -30,10 +30,12 @@ import jax.numpy as jnp
 from ..ops.spmv import as_operator, matvec_fn
 from ..ops.vector import dot
 from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
+from ..formats.reorder import reorder_hoisted
 
 __all__ = ["bicg_symmetric", "bicg_symmetric_core"]
 
 
+@reorder_hoisted
 def bicg_symmetric(
     a,
     b: jnp.ndarray,

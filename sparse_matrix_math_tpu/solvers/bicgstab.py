@@ -36,10 +36,12 @@ import jax.numpy as jnp
 from ..ops.spmv import as_operator, matvec_fn
 from ..ops.vector import dot
 from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
+from ..formats.reorder import reorder_hoisted
 
 __all__ = ["bicgstab", "bicgstab_core"]
 
 
+@reorder_hoisted
 def bicgstab(
     a,
     b: jnp.ndarray,

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from ..ops.spmv import as_operator, matvec_fn
 from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
+from ..formats.reorder import reorder_hoisted
 
 __all__ = ["cg_multi", "MultiSolveResult"]
 
@@ -61,6 +62,7 @@ class MultiSolveResult:
         )
 
 
+@reorder_hoisted
 def cg_multi(
     a,
     b: jnp.ndarray,

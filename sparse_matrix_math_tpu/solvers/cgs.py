@@ -38,10 +38,12 @@ import jax.numpy as jnp
 from ..ops.spmv import as_operator, matvec_fn
 from ..ops.vector import dot
 from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
+from ..formats.reorder import reorder_hoisted
 
 __all__ = ["conjugate_gradient_squared", "cgs", "cgs_core"]
 
 
+@reorder_hoisted
 def conjugate_gradient_squared(
     a,
     b: jnp.ndarray,

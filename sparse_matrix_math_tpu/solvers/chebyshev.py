@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..ops.spmv import as_operator, matvec_fn
 from ..ops.vector import dot
 from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
+from ..formats.reorder import reorder_hoisted
 
 __all__ = [
     "chebyshev", "chebyshev_core", "lanczos_extremal", "widen_eig_bounds",
@@ -105,6 +106,7 @@ def lanczos_extremal(
     return float(eig[0]), float(eig[-1])
 
 
+@reorder_hoisted
 def chebyshev(
     a,
     b: jnp.ndarray,

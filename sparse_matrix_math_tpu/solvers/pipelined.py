@@ -43,6 +43,7 @@ import jax.numpy as jnp
 
 from ..ops.spmv import as_operator, matvec_fn
 from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
+from ..formats.reorder import reorder_hoisted
 
 __all__ = ["cg_pipelined", "cg_pipelined_core"]
 
@@ -54,6 +55,7 @@ def _dot2_local(u1, v1, u2, v2):
     )
 
 
+@reorder_hoisted
 def cg_pipelined(
     a,
     b: jnp.ndarray,
