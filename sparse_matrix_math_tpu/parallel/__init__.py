@@ -1,6 +1,12 @@
 """Multi-chip distribution: 1-D row-partitioned mesh (SURVEY §2.3, §7)."""
 
 from .dist_dia import DistDIA, dist_dia_solve, dist_dia_spmv, distribute_dia
+from .dist_multigrid import (
+    DistPoissonMG,
+    dist_mg_solve,
+    dist_mg_vcycle,
+    distribute_multigrid,
+)
 from .dist_wsell import (
     DistWSell,
     dist_wsell_solve,
@@ -22,6 +28,10 @@ from .mesh import ROW_AXIS, make_mesh, replicated_sharding, row_sharding
 __all__ = [
     "DistCSR",
     "DistDIA",
+    "DistPoissonMG",
+    "dist_mg_solve",
+    "dist_mg_vcycle",
+    "distribute_multigrid",
     "DistWSell",
     "dist_wsell_solve",
     "dist_wsell_spmv",
