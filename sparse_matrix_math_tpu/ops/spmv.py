@@ -194,15 +194,15 @@ def _rmult_dia(a: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 @rmult.register
 def _rmult_wsell(a: WSellMatrix, x: jnp.ndarray) -> jnp.ndarray:
-    # the general-pattern Pallas kernel (ops/pallas_wsell.py); multi-column
-    # SpMM runs column-at-a-time (the x table is single-vector)
-    from .pallas_wsell import wsell_spmv
+    # the general-pattern Pallas kernels (ops/pallas_wsell.py); 2-D x
+    # runs the SpMM kernel, which streams the slot planes ONCE for all
+    # columns instead of once per column
+    from .pallas_wsell import wsell_spmm, wsell_spmv
 
     interpret = jax.default_backend() != "tpu"
     if x.ndim == 1:
         return wsell_spmv(a, x, interpret=interpret)
-    cols = [wsell_spmv(a, x[:, j], interpret=interpret) for j in range(x.shape[1])]
-    return jnp.stack(cols, axis=1)
+    return wsell_spmm(a, x, interpret=interpret)
 
 
 @rmult.register

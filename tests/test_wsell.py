@@ -141,6 +141,29 @@ class TestWSellCorrectness:
             atol=1e-5, rtol=1e-4,
         )
 
+    def test_spmm_kernel_tiles_over_call_cap(self):
+        """k=10 > the 8-RHS per-call cap: the SpMM kernel must tile
+        across calls and match the CSR result column-for-column."""
+        from sparse_matrix_math_tpu.ops.pallas_wsell import wsell_spmm
+
+        a = poisson_2d(20, dtype=np.float32)
+        ws = wsell_from_csr(a)
+        rng = np.random.default_rng(1)
+        X = jnp.asarray(
+            rng.standard_normal((a.shape[1], 10)).astype(np.float32)
+        )
+        got = wsell_spmm(ws, X, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(rmult(a, X)), atol=1e-5, rtol=1e-4
+        )
+
+    def test_spmm_rejects_1d(self):
+        from sparse_matrix_math_tpu.ops.pallas_wsell import wsell_spmm
+
+        ws = wsell_from_csr(poisson_2d(16, dtype=np.float32))
+        with pytest.raises(ValueError):
+            wsell_spmm(ws, jnp.ones(256), interpret=True)
+
     def test_refusal_on_tile_sparse(self):
         # uniform random, ~1 nnz per (slab, window) tile: must refuse
         rng = np.random.default_rng(13)
