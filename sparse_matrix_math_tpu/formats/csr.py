@@ -72,25 +72,27 @@ class CSRMatrix:
         """Index into ``data`` for (row, col), or -1 when not stored.
 
         Binary search within the row, like the reference ``getValueIndex``
-        (sparse_matrix_math.h:1551-1570).  Works traced or concrete.
+        (sparse_matrix_math.h:1551-1570): O(log row-nnz) probes of the
+        column array, no O(nnz) temporaries.  Works traced or concrete.
         """
-        start = self.indptr[row]
-        end = self.indptr[jnp.asarray(row) + 1]
-        # searchsorted over the indices array with entries outside [start, end)
-        # clamped to -1 / INT32_MAX so global sortedness holds for the search.
+        start = self.indptr[row].astype(jnp.int32)
+        end = self.indptr[jnp.asarray(row) + 1].astype(jnp.int32)
         n = self.indices.shape[0]
-        pos = jnp.arange(n)
-        masked = jnp.where(
-            pos < start,
-            -1,
-            jnp.where(pos >= end, jnp.iinfo(jnp.int32).max, self.indices),
-        )
-        pos_in_row = jnp.searchsorted(masked, col)
-        found = (pos_in_row < end) & (pos_in_row >= start)
-        found &= jnp.where(
-            pos_in_row < n, self.indices[jnp.minimum(pos_in_row, n - 1)] == col, False
-        )
-        return jnp.where(found, pos_in_row, -1)
+        col = jnp.asarray(col, self.indices.dtype)
+
+        def cond(lohi):
+            lo, hi = lohi
+            return lo < hi
+
+        def body(lohi):
+            lo, hi = lohi
+            mid = (lo + hi) // 2
+            below = self.indices[jnp.clip(mid, 0, n - 1)] < col
+            return jnp.where(below, mid + 1, lo), jnp.where(below, hi, mid)
+
+        lo, _ = jax.lax.while_loop(cond, body, (start, end))
+        found = (lo < end) & (self.indices[jnp.clip(lo, 0, n - 1)] == col)
+        return jnp.where(found, lo, -1)
 
     def get_value(self, row: int, col: int):
         """Value at (row, col); 0 when not stored (reference h:1582-1589)."""

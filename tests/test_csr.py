@@ -175,3 +175,24 @@ def test_matmul_under_jit(sample):
         return mat @ v
 
     np.testing.assert_allclose(np.asarray(f(m, x)), dense @ np.arange(4.0))
+
+
+def test_get_value_index_bisection(sample):
+    """Every stored (row, col) resolves to its data index; absent columns
+    and empty rows give -1 — concrete AND under jit (the search is a
+    while_loop bisection, reference getValueIndex h:1551-1570)."""
+    import jax
+
+    dense, m = sample
+    indptr = np.asarray(m.indptr)
+    indices = np.asarray(m.indices)
+    jitted = jax.jit(lambda r, c: m.get_value_index(r, c))
+    for r in range(m.shape[0]):
+        stored = set(indices[indptr[r]: indptr[r + 1]].tolist())
+        for c in range(m.shape[1]):
+            got = int(m.get_value_index(r, c))
+            assert got == int(jitted(r, c))
+            if c in stored:
+                assert indices[got] == c and indptr[r] <= got < indptr[r + 1]
+            else:
+                assert got == -1
