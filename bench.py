@@ -247,25 +247,27 @@ def main() -> None:
         from sparse_matrix_math_tpu.formats.wsell import wsell_from_csr
         from sparse_matrix_math_tpu.utils.generate import laplace_3d_jittered
 
-        # symmetric variant: same unstructured pattern class, SPD — the
-        # in-solver rate is measurable through a resident CG while_loop
-        ua = laplace_3d_jittered(113, dtype=np.float32, symmetric=True)
+        # symmetric shifted variant: same unstructured pattern class
+        # (shift changes diagonal VALUES only — the W-SELL layout and
+        # slot_ratio are pattern-identical to shift=0), SPD with the
+        # spectrum bounded away from zero, so f32 CG genuinely reaches
+        # the tolerance and time-to-tol below is a real solve, not a
+        # fixed-iteration proxy.
+        ua = laplace_3d_jittered(
+            113, dtype=np.float32, symmetric=True, shift=0.25
+        )
         ws = wsell_from_csr(ua)
         usec = _time_spmv_loop(ws, jnp.ones((ua.shape[1],), jnp.float32), 20)
-        # fixed-iteration resident CG loop: this measures the W-SELL
-        # SpMV rate as solvers actually run it (carries VMEM-resident,
-        # zero dispatch per iteration).  The near-singular symmetrised
-        # Laplacian needs preconditioning to actually reach 1e-4 in f32,
-        # so cg_status reports MAX_ITERATIONS_REACHED by design here.
         ub = rmult(ws, jnp.ones((ua.shape[0],), jnp.float32))
-        ures = cg(ws, ub, max_iterations=1500, epsilon=1e-4)
+        ub = ub / jnp.linalg.norm(ub)
+        ures = cg(ws, ub, max_iterations=600, epsilon=1e-4)
         ures.x.block_until_ready()
         t0 = time.perf_counter()
-        ures = cg(ws, ub, max_iterations=1500, epsilon=1e-4)
+        ures = cg(ws, ub, max_iterations=600, epsilon=1e-4)
         ures.x.block_until_ready()
         uwall = _device_time(time.perf_counter() - t0)
         unstructured = {
-            "matrix": "laplace3d_jittered_113^3_sym",
+            "matrix": "laplace3d_jittered_113^3_sym_shift.25",
             "n": ua.shape[0],
             "nnz": ua.nnz,
             "slot_ratio": round(ws.slot_ratio, 2),

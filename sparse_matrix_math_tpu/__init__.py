@@ -3,16 +3,22 @@
 A from-scratch JAX/XLA/Pallas re-design with the capabilities of the C++
 reference library vasil-pashov/sparse_matrix_math (see SURVEY.md):
 
-* sparse formats: Triplet/COO assembly, CSR, plus TPU-friendly ELL
-  (padded) and DIA (stencil) compute layouts
-* SpMV family: rmult / rmult_add / rmult_sub with XLA and Pallas paths
+* sparse formats: Triplet/COO assembly, CSR, plus TPU compute layouts —
+  ELL (padded), DIA (stencil), HYB, and W-SELL (windowed sliced-ELL,
+  the general-pattern Pallas fast path); RCM reordering onto W-SELL
+* SpMV/SpMM family: rmult / rmult_add / rmult_sub (1-D and multi-RHS)
+  with XLA and Pallas paths; ``best_format`` auto-selection
 * Krylov solvers as jitted while_loops: ConjugateGradient (plain +
-  preconditioned), BiCGSymmetric, ConjugateGradientSquared, BiCGStab
+  preconditioned + pipelined + multi-RHS), BiCGSymmetric,
+  ConjugateGradientSquared, BiCGStab, Chebyshev semi-iteration
 * preconditioners: Identity, Jacobi, Symmetric Gauss-Seidel, ILU(0),
-  IC(0) with TPU triangular-solve strategies
+  IC(0) with TPU triangular-solve strategies (fused Pallas halo-sweep
+  kernels on the padded stencil domain); geometric multigrid
+  (PoissonMultigrid) as solver or PCG preconditioner
 * I/O: Matrix Market (.mtx) + SMMDT dense-text, extension dispatch
 * distribution: 1-D mesh row partitioning via shard_map with psum
-  reductions (parallel/)
+  reductions and neighbor-halo ppermute for CSR / DIA / W-SELL /
+  multigrid (parallel/)
 """
 
 from .formats import best_format
@@ -27,6 +33,7 @@ from .formats.dia import DIAMatrix, dia_from_csr, try_dia_from_csr
 from .formats.ell import ELLMatrix, ell_from_csr
 from .formats.hyb import HYBMatrix, hyb_from_csr
 from .formats.triplet import COOArrays, TripletMatrix, coo_from_arrays
+from .formats.wsell import WSellMatrix, try_wsell_from_csr, wsell_from_csr
 from .io.dispatch import load_matrix, load_matrix_csr
 from .io.matrix_market import MatrixLoadStatus, MatrixMarketError, load_matrix_market
 from .io.smmdt import load_smmdt, save_dense_text
@@ -70,6 +77,7 @@ __all__ = [
     "ELLMatrix", "ell_from_csr",
     "HYBMatrix", "hyb_from_csr",
     "COOArrays", "TripletMatrix", "coo_from_arrays",
+    "WSellMatrix", "wsell_from_csr", "try_wsell_from_csr",
     "load_matrix", "load_matrix_csr", "load_matrix_market", "load_smmdt",
     "save_dense_text", "MatrixLoadStatus", "MatrixMarketError",
     "rmult", "rmult_add", "rmult_sub",

@@ -143,7 +143,7 @@ def _sorted_csr(rows, cols, vals, shape: Tuple[int, int]) -> CSRMatrix:
 
 def laplace_3d_jittered(
     m: int, jitter: int = 8, seed: int = 0, dtype=np.float64,
-    symmetric: bool = False,
+    symmetric: bool = False, shift: float = 0.0,
 ) -> CSRMatrix:
     """7-point 3-D Laplacian whose off-diagonal COLUMN indices are
     randomly jittered by up to ``jitter`` — a "banded-broken random"
@@ -153,11 +153,19 @@ def laplace_3d_jittered(
 
     ``symmetric=True`` returns (A + A^T)/2 — same unstructured pattern
     class, but SPD(-ish, diagonally dominant), so CG applies and the
-    in-solver SpMV rate is measurable through a Krylov loop."""
+    in-solver SpMV rate is measurable through a Krylov loop.
+
+    ``shift`` adds a constant to the diagonal.  The bare symmetrised
+    operator is near-singular (interior row sums ~ 0, like a Neumann
+    Laplacian), which f32 Krylov cannot solve to tight tolerances; a
+    positive shift bounds the spectrum away from zero and makes the
+    system genuinely solvable.  Only diagonal VALUES change — the
+    sparsity pattern, and therefore every pattern-derived layout
+    (W-SELL slots, windows, slot_ratio), is identical to shift=0."""
     n = m ** 3
     i = np.arange(n)
     iz, iy, ix = i // (m * m), (i // m) % m, i % m
-    rows, cols, vals = [i], [i], [np.full(n, 6.0)]
+    rows, cols, vals = [i], [i], [np.full(n, 6.0 + shift)]
     rng = np.random.default_rng(seed)
     for off, valid in (
         (1, ix < m - 1), (-1, ix > 0),
