@@ -98,6 +98,10 @@ class SolverConfig:
         default_factory=dict
     )
     record_residuals: bool = False
+    # stream the MATRIX in this dtype (e.g. "bfloat16") with f32 vectors
+    # and true-residual iterative refinement — solvers/mixed.py; only
+    # method='cg' on DIA matrices supports it
+    matrix_dtype: str = None
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)
@@ -147,6 +151,29 @@ def solve(
         return cg_multi(
             a, b, x0,
             max_iterations=cfg.max_iterations, epsilon=cfg.epsilon,
+        )
+    if cfg.matrix_dtype is not None:
+        # bf16-matrix / f32-vector mixed precision with true-residual IR
+        from .mixed import mixed_cg
+
+        if method not in ("cg", "conjugate_gradient"):
+            raise ValueError(
+                "matrix_dtype (mixed precision) is supported for "
+                "method='cg' only"
+            )
+        if cfg.preconditioner not in (None, "none"):
+            raise ValueError(
+                "matrix_dtype does not compose with a preconditioner yet"
+            )
+        if cfg.record_residuals:
+            raise ValueError(
+                "mixed_cg does not record residual traces (the outer "
+                "loop only tracks true-residual checkpoints)"
+            )
+        return mixed_cg(
+            a, b, x0,
+            max_iterations=cfg.max_iterations, epsilon=cfg.epsilon,
+            matrix_dtype=cfg.matrix_dtype,
         )
     kwargs: Dict[str, Any] = dict(
         max_iterations=cfg.max_iterations,
