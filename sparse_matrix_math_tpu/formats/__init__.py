@@ -37,10 +37,19 @@ def best_format(csr, *, max_slot_ratio: float = 8.0, allow_reorder: bool = True)
     if dia is not None:
         return dia
     ws = try_wsell_from_csr(csr, max_slot_ratio=max_slot_ratio)
-    if ws is not None:
+    if ws is not None and ws.slot_ratio <= 3.0:
+        # tight enough that a renumbering can't buy much
         return ws
     if allow_reorder and csr.shape[0] == csr.shape[1]:
         ro = reorder_to_wsell(csr, max_slot_ratio=max_slot_ratio)
-        if ro is not None:
+        if ro is not None and (
+            ws is None or ro.inner.slot_ratio < 0.7 * ws.slot_ratio
+        ):
+            # the kernel cost is proportional to slot_ratio and the
+            # permutation is hoisted out of solver loops, so a clearly
+            # lower reordered ratio wins; otherwise keep the raw layout
+            # (no permutation plumbing at all)
             return ro
+    if ws is not None:
+        return ws
     return csr

@@ -167,6 +167,37 @@ def _distinct_rank(key: np.ndarray, val: np.ndarray, val_bits: int = 3) -> np.nd
     return out
 
 
+def _repair_conflicts(
+    row, job, t_of, lane_out, lsrc, sw3, max_repair_rounds: int
+):
+    """Bump-repair rounds for the NumPy colouring fallback: resolve slots
+    landing on the same (job, t, row, lane) or violating the one-window-
+    sublane-per-source-lane rule (see wsell_from_csr)."""
+    _ROW_BITS = 14  # repair bumps stay far below 2^14 rows
+    for _ in range(max_repair_rounds):
+        # conflict A: two slots at the same (job, t, row, lane)
+        dup_a = _group_rank(
+            _pack_keys((job, t_of, row, lane_out), (0, 3, _ROW_BITS, 7))
+        )
+        # conflict B: same (job, t, row, source lane) but different column
+        dup_b = _distinct_rank(
+            _pack_keys((job, t_of, row, lsrc), (0, 3, _ROW_BITS, 7)), sw3
+        )
+        conflict = (dup_a > 0) | (dup_b > 0)
+        if not conflict.any():
+            return row
+        row[conflict] += np.maximum(dup_a, dup_b)[conflict]
+        if row.max() >= (1 << _ROW_BITS):
+            raise ValueError(
+                "W-SELL colouring blew past the row budget "
+                "(pattern too adversarial)"
+            )
+    raise ValueError(
+        "W-SELL colouring did not converge "
+        f"(pattern too adversarial after {max_repair_rounds} rounds)"
+    )
+
+
 def _window_jobs(slab_of: np.ndarray, xrow: np.ndarray, x_rows: int):
     """Group nnz into (slab, aligned 8-x-row window) jobs.
 
@@ -184,10 +215,22 @@ def _window_jobs(slab_of: np.ndarray, xrow: np.ndarray, x_rows: int):
     # destabilises the colouring repair on near-diagonal patterns.
     wdim = np.int64((x_rows + 7) // 8 + 1)
     aligned = slab_of * wdim + xrow // 8
-    ujobs, jinv = np.unique(aligned, return_inverse=True)
+    key_span = int(slab_of.max() + 1) * int(wdim)
+    if key_span <= max(4 * n, 1 << 26):
+        # O(nnz) flag-based unique: the (slab, window) key space is small
+        # relative to nnz, so a dense presence map beats the sort-based
+        # np.unique by ~50x at 10M+ nnz
+        flags = np.zeros(key_span, bool)
+        flags[aligned] = True
+        ujobs = np.flatnonzero(flags)
+        pos = np.cumsum(flags, dtype=np.int64) - 1
+        jinv = pos[aligned]
+    else:
+        ujobs, jinv = np.unique(aligned, return_inverse=True)
+        jinv = jinv.astype(np.int64)
     base = np.minimum((ujobs % wdim) * 8, x_rows - 8)
     return (
-        jinv.astype(np.int64),
+        jinv,
         base.astype(np.int64),
         (ujobs // wdim).astype(np.int64),
     )
@@ -204,10 +247,14 @@ def wsell_from_csr(
     Raises ValueError when the pattern pads worse than ``max_slot_ratio``
     slots per nnz (tile-sparse patterns W-SELL cannot serve well).
     """
-    r = np.asarray(csr.row_ids, dtype=np.int64)
+    # host-side row ids from indptr: np.asarray(csr.row_ids) would
+    # materialise a device computation (measured ~10s+ at 17.5M nnz on
+    # the CPU backend); np.repeat over the host indptr is ~100ms
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    n_rows, n_cols = csr.shape
+    r = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(indptr))
     c = np.asarray(csr.indices, dtype=np.int64)
     v = np.asarray(csr.data)
-    n_rows, n_cols = csr.shape
     n_slabs = max(-(-n_rows // SLAB), 1)
     x_rows = max(_round_up(-(-n_cols // LANE), 8), 8)
 
@@ -223,38 +270,29 @@ def wsell_from_csr(
     # distinct columns within a (job, t, source-lane) group differ exactly
     # in the 3-bit window sublane (one aligned 1024-window per job)
     sw3 = ((c // LANE) % 8).astype(np.int64)
-    # rank1: same (job, matrix row) slots must occupy distinct slot rows
-    rank1 = _group_rank(_pack_keys((job, r), (0, 27)))
-    # rank2: within (job, t, source lane), distinct columns must occupy
-    # distinct slot rows (equal columns share the SW entry -> same row ok)
-    key_jtl = _pack_keys((job, t_of, lsrc), (0, 3, 7))
-    rank2 = _distinct_rank(key_jtl, sw3)
-    row = np.maximum(rank1, rank2)
-
+    row = None
     if r.size:
-        _ROW_BITS = 14  # repair bumps stay far below 2^14 rows
-        for _ in range(max_repair_rounds):
-            # conflict A: two slots at the same (job, t, row, lane)
-            dup_a = _group_rank(
-                _pack_keys((job, t_of, row, lane_out), (0, 3, _ROW_BITS, 7))
-            )
-            # conflict B: same (job, t, row, source lane) but different column
-            dup_b = _distinct_rank(
-                _pack_keys((job, t_of, row, lsrc), (0, 3, _ROW_BITS, 7)), sw3
-            )
-            conflict = (dup_a > 0) | (dup_b > 0)
-            if not conflict.any():
-                break
-            row[conflict] += np.maximum(dup_a, dup_b)[conflict]
-            if row.max() >= (1 << _ROW_BITS):
-                raise ValueError(
-                    "W-SELL colouring blew past the row budget "
-                    "(pattern too adversarial)"
-                )
-        else:
-            raise ValueError(
-                "W-SELL colouring did not converge "
-                f"(pattern too adversarial after {max_repair_rounds} rounds)"
+        # native first-fit colourer: one pass, satisfies both constraints
+        # by construction, and packs at least as tightly as the
+        # rank+repair fallback below (~10x faster at 10M+ nnz)
+        from ..native import wsell_color_native
+
+        row_native = wsell_color_native(job, t_of, lane_out, lsrc, sw3, n_jobs)
+        if row_native is not None:
+            row = row_native.astype(np.int64)
+    if row is None:
+        # NumPy fallback: over-approximate with independent ranks, then
+        # repair residual conflicts.
+        # rank1: same (job, matrix row) slots must occupy distinct slot rows
+        rank1 = _group_rank(_pack_keys((job, r), (0, 27)))
+        # rank2: within (job, t, source lane), distinct columns must occupy
+        # distinct slot rows (equal columns share the SW entry -> same row ok)
+        key_jtl = _pack_keys((job, t_of, lsrc), (0, 3, 7))
+        rank2 = _distinct_rank(key_jtl, sw3)
+        row = np.maximum(rank1, rank2)
+        if r.size:
+            row = _repair_conflicts(
+                row, job, t_of, lane_out, lsrc, sw3, max_repair_rounds
             )
 
     # -- per-job row layout ---------------------------------------------------

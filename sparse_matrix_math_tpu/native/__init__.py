@@ -21,6 +21,7 @@ __all__ = [
     "ic0_factorize_native",
     "ilu0_factorize_native",
     "mtx_read_native",
+    "wsell_color_native",
 ]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
@@ -33,6 +34,7 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 
@@ -93,6 +95,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
             _i64p, _i64p, _f64p,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.smm_wsell_color.restype = ctypes.c_int64
+        lib.smm_wsell_color.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            _i64p, _i64p, _i64p, _i64p, _i64p, _i32p,
         ]
         _lib = lib
         return _lib
@@ -193,6 +200,30 @@ def mtx_read_native(path: str, allow_general: bool):
         )
     k = count.value
     return int(rows.value), int(cols.value), r[:k], c[:k], v[:k]
+
+
+def wsell_color_native(job, t, lane, lsrc, sw, n_jobs: int):
+    """First-fit W-SELL slot-row colouring (smm_wsell_color), or None if
+    the native library is unavailable.  Returns an int32 row id per nnz
+    satisfying the layout constraints in formats/wsell.py — packed at
+    least as tightly as the NumPy rank+repair fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    nnz = job.shape[0]
+    row = np.empty(nnz, np.int32)
+    rc = lib.smm_wsell_color(
+        nnz, int(n_jobs),
+        np.ascontiguousarray(job, np.int64),
+        np.ascontiguousarray(t, np.int64),
+        np.ascontiguousarray(lane, np.int64),
+        np.ascontiguousarray(lsrc, np.int64),
+        np.ascontiguousarray(sw, np.int64),
+        row,
+    )
+    if rc < 0:
+        return None
+    return row
 
 
 class _MtxNativeError(ValueError):

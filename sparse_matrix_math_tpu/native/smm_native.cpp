@@ -234,4 +234,80 @@ parse_err:
   return 3;
 }
 
+// ---------------------------------------------------------------------------
+// W-SELL slot-row colouring (formats/wsell.py), first-fit variant.
+//
+// Per (job, target-sublane) group, assign each nnz the smallest slot row
+// satisfying the kernel's layout constraints (see formats/wsell.py):
+//   * one slot per (row, output lane)            — lane-occupancy mask
+//   * one window-sublane per (row, source lane)  — equal columns share it
+// First-fit packs at least as tightly as the vectorised rank+repair
+// NumPy fallback (which over-approximates with max(rank1, rank2) plus
+// conflict-bump rounds) and runs in one pass over the entries.
+//
+// Inputs are the per-nnz job id (dense, any order), target sublane t
+// (0..7), output lane (0..127), source lane (0..127) and window sublane
+// (0..7).  Output: slot row per nnz.  Returns max row count over all
+// groups (>= 1), or -1 when inputs are out of range.
+// ---------------------------------------------------------------------------
+int64_t smm_wsell_color(int64_t nnz, int64_t n_jobs, const int64_t* job,
+                        const int64_t* t, const int64_t* lane,
+                        const int64_t* lsrc, const int64_t* sw,
+                        int32_t* row_out) {
+  const int64_t n_groups = n_jobs * 8;
+  std::vector<int64_t> count(n_groups + 1, 0);
+  for (int64_t e = 0; e < nnz; ++e) {
+    if (job[e] < 0 || job[e] >= n_jobs || t[e] < 0 || t[e] > 7 ||
+        lane[e] < 0 || lane[e] > 127 || lsrc[e] < 0 || lsrc[e] > 127 ||
+        sw[e] < 0 || sw[e] > 7)
+      return -1;
+    ++count[job[e] * 8 + t[e] + 1];
+  }
+  for (int64_t g = 0; g < n_groups; ++g) count[g + 1] += count[g];
+  // bucket the entry ids by group, preserving input (row-major) order
+  std::vector<int64_t> order(nnz);
+  {
+    std::vector<int64_t> cursor(count.begin(), count.end() - 1);
+    for (int64_t e = 0; e < nnz; ++e) order[cursor[job[e] * 8 + t[e]]++] = e;
+  }
+
+  struct Row {
+    uint64_t lanes[2];   // output-lane occupancy
+    int8_t swv[128];     // window sublane per source lane (-1 = unset)
+  };
+  std::vector<Row> rows;
+  int64_t max_rows = 1;
+  for (int64_t g = 0; g < n_groups; ++g) {
+    const int64_t lo = count[g], hi = count[g + 1];
+    if (lo == hi) continue;
+    rows.clear();
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t e = order[i];
+      const int ln = static_cast<int>(lane[e]);
+      const int ls = static_cast<int>(lsrc[e]);
+      const int8_t s = static_cast<int8_t>(sw[e]);
+      size_t k = 0;
+      for (; k < rows.size(); ++k) {
+        Row& rw = rows[k];
+        if (rw.lanes[ln >> 6] & (1ull << (ln & 63))) continue;
+        if (rw.swv[ls] != -1 && rw.swv[ls] != s) continue;
+        break;
+      }
+      if (k == rows.size()) {
+        rows.emplace_back();
+        Row& rw = rows.back();
+        rw.lanes[0] = rw.lanes[1] = 0;
+        std::memset(rw.swv, -1, sizeof rw.swv);
+      }
+      Row& rw = rows[k];
+      rw.lanes[ln >> 6] |= 1ull << (ln & 63);
+      rw.swv[ls] = s;
+      row_out[e] = static_cast<int32_t>(k);
+    }
+    if (static_cast<int64_t>(rows.size()) > max_rows)
+      max_rows = static_cast<int64_t>(rows.size());
+  }
+  return max_rows;
+}
+
 }  // extern "C"

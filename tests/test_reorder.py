@@ -126,17 +126,20 @@ class TestReorderedMatrix:
 
     def test_best_format_reorders_shuffled_banded(self):
         # big enough that the shuffle spans many (slab, window) tiles:
-        # raw W-SELL refuses (tile-sparse), RCM recovers the band
+        # the raw pattern pads heavily (the first-fit colourer builds it,
+        # but loosely), and RCM recovers the band — best_format must pick
+        # the reordered layout when its slot_ratio is clearly lower
         a = _shuffle(poisson_2d(90, dtype=np.float32), seed=9)
         from sparse_matrix_math_tpu.formats.wsell import try_wsell_from_csr
 
-        assert try_wsell_from_csr(a) is None  # raw pattern refused
+        raw = try_wsell_from_csr(a)
         bf = smm.best_format(a)
         assert isinstance(bf, ReorderedMatrix)
-        # opt-out returns the raw CSR
-        assert isinstance(
-            smm.best_format(a, allow_reorder=False), CSRMatrix
-        )
+        if raw is not None:  # ratio-aware selection: reordering must clearly win
+            assert bf.inner.slot_ratio < 0.7 * raw.slot_ratio
+        # opt-out keeps the un-reordered layout (raw W-SELL or CSR)
+        no_reorder = smm.best_format(a, allow_reorder=False)
+        assert not isinstance(no_reorder, ReorderedMatrix)
 
     def test_solve_api_with_reordered(self):
         a = _shuffle(poisson_2d(16, dtype=np.float64), seed=10)
