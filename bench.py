@@ -5,16 +5,15 @@ Headline metric: SpMV throughput (GNNZ/s) on the ~10M-nnz 2-D Poisson
 ``vs_baseline`` is the ratio to the measured reference baseline
 (BASELINE.md: single-core C++ rMult = 0.47 GNNZ/s, same matrix).
 
-Timing methodology: each SpMV path runs K iterations inside one jitted
-``lax.scan`` (a single host dispatch), so per-call host/tunnel latency is
-excluded — matching how the solvers actually run (whole Krylov loop in
-one jit).  Additionally, the fixed dispatch+sync round trip of this
-runtime is measured explicitly (``_measure_sync_floor``; ~28 ms on the
-tunneled axon device for ANY call, including an identity jit) and
-subtracted once per measured call: reported times are device execution
-times, with raw walls carried alongside.  The fastest format for this
-matrix wins the headline; all paths are reported in the payload, plus
-CG time-to-tolerance.
+Timing methodology: each SpMV path is measured as the MARGINAL cost
+between k and 4k iterations of one jitted device loop
+(``_time_spmv_loop``), so the fixed dispatch+sync round trip of this
+runtime (~28 ms on the tunneled axon device for ANY call, including an
+identity jit — ``_measure_sync_floor``) cancels exactly; solve walls,
+which are dominated by device time, subtract the measured floor once
+and carry the raw wall alongside.  The fastest format for this matrix
+wins the headline; all paths are reported in the payload, plus CG
+time-to-tolerance.
 """
 
 from __future__ import annotations
@@ -30,6 +29,10 @@ import numpy as np
 BASELINE_SPMV_GNNZ_F64 = 0.455
 BASELINE_SPMV_GNNZ_F32 = 0.536
 BASELINE_SPMV_GNNZ = BASELINE_SPMV_GNNZ_F32  # headline runs f32
+# Reference rMult on the ZERO-locality pattern (diag + 5 uniform-random
+# per row, n=2M): x misses cache per nnz on the CPU, collapsing it 3.8x
+# below its banded rate.  Same host/harness; recipe in BENCH_NOTES.
+BASELINE_RAND_GNNZ_F32 = 0.142
 
 
 def _finite(x):
@@ -72,8 +75,8 @@ def _device_time(wall: float) -> float:
 
 
 def _time_spmv_loop(mat, x, iters: int, apply_fn=None) -> float:
-    """Device seconds per SpMV: K back-to-back SpMVs inside one jitted
-    scan, one sync at the end (subtracted as the measured floor).
+    """Device seconds per SpMV: the marginal cost between ``iters`` and
+    ``4*iters`` back-to-back SpMVs inside one jitted device loop.
 
     ``mat`` is passed as a jit argument (NOT a closure constant — closure
     capture would embed the matrix into the compiled module, which the
@@ -89,19 +92,29 @@ def _time_spmv_loop(mat, x, iters: int, apply_fn=None) -> float:
         apply_fn = rmult
 
     @jax.jit
-    def loop(m, v):
-        def body(y, _):
-            return apply_fn(m, y) * jnp.asarray(0.25, y.dtype), None
+    def loop(m, v, k):
+        # k is TRACED (dynamic trip count -> while lowering): one compile
+        # serves both slope points below
+        return jax.lax.fori_loop(
+            0, k, lambda i, y: apply_fn(m, y) * jnp.asarray(0.25, y.dtype), v
+        )
 
-        y, _ = jax.lax.scan(body, v, None, length=iters)
-        return y
+    # MARGINAL two-point slope (k vs 4k iterations): the per-call sync
+    # floor (~28 ms on the tunneled device — see _measure_sync_floor)
+    # cancels exactly, so this is robust where floor subtraction is not
+    # (a floor mis-estimate of a few ms corrupted round-2 short-loop
+    # readings by up to 10x).  Best-of-2 per point rejects stragglers.
+    def timed(k):
+        kj = jnp.int32(k)
+        jax.block_until_ready(loop(mat, x, kj))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(mat, x, kj))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    y = loop(mat, x)
-    jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    y = loop(mat, x)
-    jax.block_until_ready(y)
-    return _device_time(time.perf_counter() - t0) / iters
+    return max(timed(4 * iters) - timed(iters), 1e-9) / (3 * iters)
 
 
 def main() -> None:
@@ -326,6 +339,39 @@ def main() -> None:
         print(f"unstructured bench failed: {e!r}", file=_sys.stderr)
         unstructured = None
 
+    # -- zero-locality worst case (docs/BENCH_NOTES.md "entropy wall"):
+    # diag + 5 uniform-random entries per row at 2M rows.  NO layout can
+    # serve this pattern well (tile density ~nnz/n^2 is invariant under
+    # any reordering), and the reference CPU collapses on it too — its
+    # rMult drops 3.8x to 0.142 GNNZ/s (x misses cache per nnz; measured
+    # with the same harness as BASELINE_SPMV_GNNZ_F32, see BENCH_NOTES).
+    # We report our XLA gather+segment-sum fallback honestly against
+    # THAT number, not the banded baseline.
+    worst_case = None
+    try:
+        from sparse_matrix_math_tpu.utils.generate import uniform_random_csr
+
+        ra = uniform_random_csr(2_000_000, per_row=5, dtype=np.float32)
+        rsec = _time_spmv_loop(
+            ra, jnp.ones((ra.shape[1],), jnp.float32), 4
+        )
+        rg = ra.nnz / rsec / 1e9
+        worst_case = {
+            "matrix": "uniform_random_2M_6perrow",
+            "nnz": ra.nnz,
+            "gnnz": round(rg, 4),
+            "reference_cpu_f32_gnnz": BASELINE_RAND_GNNZ_F32,
+            "vs_reference_on_this_pattern": round(
+                rg / BASELINE_RAND_GNNZ_F32, 2
+            ),
+        }
+        del ra
+    except Exception as e:
+        import sys as _sys
+
+        print(f"worst-case bench failed: {e!r}", file=_sys.stderr)
+        worst_case = None
+
     payload = {
         "metric": "spmv_in_solver_poisson2d_10Mnnz_f32",
         "value": round(headline, 3),
@@ -344,6 +390,7 @@ def main() -> None:
             "f64": BASELINE_SPMV_GNNZ_F64,
         },
         "unstructured": unstructured,
+        "worst_case_uniform_random": worst_case,
         "device": str(dev),
         "spmv_kernel": best,
         "spmv_standalone_gnnz": round(standalone_gnnz, 3),

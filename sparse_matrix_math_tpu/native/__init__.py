@@ -27,11 +27,25 @@ __all__ = [
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "smm_native.cpp")
 _BUILD_DIR = os.path.join(_DIR, "build")
-_SO = os.path.join(_BUILD_DIR, "libsmm_native.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+
+
+def _so_path() -> str:
+    """Source-content-hashed artifact name.  The hash in the FILENAME is
+    load-bearing: glibc caches dlopen by pathname, so a long-lived
+    process that loaded an older build would silently keep its stale
+    mapping if a rebuild reused the same name (os.replace cannot evict
+    live mappings) — and a newer-API caller would then crash on a
+    missing symbol.  A new source -> a new path -> a genuinely fresh
+    dlopen, in every process."""
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_BUILD_DIR, f"libsmm_native.{h}.so")
 
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -43,19 +57,27 @@ def _compile() -> Optional[str]:
     # installs (makedirs fails), missing toolchain, concurrent builds
     # (pid-unique temp name so two processes never clobber each other).
     try:
+        so = _so_path()
         os.makedirs(_BUILD_DIR, exist_ok=True)
-        if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(
-            _SRC
-        ):
-            return _SO
-        tmp = f"{_SO}.{os.getpid()}.tmp"
+        if os.path.exists(so):
+            return so
+        tmp = f"{so}.{os.getpid()}.tmp"
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
             _SRC, "-o", tmp,
         ]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(tmp, _SO)
-        return _SO
+        os.replace(tmp, so)
+        # opportunistically drop superseded builds (best-effort; a build
+        # still mapped by another live process keeps working — unlink
+        # only removes the name)
+        for f in os.listdir(_BUILD_DIR):
+            if f.startswith("libsmm_native.") and f != os.path.basename(so):
+                try:
+                    os.unlink(os.path.join(_BUILD_DIR, f))
+                except OSError:
+                    pass
+        return so
     except (subprocess.SubprocessError, OSError):
         return None
 
@@ -71,38 +93,46 @@ def _load() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(so)
-        except OSError:
+            _bind(lib)
+        except (OSError, AttributeError):
+            # AttributeError = a symbol is missing (e.g. a stale build
+            # mapped by a long-lived process): disable the native layer
+            # entirely rather than crash callers — every caller has a
+            # NumPy fallback
             return None
-        lib.smm_ic0_factorize.restype = ctypes.c_int
-        lib.smm_ic0_factorize.argtypes = [
-            ctypes.c_int64, _i64p, _i64p, _f64p, _f64p,
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.smm_ilu0_factorize.restype = ctypes.c_int
-        lib.smm_ilu0_factorize.argtypes = [
-            ctypes.c_int64, _i64p, _i64p, _i64p, _f64p,
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.smm_mtx_header.restype = ctypes.c_int
-        lib.smm_mtx_header.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
-            ctypes.c_int,
-        ]
-        lib.smm_mtx_read.restype = ctypes.c_int
-        lib.smm_mtx_read.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
-            _i64p, _i64p, _f64p,
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.smm_wsell_color.restype = ctypes.c_int64
-        lib.smm_wsell_color.argtypes = [
-            ctypes.c_int64, ctypes.c_int64,
-            _i64p, _i64p, _i64p, _i64p, _i64p, _i32p,
-        ]
         _lib = lib
         return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    lib.smm_ic0_factorize.restype = ctypes.c_int
+    lib.smm_ic0_factorize.argtypes = [
+        ctypes.c_int64, _i64p, _i64p, _f64p, _f64p,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.smm_ilu0_factorize.restype = ctypes.c_int
+    lib.smm_ilu0_factorize.argtypes = [
+        ctypes.c_int64, _i64p, _i64p, _i64p, _f64p,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.smm_mtx_header.restype = ctypes.c_int
+    lib.smm_mtx_header.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+    lib.smm_mtx_read.restype = ctypes.c_int
+    lib.smm_mtx_read.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
+        _i64p, _i64p, _f64p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.smm_wsell_color.restype = ctypes.c_int64
+    lib.smm_wsell_color.argtypes = [
+        ctypes.c_int64, ctypes.c_int64,
+        _i64p, _i64p, _i64p, _i64p, _i64p, _i32p,
+    ]
 
 
 def available() -> bool:
