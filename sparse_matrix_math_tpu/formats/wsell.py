@@ -60,16 +60,33 @@ SLAB = 1024      # rows per output slab (8 sublanes x 128 lanes)
 LANE = 128
 WIN = 1024       # aligned column window (8 x-table sublane rows)
 
-# meta bit layout (per slot-grid position):
-#   bits 0-2   SW    sublane-in-window of the column read through THIS lane
-#   bits 3-9   LSRC  source lane (c % 128) of the slot AT this lane
+# meta bit layout (per slot-grid position), parameterised by the per-vreg
+# window count F (``window_f``):
+#   low bits   SW    sublane-in-window-stack of the column read through
+#                    THIS lane — 0..8F-1 (3 + ceil(log2 F) bits)
+#   next 7     LSRC  source lane (c % 128) of the slot AT this lane
 # (the target sublane is implicit in the static-target layout: vreg
-# position i holds only rows targeting y sublane i)
-_SW_BITS, _LSRC_SHIFT = 7, 3
+# position i holds only rows targeting y sublane i).  F = 1 reproduces the
+# round-2 layout bit for bit (SW in bits 0-2, LSRC from bit 3).
+_SW_BITS, _LSRC_SHIFT = 7, 3  # F = 1 constants (compat)
+
+
+def _lsrc_shift(window_f: int) -> int:
+    """Bit position of LSRC in the packed meta for an F-window matrix."""
+    return max(3, (8 * window_f - 1).bit_length())
 
 # vregs per kernel grid step; the builder pads the vreg count so the
 # kernel's blocked streams need no per-call padding (ops/pallas_wsell.py)
 CHUNK_VREGS = 256
+
+
+def chunk_for(n_vregs: int, window_f: int) -> int:
+    """Vregs per kernel grid step for an F-window matrix: scale the
+    round-2 chunk down by the window factor (the kernel's wbuf scratch
+    holds chunk*8F rows).  The builder pads the vreg count to a multiple
+    of this so SpMV calls stream the planes as-is."""
+    c = max(CHUNK_VREGS >> max(0, (window_f - 1).bit_length()), 1)
+    return n_vregs if n_vregs <= c else c
 
 
 def _round_up(x: int, m: int) -> int:
@@ -90,6 +107,9 @@ class WSellMatrix:
     n_slabs: int = dataclasses.field(metadata=dict(static=True))
     x_rows: int = dataclasses.field(metadata=dict(static=True))
     slot_ratio: float = dataclasses.field(metadata=dict(static=True))
+    # windows per vreg: each vreg reads ONE contiguous 8F-row x slice and
+    # selects among its 8F sublanes (F = 1 is the round-2 format)
+    window_f: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def dtype(self):
@@ -168,7 +188,8 @@ def _distinct_rank(key: np.ndarray, val: np.ndarray, val_bits: int = 3) -> np.nd
 
 
 def _repair_conflicts(
-    row, job, t_of, lane_out, lsrc, sw3, max_repair_rounds: int
+    row, job, t_of, lane_out, lsrc, sw3, max_repair_rounds: int,
+    sw_bits: int = 3,
 ):
     """Bump-repair rounds for the NumPy colouring fallback: resolve slots
     landing on the same (job, t, row, lane) or violating the one-window-
@@ -181,7 +202,8 @@ def _repair_conflicts(
         )
         # conflict B: same (job, t, row, source lane) but different column
         dup_b = _distinct_rank(
-            _pack_keys((job, t_of, row, lsrc), (0, 3, _ROW_BITS, 7)), sw3
+            _pack_keys((job, t_of, row, lsrc), (0, 3, _ROW_BITS, 7)), sw3,
+            val_bits=sw_bits,
         )
         conflict = (dup_a > 0) | (dup_b > 0)
         if not conflict.any():
@@ -198,8 +220,9 @@ def _repair_conflicts(
     )
 
 
-def _window_jobs(slab_of: np.ndarray, xrow: np.ndarray, x_rows: int):
-    """Group nnz into (slab, aligned 8-x-row window) jobs.
+def _window_jobs(slab_of: np.ndarray, xrow: np.ndarray, x_rows: int,
+                 window_f: int = 1):
+    """Group nnz into (slab, aligned 8F-x-row window stack) jobs.
 
     Returns (job id per nnz [dense, slab-sorted], window base per job,
     slab per job).
@@ -208,13 +231,14 @@ def _window_jobs(slab_of: np.ndarray, xrow: np.ndarray, x_rows: int):
     if n == 0:
         z = np.zeros(0, np.int64)
         return z, z.copy(), z.copy()
-    # ALIGNED 8-x-row windows: job = (slab, xrow // 8).  An unaligned
+    # ALIGNED 8F-x-row windows: job = (slab, xrow // 8F).  An unaligned
     # greedy grouping was tried and measured WORSE (round-2 notes): it
     # splits band clusters at data-dependent boundaries that concentrate
     # rows into single target sublanes (heavy static-target padding) and
     # destabilises the colouring repair on near-diagonal patterns.
-    wdim = np.int64((x_rows + 7) // 8 + 1)
-    aligned = slab_of * wdim + xrow // 8
+    wrows = 8 * window_f
+    wdim = np.int64((x_rows + wrows - 1) // wrows + 1)
+    aligned = slab_of * wdim + xrow // wrows
     key_span = int(slab_of.max() + 1) * int(wdim)
     if key_span <= max(4 * n, 1 << 26):
         # O(nnz) flag-based unique: the (slab, window) key space is small
@@ -228,7 +252,7 @@ def _window_jobs(slab_of: np.ndarray, xrow: np.ndarray, x_rows: int):
     else:
         ujobs, jinv = np.unique(aligned, return_inverse=True)
         jinv = jinv.astype(np.int64)
-    base = np.minimum((ujobs % wdim) * 8, x_rows - 8)
+    base = np.minimum((ujobs % wdim) * wrows, x_rows - wrows)
     return (
         jinv,
         base.astype(np.int64),
@@ -241,11 +265,15 @@ def wsell_from_csr(
     *,
     max_slot_ratio: float = 8.0,
     max_repair_rounds: int = 200,
+    window_f: int = 1,
 ) -> WSellMatrix:
     """Host-side layout transform CSR -> W-SELL.
 
     Raises ValueError when the pattern pads worse than ``max_slot_ratio``
     slots per nnz (tile-sparse patterns W-SELL cannot serve well).
+    ``window_f`` widens each vreg's x window to F aligned 8-row slices
+    (the kernel then selects among 8F sublanes) — wider windows trade
+    select ops for tile density on scattered patterns.
     """
     # host-side row ids from indptr: np.asarray(csr.row_ids) would
     # materialise a device computation (measured ~10s+ at 17.5M nnz on
@@ -255,21 +283,48 @@ def wsell_from_csr(
     r = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(indptr))
     c = np.asarray(csr.indices, dtype=np.int64)
     v = np.asarray(csr.data)
+    return _wsell_from_coo(
+        r, c, v, (int(n_rows), int(n_cols)), int(csr.nnz),
+        max_slot_ratio=max_slot_ratio,
+        max_repair_rounds=max_repair_rounds,
+        window_f=window_f,
+    )
+
+
+def _wsell_from_coo(
+    r: np.ndarray,
+    c: np.ndarray,
+    v: np.ndarray,
+    shape: Tuple[int, int],
+    nnz: int,
+    *,
+    max_slot_ratio: float = 8.0,
+    max_repair_rounds: int = 200,
+    window_f: int = 1,
+) -> WSellMatrix:
+    """Core W-SELL layout builder over host COO arrays (row-sorted rows
+    not required; ``wsell_from_csr`` and the routed-format builder both
+    feed this)."""
+    if window_f < 1 or window_f > 16:
+        raise ValueError(f"window_f must be in [1, 16], got {window_f}")
+    n_rows, n_cols = shape
+    wrows = 8 * window_f
     n_slabs = max(-(-n_rows // SLAB), 1)
-    x_rows = max(_round_up(-(-n_cols // LANE), 8), 8)
+    x_rows = max(_round_up(-(-n_cols // LANE), 8), wrows)
 
     slab_of = r // SLAB
     t_of = (r % SLAB) // LANE
     lane_out = r % LANE
     lsrc = c % LANE
     xrow = c // LANE
-    job, job_base, job_slab = _window_jobs(slab_of, xrow, x_rows)
+    job, job_base, job_slab = _window_jobs(slab_of, xrow, x_rows, window_f)
     n_jobs = job_base.shape[0]
 
     # -- slot-row colouring ---------------------------------------------------
     # distinct columns within a (job, t, source-lane) group differ exactly
-    # in the 3-bit window sublane (one aligned 1024-window per job)
-    sw3 = ((c // LANE) % 8).astype(np.int64)
+    # in the window-stack sublane (one aligned 8F-row window stack per job)
+    sw_bits = max(3, (wrows - 1).bit_length())
+    sw3 = ((c // LANE) % wrows).astype(np.int64)
     row = None
     if r.size:
         # native first-fit colourer: one pass, satisfies both constraints
@@ -288,11 +343,12 @@ def wsell_from_csr(
         # rank2: within (job, t, source lane), distinct columns must occupy
         # distinct slot rows (equal columns share the SW entry -> same row ok)
         key_jtl = _pack_keys((job, t_of, lsrc), (0, 3, 7))
-        rank2 = _distinct_rank(key_jtl, sw3)
+        rank2 = _distinct_rank(key_jtl, sw3, val_bits=sw_bits)
         row = np.maximum(rank1, rank2)
         if r.size:
             row = _repair_conflicts(
-                row, job, t_of, lane_out, lsrc, sw3, max_repair_rounds
+                row, job, t_of, lane_out, lsrc, sw3, max_repair_rounds,
+                sw_bits=sw_bits,
             )
 
     # -- per-job row layout ---------------------------------------------------
@@ -329,8 +385,9 @@ def wsell_from_csr(
     n_vregs = int(all_kv.sum())
     # chunk-align the vreg count at BUILD time so SpMV calls stream the
     # planes as-is (no per-call pad/copy of O(nnz) arrays)
-    if n_vregs > CHUNK_VREGS:
-        n_vregs_padded = -(-n_vregs // CHUNK_VREGS) * CHUNK_VREGS
+    chunk_unit = chunk_for(n_vregs, window_f)
+    if n_vregs > chunk_unit:
+        n_vregs_padded = -(-n_vregs // chunk_unit) * chunk_unit
     else:
         n_vregs_padded = n_vregs
 
@@ -367,13 +424,15 @@ def wsell_from_csr(
         sw = (c // LANE - base_vreg[row_global // 8].astype(np.int64)).astype(
             np.int32
         )
-        if sw.min(initial=0) < 0 or sw.max(initial=0) > 7:
-            raise AssertionError("window base math violated sw in [0, 8)")
+        if sw.min(initial=0) < 0 or sw.max(initial=0) > wrows - 1:
+            raise AssertionError(
+                f"window base math violated sw in [0, {wrows})"
+            )
         sw_plane[row_global, lsrc] = sw
 
-    meta = (sw_plane | (lsrc_plane << _LSRC_SHIFT)).astype(np.int32)
+    meta = (sw_plane | (lsrc_plane << _lsrc_shift(window_f))).astype(np.int32)
 
-    slot_ratio = float(total_rows * LANE / max(csr.nnz, 1))
+    slot_ratio = float(total_rows * LANE / max(nnz, 1))
     if slot_ratio > max_slot_ratio:
         raise ValueError(
             f"W-SELL padding too high for this pattern: {slot_ratio:.1f} "
@@ -386,10 +445,11 @@ def wsell_from_csr(
         base=jnp.asarray(base_vreg),
         slab=jnp.asarray(slab_vreg),
         shape=(int(n_rows), int(n_cols)),
-        nnz=int(csr.nnz),
+        nnz=int(nnz),
         n_slabs=int(n_slabs),
         x_rows=int(x_rows),
         slot_ratio=slot_ratio,
+        window_f=int(window_f),
     )
 
 

@@ -246,8 +246,9 @@ parse_err:
 // conflict-bump rounds) and runs in one pass over the entries.
 //
 // Inputs are the per-nnz job id (dense, any order), target sublane t
-// (0..7), output lane (0..127), source lane (0..127) and window sublane
-// (0..7).  Output: slot row per nnz.  Returns max row count over all
+// (0..7), output lane (0..127), source lane (0..127) and window-stack
+// sublane (0..126 — up to F=16 windows x 8 sublanes minus the int8 -1
+// sentinel).  Output: slot row per nnz.  Returns max row count over all
 // groups (>= 1), or -1 when inputs are out of range.
 // ---------------------------------------------------------------------------
 int64_t smm_wsell_color(int64_t nnz, int64_t n_jobs, const int64_t* job,
@@ -259,7 +260,7 @@ int64_t smm_wsell_color(int64_t nnz, int64_t n_jobs, const int64_t* job,
   for (int64_t e = 0; e < nnz; ++e) {
     if (job[e] < 0 || job[e] >= n_jobs || t[e] < 0 || t[e] > 7 ||
         lane[e] < 0 || lane[e] > 127 || lsrc[e] < 0 || lsrc[e] > 127 ||
-        sw[e] < 0 || sw[e] > 7)
+        sw[e] < 0 || sw[e] > 126)
       return -1;
     ++count[job[e] * 8 + t[e] + 1];
   }

@@ -33,21 +33,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.wsell import (
-    _LSRC_SHIFT,
-    _SW_BITS,
     CHUNK_VREGS,
     LANE,
     WSellMatrix,
+    chunk_for as _chunk_for,
 )
 
 __all__ = ["wsell_spmv", "wsell_spmm", "CHUNK_VREGS"]
 
 
+def _gather_products(wbuf, meta_ref, vals_ref, chunk: int, f: int):
+    """Shared select pipeline: window-stack sublane select (8F tall
+    broadcast-compare-selects) + per-row lane routing + multiply."""
+    wr = 8 * f
+    R = chunk * 8
+    sw_bits = max(3, (wr - 1).bit_length())
+    meta = meta_ref[:]
+    w = wbuf[:]
+    sw = meta & ((1 << sw_bits) - 1)
+    g0 = jnp.zeros((R, LANE), w.dtype)
+    w3 = w.reshape(chunk, wr, LANE)
+    for s in range(wr):
+        bs = jax.lax.broadcast_in_dim(
+            w3[:, s, :], (chunk, 8, LANE), (0, 2)
+        ).reshape(R, LANE)
+        g0 = jnp.where(sw == s, bs, g0)
+    lsrc = (meta >> sw_bits) & (LANE - 1)
+    g1 = jnp.take_along_axis(g0, lsrc, axis=1)
+    return vals_ref[:] * g1
+
+
 def _wsell_kernel(
-    base_ref, slab_ref, x_ref, meta_ref, vals_ref, y_ref, wbuf, *, chunk: int
+    base_ref, slab_ref, x_ref, meta_ref, vals_ref, y_ref, wbuf, pbuf,
+    *, chunk: int, f: int,
 ):
     ch = pl.program_id(0)
-    R = chunk * 8
+    wr = 8 * f
 
     @pl.when(ch == 0)
     def _():
@@ -55,82 +76,54 @@ def _wsell_kernel(
 
     def fill(u, _):
         v = ch * chunk + u
-        wbuf[pl.ds(u * 8, 8), :] = x_ref[pl.ds(base_ref[v], 8), :]
+        wbuf[pl.ds(u * wr, wr), :] = x_ref[pl.ds(base_ref[v], wr), :]
         return _
 
     jax.lax.fori_loop(0, chunk, fill, None)
 
-    meta = meta_ref[:]
-    w = wbuf[:]
-    sw = meta & _SW_BITS
-    # tall window-sublane select: for slot row i (vreg u = i//8), pick
-    # window row sw of vreg u — 8 broadcast rows + compare-selects
-    g0 = jnp.zeros((R, LANE), w.dtype)
-    w3 = w.reshape(R // 8, 8, LANE)
-    for s in range(8):
-        bs = jax.lax.broadcast_in_dim(
-            w3[:, s, :], (R // 8, 8, LANE), (0, 2)
-        ).reshape(R, LANE)
-        g0 = jnp.where(sw == s, bs, g0)
-    lsrc = (meta >> _LSRC_SHIFT) & (LANE - 1)
-    g1 = jnp.take_along_axis(g0, lsrc, axis=1)
     # static-target layout: the products vreg IS the slab contribution
-    wbuf[:, :] = vals_ref[:] * g1
+    pbuf[:, :] = _gather_products(wbuf, meta_ref, vals_ref, chunk, f)
 
     def acc(u, _):
         v = ch * chunk + u
         yo = slab_ref[v] * 8
-        y_ref[pl.ds(yo, 8), :] = y_ref[pl.ds(yo, 8), :] + wbuf[pl.ds(u * 8, 8), :]
+        y_ref[pl.ds(yo, 8), :] = y_ref[pl.ds(yo, 8), :] + pbuf[pl.ds(u * 8, 8), :]
         return _
 
     jax.lax.fori_loop(0, chunk, acc, None)
 
 
 def _wsell_spmm_kernel(
-    base_ref, slab_ref, x_ref, meta_ref, vals_ref, y_ref, wbuf,
-    *, chunk: int, k: int,
+    base_ref, slab_ref, x_ref, meta_ref, vals_ref, y_ref, wbuf, pbuf,
+    *, chunk: int, k: int, f: int,
 ):
     """Multi-RHS variant: the slot stream (meta/vals) is loaded ONCE per
     chunk and replayed over the k x tables — SpMM pays the A-stream
     bandwidth once instead of k times (the k-call formulation's cost).
     The per-RHS pipeline is identical to :func:`_wsell_kernel`."""
     ch = pl.program_id(0)
-    R = chunk * 8
+    wr = 8 * f
 
     @pl.when(ch == 0)
     def _():
         y_ref[:, :, :] = jnp.zeros_like(y_ref)
 
-    meta = meta_ref[:]
-    vals = vals_ref[:]
-    sw = meta & _SW_BITS
-    lsrc = (meta >> _LSRC_SHIFT) & (LANE - 1)
-
     for j in range(k):  # static unroll over RHS
 
         def fill(u, _, j=j):
             v = ch * chunk + u
-            wbuf[pl.ds(u * 8, 8), :] = x_ref[j, pl.ds(base_ref[v], 8), :]
+            wbuf[pl.ds(u * wr, wr), :] = x_ref[j, pl.ds(base_ref[v], wr), :]
             return _
 
         jax.lax.fori_loop(0, chunk, fill, None)
 
-        w = wbuf[:]
-        g0 = jnp.zeros((R, LANE), w.dtype)
-        w3 = w.reshape(R // 8, 8, LANE)
-        for s in range(8):
-            bs = jax.lax.broadcast_in_dim(
-                w3[:, s, :], (R // 8, 8, LANE), (0, 2)
-            ).reshape(R, LANE)
-            g0 = jnp.where(sw == s, bs, g0)
-        g1 = jnp.take_along_axis(g0, lsrc, axis=1)
-        wbuf[:, :] = vals * g1
+        pbuf[:, :] = _gather_products(wbuf, meta_ref, vals_ref, chunk, f)
 
         def acc(u, _, j=j):
             v = ch * chunk + u
             yo = slab_ref[v] * 8
             y_ref[j, pl.ds(yo, 8), :] = (
-                y_ref[j, pl.ds(yo, 8), :] + wbuf[pl.ds(u * 8, 8), :]
+                y_ref[j, pl.ds(yo, 8), :] + pbuf[pl.ds(u * 8, 8), :]
             )
             return _
 
@@ -148,7 +141,8 @@ def wsell_spmv(a: WSellMatrix, x: jnp.ndarray, *, interpret: bool = False):
     # the builder chunk-aligns the vreg count (formats/wsell.py), so the
     # O(nnz) planes stream as-is — no per-call padding copies
     n_vregs = a.n_vregs
-    chunk = n_vregs if n_vregs <= CHUNK_VREGS else CHUNK_VREGS
+    f = a.window_f
+    chunk = _chunk_for(n_vregs, f)
     assert n_vregs % chunk == 0, "builder must chunk-align the vreg count"
     n_chunks = n_vregs // chunk
     meta = a.meta
@@ -170,10 +164,13 @@ def wsell_spmv(a: WSellMatrix, x: jnp.ndarray, *, interpret: bool = False):
             (a.n_slabs * 8, LANE), lambda c, b, s: (0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((chunk * 8, LANE), dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((chunk * 8 * f, LANE), dtype),
+            pltpu.VMEM((chunk * 8, LANE), dtype),
+        ],
     )
     out = pl.pallas_call(
-        functools.partial(_wsell_kernel, chunk=chunk),
+        functools.partial(_wsell_kernel, chunk=chunk, f=f),
         out_shape=jax.ShapeDtypeStruct((a.n_slabs * 8, LANE), dtype),
         grid_spec=grid_spec,
         # x table + y accumulator are VMEM-resident by design; the default
@@ -214,7 +211,8 @@ def wsell_spmm(a: WSellMatrix, xs: jnp.ndarray, *, interpret: bool = False):
     k_total = xs.shape[1]
     dtype = jnp.result_type(a.dtype, xs.dtype)
     n_vregs = a.n_vregs
-    chunk = n_vregs if n_vregs <= CHUNK_VREGS else CHUNK_VREGS
+    f = a.window_f
+    chunk = _chunk_for(n_vregs, f)
     assert n_vregs % chunk == 0, "builder must chunk-align the vreg count"
     n_chunks = n_vregs // chunk
     meta = a.meta
@@ -244,10 +242,13 @@ def wsell_spmm(a: WSellMatrix, xs: jnp.ndarray, *, interpret: bool = False):
                 (k, a.n_slabs * 8, LANE), lambda c, b, s: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[pltpu.VMEM((chunk * 8, LANE), dtype)],
+            scratch_shapes=[
+                pltpu.VMEM((chunk * 8 * f, LANE), dtype),
+                pltpu.VMEM((chunk * 8, LANE), dtype),
+            ],
         )
         out = pl.pallas_call(
-            functools.partial(_wsell_spmm_kernel, chunk=chunk, k=k),
+            functools.partial(_wsell_spmm_kernel, chunk=chunk, k=k, f=f),
             out_shape=jax.ShapeDtypeStruct(
                 (k, a.n_slabs * 8, LANE), dtype
             ),
