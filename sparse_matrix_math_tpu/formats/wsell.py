@@ -310,7 +310,10 @@ def _wsell_from_coo(
     n_rows, n_cols = shape
     wrows = 8 * window_f
     n_slabs = max(-(-n_rows // SLAB), 1)
-    x_rows = max(_round_up(-(-n_cols // LANE), 8), wrows)
+    # pad the x table to a whole number of 8F-row window stacks so the
+    # aligned job bases never clamp (a clamped base would shift window
+    # contents against the precomputed sw meta)
+    x_rows = max(_round_up(-(-n_cols // LANE), wrows), wrows)
 
     slab_of = r // SLAB
     t_of = (r % SLAB) // LANE

@@ -22,6 +22,7 @@ __all__ = [
     "ilu0_factorize_native",
     "mtx_read_native",
     "wsell_color_native",
+    "stream_pack_native",
 ]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
@@ -132,6 +133,11 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.smm_wsell_color.argtypes = [
         ctypes.c_int64, ctypes.c_int64,
         _i64p, _i64p, _i64p, _i64p, _i64p, _i32p,
+    ]
+    lib.smm_stream_pack.restype = ctypes.c_int64
+    lib.smm_stream_pack.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _i64p, _i64p, _i64p, _i32p, _i32p, _i32p,
     ]
 
 
@@ -254,6 +260,35 @@ def wsell_color_native(job, t, lane, lsrc, sw, n_jobs: int):
     if rc < 0:
         return None
     return row
+
+
+def stream_pack_native(group, sigma, lam, wrows: int):
+    """First-fit R-SELL stream-pass packing (smm_stream_pack), or None
+    if the native library is unavailable.  Returns (row_in_group,
+    out_lane, rows_per_group) satisfying the per-vreg constraints in
+    formats/rsell.py with free out-lane choice."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = group.shape[0]
+    n_groups = int(group[-1]) + 1 if n else 0
+    row = np.empty(n, np.int32)
+    lane = np.empty(n, np.int32)
+    group_rows = np.empty(max(n_groups, 1), np.int32)
+    rc = lib.smm_stream_pack(
+        n, n_groups, int(wrows),
+        np.ascontiguousarray(group, np.int64),
+        np.ascontiguousarray(sigma, np.int64),
+        np.ascontiguousarray(lam, np.int64),
+        row, lane, group_rows,
+    )
+    if rc < 0:
+        return None
+    return (
+        row.astype(np.int64),
+        lane.astype(np.int64),
+        group_rows[:n_groups].astype(np.int64),
+    )
 
 
 class _MtxNativeError(ValueError):

@@ -247,8 +247,8 @@ parse_err:
 //
 // Inputs are the per-nnz job id (dense, any order), target sublane t
 // (0..7), output lane (0..127), source lane (0..127) and window-stack
-// sublane (0..126 — up to F=16 windows x 8 sublanes minus the int8 -1
-// sentinel).  Output: slot row per nnz.  Returns max row count over all
+// sublane (0..127 — up to F=16 windows x 8 sublanes; int8 storage with
+// -1 sentinel).  Output: slot row per nnz.  Returns max row count over all
 // groups (>= 1), or -1 when inputs are out of range.
 // ---------------------------------------------------------------------------
 int64_t smm_wsell_color(int64_t nnz, int64_t n_jobs, const int64_t* job,
@@ -260,7 +260,7 @@ int64_t smm_wsell_color(int64_t nnz, int64_t n_jobs, const int64_t* job,
   for (int64_t e = 0; e < nnz; ++e) {
     if (job[e] < 0 || job[e] >= n_jobs || t[e] < 0 || t[e] > 7 ||
         lane[e] < 0 || lane[e] > 127 || lsrc[e] < 0 || lsrc[e] > 127 ||
-        sw[e] < 0 || sw[e] > 126)
+        sw[e] < 0 || sw[e] > 127)
       return -1;
     ++count[job[e] * 8 + t[e] + 1];
   }
@@ -305,6 +305,84 @@ int64_t smm_wsell_color(int64_t nnz, int64_t n_jobs, const int64_t* job,
       rw.swv[ls] = s;
       row_out[e] = static_cast<int32_t>(k);
     }
+    if (static_cast<int64_t>(rows.size()) > max_rows)
+      max_rows = static_cast<int64_t>(rows.size());
+  }
+  return max_rows;
+}
+
+// ---------------------------------------------------------------------------
+// R-SELL stream-pass packer (formats/rsell.py).
+//
+// Elements arrive grouped by (bucket, window stack) — ``group`` dense and
+// nondecreasing — with their window-stack row ``sigma`` (0..8F-1) and
+// source lane ``lam`` (0..127).  Within each group, assign every element
+// an output (row, lane) subject to the W-SELL kernel constraints:
+//   * one element per (row, out-lane)                 — lane occupancy
+//   * one window row per (row, SOURCE lane); equal    — sw claim
+//     (sigma, lam) pairs (duplicated sources) share the claim
+// Unlike smm_wsell_color, the out lane is FREE, and placement is
+// SEQUENTIAL-FILL with a monotone row cursor (no backfill): elements
+// land in arrival order at consecutive lanes of the current row,
+// spilling forward only on sw-claim conflicts.  Sequentiality is
+// load-bearing for the CHAIN: the builder orders each pass's elements
+// by the next refinement digit, so same-next-bucket runs land in few
+// rows at consecutive lanes — the next pass then sees them with shared
+// sw rows, collapsing its per-source-lane distinct-σ padding.
+//
+// Outputs: within-group row, out lane per element; rows used per group.
+// Returns max rows over groups (>= 1), or -1 on out-of-range input.
+// ---------------------------------------------------------------------------
+int64_t smm_stream_pack(int64_t n_elems, int64_t n_groups, int64_t wrows,
+                        const int64_t* group, const int64_t* sigma,
+                        const int64_t* lam, int32_t* row_out,
+                        int32_t* lane_out, int32_t* group_rows) {
+  struct Row {
+    uint64_t lanes[2];  // out-lane occupancy
+    int8_t swv[128];    // claimed window row per SOURCE lane (-1 unset)
+    int free_lanes;
+  };
+  std::vector<Row> rows;
+  rows.reserve(64);
+  int64_t max_rows = 1;
+  int64_t e = 0;
+  for (int64_t g = 0; g < n_groups; ++g) group_rows[g] = 0;
+  while (e < n_elems) {
+    const int64_t g = group[e];
+    if (g < 0 || g >= n_groups) return -1;
+    rows.clear();
+    size_t cur = 0;
+    for (; e < n_elems && group[e] == g; ++e) {
+      const int64_t sg = sigma[e];
+      const int64_t ln = lam[e];
+      if (sg < 0 || sg >= wrows || sg > 127 || ln < 0 || ln > 127)
+        return -1;
+      const int8_t s8 = static_cast<int8_t>(sg);
+      while (cur < rows.size() && rows[cur].free_lanes == 0) ++cur;
+      size_t k = cur;
+      for (; k < rows.size(); ++k) {
+        Row& rw = rows[k];
+        if (rw.free_lanes == 0) continue;
+        if (rw.swv[ln] != -1 && rw.swv[ln] != s8) continue;
+        break;
+      }
+      if (k == rows.size()) {
+        rows.emplace_back();
+        Row& rw = rows.back();
+        rw.lanes[0] = rw.lanes[1] = 0;
+        std::memset(rw.swv, -1, sizeof rw.swv);
+        rw.free_lanes = 128;
+      }
+      Row& rw = rows[k];
+      const uint64_t f0 = ~rw.lanes[0], f1 = ~rw.lanes[1];
+      const int out_ln = f0 ? __builtin_ctzll(f0) : 64 + __builtin_ctzll(f1);
+      rw.lanes[out_ln >> 6] |= 1ull << (out_ln & 63);
+      rw.swv[ln] = s8;
+      --rw.free_lanes;
+      row_out[e] = static_cast<int32_t>(k);
+      lane_out[e] = static_cast<int32_t>(out_ln);
+    }
+    group_rows[g] = static_cast<int32_t>(rows.size());
     if (static_cast<int64_t>(rows.size()) > max_rows)
       max_rows = static_cast<int64_t>(rows.size());
   }

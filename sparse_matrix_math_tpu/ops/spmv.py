@@ -30,6 +30,7 @@ from ..formats.dia import DIAMatrix
 from ..formats.ell import ELLMatrix
 from ..formats.hyb import HYBMatrix
 from ..formats.reorder import ReorderedMatrix
+from ..formats.rsell import RoutedMatrix
 from ..formats.wsell import WSellMatrix
 
 __all__ = ["rmult", "rmult_add", "rmult_sub", "matvec_fn"]
@@ -206,6 +207,29 @@ def _rmult_wsell(a: WSellMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 
 @rmult.register
+def _rmult_routed(a: RoutedMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    # zero-locality fast path (formats/rsell.py): run the routing chain
+    # (each pass one Pallas stream gather), then the final F-window
+    # W-SELL multiply-accumulate over the routed stream.  Multi-column x
+    # falls back to per-column chains (routing planes are re-streamed;
+    # acceptable because the chain is compute-bound, not A-stream-bound).
+    from .pallas_rsell import stream_gather
+    from .pallas_wsell import wsell_spmv
+
+    interpret = jax.default_backend() != "tpu"
+    if x.ndim != 1:
+        cols = [rmult(a, x[:, j]) for j in range(x.shape[1])]
+        return jnp.stack(cols, axis=1)
+    t = x
+    for p in a.passes:
+        t = stream_gather(
+            p.base, p.meta, p.vals, t,
+            x_rows=p.x_rows, window_f=p.window_f, interpret=interpret,
+        )
+    return wsell_spmv(a.final, t, interpret=interpret)
+
+
+@rmult.register
 def _rmult_reordered(a: ReorderedMatrix, x: jnp.ndarray) -> jnp.ndarray:
     # acts as the ORIGINAL A: route through the permutation (two vector
     # gathers per call — solvers hoist these out of their loops instead,
@@ -246,7 +270,8 @@ def matvec_fn(a):
     arbitrary callable (the LinearOperator escape hatch the reference
     lacks)."""
     if isinstance(
-        a, (CSRMatrix, ELLMatrix, DIAMatrix, HYBMatrix, WSellMatrix, ReorderedMatrix)
+        a, (CSRMatrix, ELLMatrix, DIAMatrix, HYBMatrix, WSellMatrix,
+            ReorderedMatrix, RoutedMatrix)
     ):
         return lambda x: rmult(a, x)
     if callable(a):
@@ -260,7 +285,8 @@ def as_operator(a):
     bare callables are wrapped in ``jax.tree_util.Partial`` (so solver
     compilations are cached per matrix *structure*, not per call)."""
     if isinstance(
-        a, (CSRMatrix, ELLMatrix, DIAMatrix, HYBMatrix, WSellMatrix, ReorderedMatrix)
+        a, (CSRMatrix, ELLMatrix, DIAMatrix, HYBMatrix, WSellMatrix,
+            ReorderedMatrix, RoutedMatrix)
     ):
         return a
     if hasattr(a, "ndim") and a.ndim == 2:
