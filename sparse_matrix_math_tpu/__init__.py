@@ -33,6 +33,7 @@ from .formats.dia import DIAMatrix, dia_from_csr, try_dia_from_csr
 from .formats.ell import ELLMatrix, ell_from_csr
 from .formats.hyb import HYBMatrix, hyb_from_csr
 from .formats.triplet import COOArrays, TripletMatrix, coo_from_arrays
+from .formats.rsell import RoutedMatrix, routed_from_csr, try_routed_from_csr
 from .formats.wsell import WSellMatrix, try_wsell_from_csr, wsell_from_csr
 from .io.dispatch import load_matrix, load_matrix_csr
 from .io.matrix_market import MatrixLoadStatus, MatrixMarketError, load_matrix_market
@@ -79,6 +80,7 @@ __all__ = [
     "HYBMatrix", "hyb_from_csr",
     "COOArrays", "TripletMatrix", "coo_from_arrays",
     "WSellMatrix", "wsell_from_csr", "try_wsell_from_csr",
+    "RoutedMatrix", "routed_from_csr", "try_routed_from_csr",
     "load_matrix", "load_matrix_csr", "load_matrix_market", "load_smmdt",
     "save_dense_text", "MatrixLoadStatus", "MatrixMarketError",
     "rmult", "rmult_add", "rmult_sub",

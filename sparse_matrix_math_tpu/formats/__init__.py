@@ -2,6 +2,7 @@ from .csr import CSRMatrix, csr_from_coo, csr_from_dense, csr_from_triplet
 from .dia import DIAMatrix, dia_from_csr, try_dia_from_csr
 from .ell import ELLMatrix, ell_from_csr
 from .hyb import HYBMatrix, hyb_from_csr
+from .rsell import RoutedMatrix, routed_from_csr, try_routed_from_csr
 from .wsell import WSellMatrix, try_wsell_from_csr, wsell_from_csr
 from .reorder import (
     ReorderedMatrix,
@@ -28,8 +29,12 @@ def best_format(csr, *, max_slot_ratio: float = 8.0, allow_reorder: bool = True)
        node numberings); solvers hoist the permutation out of their
        loops (formats/reorder.py).  Skipped with ``allow_reorder=False``
        or for rectangular matrices;
-    4. CSR itself — genuinely tile-sparse patterns (the XLA segment-sum
-       path, plus the dense-MXU rescue at small n).
+    4. R-SELL — zero-tile-locality patterns at scale (uniform-random
+       class): the routed multi-pass chain (formats/rsell.py), engaged
+       only when the matrix is large enough that the XLA segment-sum
+       path is hopeless and no windowed layout fits;
+    5. CSR itself — small matrices (the dense-MXU rescue) and anything
+       the routed chain cannot pack.
 
     The returned object plugs into every solver/``rmult`` call site.
     """
@@ -52,4 +57,11 @@ def best_format(csr, *, max_slot_ratio: float = 8.0, allow_reorder: bool = True)
             return ro
     if ws is not None:
         return ws
+    # zero-locality at scale: below ~2048 rows the dense-MXU CSR rescue
+    # wins outright; above it the XLA gather path is ~0.06 GNNZ/s, so a
+    # routed chain at any sane ratio beats it
+    if csr.shape[0] > 2048 and csr.nnz >= 100_000:
+        ra = try_routed_from_csr(csr, max_slot_ratio=12.0)
+        if ra is not None:
+            return ra
     return csr
