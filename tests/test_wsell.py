@@ -208,19 +208,21 @@ def test_best_format_selection():
     assert isinstance(best_format(sparse), CSRMatrix)
 
 
-def test_uniform_random_stays_csr():
+def test_uniform_random_routes():
     """Zero-locality pattern (docs/BENCH_NOTES 'entropy wall'): W-SELL
-    must refuse (tile density ~nnz/n^2, reorder-invariant) and
-    best_format must keep CSR rather than burn build time; the fallback
-    SpMV must still be exact."""
+    must refuse (tile density ~nnz/n^2, reorder-invariant); best_format
+    now falls through to the R-SELL routed chain at this scale (round-3
+    upgrade — previously it surrendered to the XLA CSR path); the
+    fallback CSR SpMV must still be exact."""
     from sparse_matrix_math_tpu import best_format
+    from sparse_matrix_math_tpu.formats.rsell import RoutedMatrix
     from sparse_matrix_math_tpu.formats.wsell import try_wsell_from_csr
     from sparse_matrix_math_tpu.utils.generate import uniform_random_csr
 
     a = uniform_random_csr(20_000, per_row=5, seed=1, dtype=np.float32)
     assert try_wsell_from_csr(a) is None
     bf = best_format(a)
-    assert isinstance(bf, CSRMatrix)
+    assert isinstance(bf, RoutedMatrix)
     x = np.random.default_rng(0).standard_normal(a.shape[1]).astype(np.float32)
     y = np.asarray(a @ jnp.asarray(x))
     yd = np.asarray(a.to_dense()) @ x
