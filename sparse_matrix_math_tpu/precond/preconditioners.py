@@ -87,7 +87,8 @@ class JacobiPreconditioner:
     inv_diag: jnp.ndarray
 
     def apply(self, rhs: jnp.ndarray) -> jnp.ndarray:
-        return rhs * self.inv_diag
+        d = self.inv_diag[:, None] if rhs.ndim == 2 else self.inv_diag
+        return rhs * d
 
     @classmethod
     def from_matrix(cls, a: CSRMatrix) -> "JacobiPreconditioner":
@@ -113,7 +114,8 @@ class SGSPreconditioner:
 
     def apply(self, rhs: jnp.ndarray) -> jnp.ndarray:
         y = self.fwd.solve(rhs)
-        return self.bwd.solve(self.diag * y)
+        d = self.diag[:, None] if rhs.ndim == 2 else self.diag
+        return self.bwd.solve(d * y)
 
     @classmethod
     def from_matrix(

@@ -65,13 +65,20 @@ class TriangularMatrix:
         )
 
     def solve(self, b: jnp.ndarray) -> jnp.ndarray:
-        """x with T x = b (T = strict part + diag)."""
+        """x with T x = b (T = strict part + diag).
+
+        ``b`` may be a vector (n,) or a multi-RHS panel (n, m) — every
+        step below (take/segment_sum over axis 0, solve_triangular)
+        operates column-wise, so panels solve in one pass.
+        """
         if self.method == "dense":
             return jax.scipy.linalg.solve_triangular(
                 self.dense, b, lower=self.lower
             )
         # Jacobi sweeps: x <- (b - N x) / d.  Exact when sweeps >= depth.
         inv_d = 1.0 / self.diag
+        if b.ndim == 2:
+            inv_d = inv_d[:, None]
 
         def sweep(x, _):
             return (b - self._strict_matvec(x)) * inv_d, None

@@ -141,16 +141,23 @@ def solve(
                 "multi-RHS b (n, m) is supported for method='cg' "
                 "(cg_multi); solve each column separately for other methods"
             )
-        if cfg.preconditioner not in (None, "none"):
-            raise ValueError("cg_multi does not take a preconditioner yet")
         if cfg.record_residuals:
             raise ValueError(
                 "cg_multi does not record residual traces; call it per "
                 "column (or vmap a single-RHS solver) for traces"
             )
+        precond = None
+        if cfg.preconditioner not in (None, "none"):
+            # every precond apply is panel-capable (triangular solves
+            # run take/segment_sum over axis 0) — one apply serves all
+            # m columns, mirroring the SpMM
+            precond = _build_preconditioner(
+                a, cfg.preconditioner, cfg.preconditioner_options
+            )
         return cg_multi(
             a, b, x0,
             max_iterations=cfg.max_iterations, epsilon=cfg.epsilon,
+            preconditioner=precond,
         )
     if cfg.matrix_dtype is not None:
         # bf16-matrix / f32-vector mixed precision with true-residual IR

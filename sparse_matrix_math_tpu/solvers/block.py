@@ -69,12 +69,21 @@ def cg_multi(
     x0: Optional[jnp.ndarray] = None,
     max_iterations: int = -1,
     epsilon: float = 1e-8,
+    preconditioner=None,
 ) -> MultiSolveResult:
     """Solve ``a @ X = B`` for SPD ``a`` and B of shape (n, m).
 
     Equivalent to m independent :func:`cg` runs (same iterates per
     column), at roughly the cost of the SLOWEST column — every iteration
     is one SpMM + per-column reductions instead of m separate loops.
+
+    ``preconditioner`` is any object with a panel-capable ``apply``
+    (all of :mod:`precond.preconditioners` qualify: Jacobi/SGS/ILU0/IC0
+    applies broadcast over trailing RHS columns — the triangular solves
+    run take/segment_sum over axis 0, so one apply serves all m columns
+    just like the SpMM serves all m matvecs).  With it, each column runs
+    the :func:`solvers.cg.pcg_core` recurrence (z = M r, rz inner
+    products) under the same freeze-on-convergence masking.
     """
     a = as_operator(a)
     if b.ndim != 2:
@@ -84,11 +93,11 @@ def cg_multi(
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)
     eps = jnp.asarray(epsilon, dtype=b.dtype)
-    return _cg_multi_loop(a, b, x0, eps, maxiter)
+    return _cg_multi_loop(a, preconditioner, b, x0, eps, maxiter)
 
 
-@partial(jax.jit, static_argnums=(4,))
-def _cg_multi_loop(a, b, x0, eps, maxiter: int) -> MultiSolveResult:
+@partial(jax.jit, static_argnums=(5,))
+def _cg_multi_loop(a, precond, b, x0, eps, maxiter: int) -> MultiSolveResult:
     matvec = matvec_fn(a)
     eps2 = eps * eps
     m = b.shape[1]
@@ -96,8 +105,13 @@ def _cg_multi_loop(a, b, x0, eps, maxiter: int) -> MultiSolveResult:
     def coldot(u, v):
         return jnp.sum(u * v, axis=0)  # (m,)
 
+    def mapply(r):
+        return r if precond is None else precond.apply(r)
+
     r = b - matvec(x0)
+    z = mapply(r)
     rr = coldot(r, r)
+    rz = coldot(r, z) if precond is not None else rr
     status0 = jnp.where(rr <= eps2, SolverStatus.SUCCESS, RUNNING).astype(
         jnp.int32
     )
@@ -108,15 +122,19 @@ def _cg_multi_loop(a, b, x0, eps, maxiter: int) -> MultiSolveResult:
         return jnp.any(status == RUNNING) & (k < maxiter)
 
     def body(carry):
-        x, r, p, rr, k, status, iters = carry
+        x, r, p, rz, k, status, iters = carry
         active = status == RUNNING
         ap = matvec(p)
         denom = coldot(ap, p)
-        alpha = jnp.where(active, rr / denom, 0.0)
+        alpha = jnp.where(active, rz / denom, 0.0)
         alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
         x = x + alpha[None, :] * p
         r_new = r - alpha[None, :] * ap
-        new_rr = jnp.where(active, coldot(r_new, r_new), rr)
+        z_new = mapply(r_new)
+        new_rr = coldot(r_new, r_new)
+        new_rz = (
+            coldot(r_new, z_new) if precond is not None else new_rr
+        )
         converged = new_rr <= eps2
         # exact breakdown (denom == 0, i.e. p.A.p = 0 on an indefinite
         # system) and non-finite reductions both mean this column cannot
@@ -136,13 +154,15 @@ def _cg_multi_loop(a, b, x0, eps, maxiter: int) -> MultiSolveResult:
             status,
         ).astype(jnp.int32)
         iters = jnp.where(active, k + 1, iters)
-        beta = jnp.where(active, new_rr / jnp.where(rr == 0, 1.0, rr), 0.0)
-        p = jnp.where(active[None, :], r_new + beta[None, :] * p, p)
+        beta = jnp.where(active, new_rz / jnp.where(rz == 0, 1.0, rz), 0.0)
+        p = jnp.where(active[None, :], z_new + beta[None, :] * p, p)
         r = jnp.where(active[None, :], r_new, r)
-        return x, r, p, new_rr, k + 1, new_status, iters
+        new_rz2 = jnp.where(active, new_rz, rz)
+        return x, r, p, new_rz2, k + 1, new_status, iters
 
-    carry = (x0, r, r, rr, jnp.int32(0), status0, iters0)
-    x, r, _, rr, _, status, iters = jax.lax.while_loop(cond, body, carry)
+    carry = (x0, r, z, rz, jnp.int32(0), status0, iters0)
+    x, r, _, _, _, status, iters = jax.lax.while_loop(cond, body, carry)
+    rr = coldot(r, r)
     status = jnp.where(
         status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status
     ).astype(jnp.int32)

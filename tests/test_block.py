@@ -87,3 +87,66 @@ class TestCGMulti:
         a = poisson_2d(4, dtype=np.float64)
         with pytest.raises(ValueError):
             smm.cg_multi(a, jnp.ones(16, jnp.float64))
+
+
+class TestCGMultiPreconditioned:
+    """Preconditioned multi-RHS: column j of cg_multi(..., M) must match
+    an independent preconditioned_conjugate_gradient run on (a, B[:, j])
+    — the applies broadcast over panels (trisolve.py axis-0 kernels)."""
+
+    @pytest.mark.parametrize("kind", ["jacobi", "sgs", "ic0"])
+    def test_matches_per_column_pcg(self, kind):
+        from sparse_matrix_math_tpu.precond.preconditioners import (
+            get_preconditioner,
+        )
+
+        a = poisson_2d(12, dtype=np.float64)
+        n = a.shape[0]
+        rng = np.random.default_rng(1)
+        B = jnp.asarray(rng.standard_normal((n, 3)))
+        m = get_preconditioner(a, kind)
+        res = smm.cg_multi(a, B, epsilon=1e-8, preconditioner=m)
+        for j in range(3):
+            single = smm.cg(
+                a, B[:, j], preconditioner=m, epsilon=1e-8
+            )
+            assert (
+                int(res.status[j])
+                == int(single.status)
+                == SolverStatus.SUCCESS
+            )
+            np.testing.assert_allclose(
+                np.asarray(res.x[:, j]), np.asarray(single.x),
+                rtol=5e-6, atol=5e-8,
+            )
+
+    def test_preconditioning_reduces_iterations(self):
+        a = poisson_2d(24, dtype=np.float64)
+        n = a.shape[0]
+        B = a @ jnp.ones((n, 2), jnp.float64)
+        plain = smm.cg_multi(a, B, epsilon=1e-10)
+        pre = smm.solve(a, B, method="cg", preconditioner="sgs",
+                        epsilon=1e-10)
+        assert all(int(s) == SolverStatus.SUCCESS for s in pre.status)
+        assert int(pre.iterations.max()) < int(plain.iterations.max())
+        np.testing.assert_allclose(np.asarray(pre.x), 1.0, atol=1e-7)
+
+    def test_panel_apply_equals_columnwise_apply(self):
+        """The panel-capable preconditioner applies must equal per-column
+        applies exactly (same kernels, axis-0 reductions)."""
+        from sparse_matrix_math_tpu.precond.preconditioners import (
+            get_preconditioner,
+        )
+
+        a = poisson_2d(9, dtype=np.float64)
+        n = a.shape[0]
+        rng = np.random.default_rng(2)
+        R = jnp.asarray(rng.standard_normal((n, 4)))
+        for kind in ("jacobi", "sgs", "ilu0", "ic0"):
+            m = get_preconditioner(a, kind)
+            panel = np.asarray(m.apply(R))
+            for j in range(4):
+                np.testing.assert_array_equal(
+                    panel[:, j], np.asarray(m.apply(R[:, j])),
+                    err_msg=kind,
+                )
