@@ -21,6 +21,7 @@ from ..formats.triplet import coo_from_arrays
 __all__ = [
     "poisson_2d", "poisson_3d", "random_spd_csr", "laplace_1d",
     "laplace_3d_jittered", "sherman1_tiled", "uniform_random_csr",
+    "convection_diffusion_2d",
 ]
 
 
@@ -97,6 +98,50 @@ def poisson_3d(nx: int, ny: int = None, nz: int = None, dtype=np.float64) -> CSR
     couple(iy < ny - 1, +nx)
     couple(idx >= nx * ny, -nx * ny)
     couple(idx < n - nx * ny, +nx * ny)
+
+    return _sorted_csr(
+        np.concatenate(rows),
+        np.concatenate(cols),
+        np.concatenate(vals).astype(dtype),
+        (n, n),
+    )
+
+
+def convection_diffusion_2d(
+    nx: int, ny: int = None, cx: float = 0.5, cy: float = 0.25,
+    dtype=np.float64,
+) -> CSRMatrix:
+    """Upwind convection-diffusion stencil: the standard NONSYMMETRIC
+    model problem (diffusion 5-point Laplacian + first-order upwind
+    convection with cell Peclet numbers ``cx``/``cy``).
+
+    Row (i,j): diag ``4 + cx + cy``; west ``-1 - cx``; east ``-1``;
+    north ``-1 - cy``; south ``-1``.  Row-diagonally dominant M-matrix,
+    so BiCGStab/CGS converge — exercises the nonsymmetric solver paths
+    (the reference's own nonsymmetric coverage is sherman1,
+    test/cpp/bicgstab.cpp) over every storage format.
+    """
+    ny = nx if ny is None else ny
+    n = nx * ny
+    idx = np.arange(n, dtype=np.int64)
+    ix = idx % nx
+
+    rows = [idx]
+    cols = [idx]
+    vals = [np.full(n, 4.0 + cx + cy)]
+
+    west = ix > 0
+    rows.append(idx[west]); cols.append(idx[west] - 1)
+    vals.append(np.full(west.sum(), -1.0 - cx))
+    east = ix < nx - 1
+    rows.append(idx[east]); cols.append(idx[east] + 1)
+    vals.append(np.full(east.sum(), -1.0))
+    north = idx >= nx
+    rows.append(idx[north]); cols.append(idx[north] - nx)
+    vals.append(np.full(north.sum(), -1.0 - cy))
+    south = idx < n - nx
+    rows.append(idx[south]); cols.append(idx[south] + nx)
+    vals.append(np.full(south.sum(), -1.0))
 
     return _sorted_csr(
         np.concatenate(rows),

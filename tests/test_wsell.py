@@ -187,6 +187,66 @@ class TestWSellCorrectness:
         np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-2)
 
 
+class TestNonsymmetricSolvers:
+    """Nonsymmetric (convection-diffusion) systems through the W-SELL
+    operator: the nonsymmetric Krylov cores (BiCGStab/CGS) must produce
+    the SAME iterates over W-SELL as over the CSR source — the format is
+    an exact SpMV, so status, iteration count, and solution all match."""
+
+    def _system(self):
+        from sparse_matrix_math_tpu.utils.generate import (
+            convection_diffusion_2d,
+        )
+
+        a = convection_diffusion_2d(24, cx=0.8, cy=0.3, dtype=np.float64)
+        b = rmult(a, jnp.ones(a.shape[0], jnp.float64))
+        return a, b
+
+    def test_matrix_is_nonsymmetric(self):
+        a, _ = self._system()
+        d = np.asarray(a.to_dense())
+        assert np.abs(d - d.T).max() > 0.1
+
+    @pytest.mark.parametrize("method", ["bicgstab", "cgs"])
+    def test_wsell_matches_csr(self, method):
+        import sparse_matrix_math_tpu as smm
+
+        a, b = self._system()
+        ws = wsell_from_csr(a)
+        ref = smm.solve(a, b, method=method, epsilon=1e-10)
+        got = smm.solve(ws, b, method=method, epsilon=1e-10)
+        assert int(got.status) == int(ref.status) == 0
+        assert int(got.iterations) == int(ref.iterations)
+        np.testing.assert_allclose(np.asarray(got.x), 1.0, atol=1e-7)
+
+    def test_bicgstab_sgs_preconditioned(self):
+        """SGS preconditioning is defined for any nonzero-diagonal matrix
+        (reference h:2191-2283 applies it inside BiCGStab) — it must cut
+        iterations on the nonsymmetric system too."""
+        import sparse_matrix_math_tpu as smm
+
+        a, b = self._system()
+        plain = smm.solve(a, b, method="bicgstab", epsilon=1e-10)
+        pre = smm.solve(a, b, method="bicgstab", preconditioner="sgs",
+                        epsilon=1e-10)
+        assert int(pre.status) == 0
+        assert int(pre.iterations) < int(plain.iterations)
+        np.testing.assert_allclose(np.asarray(pre.x), 1.0, atol=1e-7)
+
+    def test_routed_bicgstab(self):
+        """R-SELL is pattern-agnostic and exact — the nonsymmetric cores
+        run over it unchanged."""
+        import sparse_matrix_math_tpu as smm
+        from sparse_matrix_math_tpu.formats.rsell import routed_from_csr
+
+        a, b = self._system()
+        ra = routed_from_csr(a, max_slot_ratio=99)
+        got = smm.solve(ra, b.astype(jnp.float64), method="bicgstab",
+                        epsilon=1e-8)
+        assert int(got.status) == 0
+        np.testing.assert_allclose(np.asarray(got.x), 1.0, atol=1e-5)
+
+
 def test_best_format_selection():
     """formats.best_format: DIA for stencils, W-SELL for banded-broken,
     CSR for tile-sparse patterns (the auto-selection contract)."""
