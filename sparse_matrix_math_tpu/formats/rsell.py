@@ -142,7 +142,18 @@ def _pack_pass(group, sigma, lam, nd, pos, wrows):
     unless duplicated sources share a rank; the overflow loop re-ranks
     the excess into fresh rows.
 
+    The native packer (smm_stream_pack_cf) computes the identical
+    layout in linear time (streaming distinct-rank + per-group counting
+    sorts); this NumPy version is the fallback and the executable
+    specification.
+
     Returns (row_in_group, out_lane, rows_per_group)."""
+    from ..native import stream_pack_cf_native
+
+    if group.size:
+        packed = stream_pack_cf_native(group, sigma, lam, nd, wrows)
+        if packed is not None:
+            return packed
     n_groups = int(group[-1]) + 1 if group.size else 0
     key_gl = _pack_keys((group, lam), (0, 7))
     row = _distinct_rank(key_gl, sigma, val_bits=7)

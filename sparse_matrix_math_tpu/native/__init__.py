@@ -134,10 +134,10 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_int64, ctypes.c_int64,
         _i64p, _i64p, _i64p, _i64p, _i64p, _i32p,
     ]
-    lib.smm_stream_pack.restype = ctypes.c_int64
-    lib.smm_stream_pack.argtypes = [
+    lib.smm_stream_pack_cf.restype = ctypes.c_int64
+    lib.smm_stream_pack_cf.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        _i64p, _i64p, _i64p, _i32p, _i32p, _i32p,
+        _i64p, _i64p, _i64p, _i64p, _i32p, _i32p, _i64p,
     ]
 
 
@@ -262,11 +262,12 @@ def wsell_color_native(job, t, lane, lsrc, sw, n_jobs: int):
     return row
 
 
-def stream_pack_native(group, sigma, lam, wrows: int):
-    """First-fit R-SELL stream-pass packing (smm_stream_pack), or None
-    if the native library is unavailable.  Returns (row_in_group,
-    out_lane, rows_per_group) satisfying the per-vreg constraints in
-    formats/rsell.py with free out-lane choice."""
+def stream_pack_cf_native(group, sigma, lam, nd, wrows: int):
+    """Closed-form R-SELL stream-pass packing (smm_stream_pack_cf) —
+    the exact native equivalent of formats/rsell.py:_pack_pass — or
+    None if the native library is unavailable.  Returns (row_in_group,
+    out_lane, rows_per_group).  Raises ValueError on duplicate-flood
+    non-convergence (same contract as the NumPy packer)."""
     lib = _load()
     if lib is None:
         return None
@@ -274,20 +275,23 @@ def stream_pack_native(group, sigma, lam, wrows: int):
     n_groups = int(group[-1]) + 1 if n else 0
     row = np.empty(n, np.int32)
     lane = np.empty(n, np.int32)
-    group_rows = np.empty(max(n_groups, 1), np.int32)
-    rc = lib.smm_stream_pack(
+    group_rows = np.empty(max(n_groups, 1), np.int64)
+    rc = lib.smm_stream_pack_cf(
         n, n_groups, int(wrows),
         np.ascontiguousarray(group, np.int64),
         np.ascontiguousarray(sigma, np.int64),
         np.ascontiguousarray(lam, np.int64),
+        np.ascontiguousarray(nd, np.int64),
         row, lane, group_rows,
     )
+    if rc == -2:
+        raise ValueError("R-SELL packer did not converge (duplicate flood)")
     if rc < 0:
         return None
     return (
         row.astype(np.int64),
         lane.astype(np.int64),
-        group_rows[:n_groups].astype(np.int64),
+        group_rows[:n_groups],
     )
 
 

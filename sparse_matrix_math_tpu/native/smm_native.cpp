@@ -312,79 +312,111 @@ int64_t smm_wsell_color(int64_t nnz, int64_t n_jobs, const int64_t* job,
 }
 
 // ---------------------------------------------------------------------------
-// R-SELL stream-pass packer (formats/rsell.py).
+// R-SELL closed-form stream-pass packer (formats/rsell.py:_pack_pass).
 //
-// Elements arrive grouped by (bucket, window stack) — ``group`` dense and
-// nondecreasing — with their window-stack row ``sigma`` (0..8F-1) and
-// source lane ``lam`` (0..127).  Within each group, assign every element
-// an output (row, lane) subject to the W-SELL kernel constraints:
-//   * one element per (row, out-lane)                 — lane occupancy
-//   * one window row per (row, SOURCE lane); equal    — sw claim
-//     (sigma, lam) pairs (duplicated sources) share the claim
-// Unlike smm_wsell_color, the out lane is FREE, and placement is
-// SEQUENTIAL-FILL with a monotone row cursor (no backfill): elements
-// land in arrival order at consecutive lanes of the current row,
-// spilling forward only on sw-claim conflicts.  Sequentiality is
-// load-bearing for the CHAIN: the builder orders each pass's elements
-// by the next refinement digit, so same-next-bucket runs land in few
-// rows at consecutive lanes — the next pass then sees them with shared
-// sw rows, collapsing its per-source-lane distinct-σ padding.
+// Exact native reimplementation of the NumPy closed-form packer — same
+// outputs, linear time.  Elements arrive sorted by (group, pos), so sigma
+// is NONDECREASING per (group, source lane): the initial row (distinct-σ
+// rank per lane) streams with a 128-entry last-σ counter instead of a
+// sort.  Each overflow iteration is one stable counting sort of the
+// group's live elements by (row, next-digit) — stability preserves the
+// pos order the arrival gave us — followed by the coprime-stride lane
+// scatter lane = (rank*67 + (row + group)*53) mod 128 (load-bearing for
+// chain balance, see the Python docstring).
 //
 // Outputs: within-group row, out lane per element; rows used per group.
-// Returns max rows over groups (>= 1), or -1 on out-of-range input.
+// Returns max rows over groups (>= 0); -1 on out-of-range input; -2 when
+// the overflow loop fails to converge (duplicate flood, matches the
+// Python ValueError).
 // ---------------------------------------------------------------------------
-int64_t smm_stream_pack(int64_t n_elems, int64_t n_groups, int64_t wrows,
-                        const int64_t* group, const int64_t* sigma,
-                        const int64_t* lam, int32_t* row_out,
-                        int32_t* lane_out, int32_t* group_rows) {
-  struct Row {
-    uint64_t lanes[2];  // out-lane occupancy
-    int8_t swv[128];    // claimed window row per SOURCE lane (-1 unset)
-    int free_lanes;
-  };
-  std::vector<Row> rows;
-  rows.reserve(64);
-  int64_t max_rows = 1;
-  int64_t e = 0;
+int64_t smm_stream_pack_cf(int64_t n_elems, int64_t n_groups, int64_t wrows,
+                           const int64_t* group, const int64_t* sigma,
+                           const int64_t* lam, const int64_t* nd,
+                           int32_t* row_out, int32_t* lane_out,
+                           int64_t* group_rows) {
   for (int64_t g = 0; g < n_groups; ++g) group_rows[g] = 0;
+  if (n_elems == 0) return 0;
+  int64_t nd_max = 0;
+  for (int64_t i = 0; i < n_elems; ++i) {
+    if (nd[i] < 0) return -1;
+    if (nd[i] > nd_max) nd_max = nd[i];
+  }
+  const int64_t ndk = nd_max + 1;
+  std::vector<int32_t> live, next_live, sorted;
+  std::vector<int64_t> counts;
+  std::vector<uint8_t> fit;
+  int32_t last_sig[128];
+  int32_t lane_cnt[128];
+  int64_t max_rows = 0;
+  int64_t e = 0;
   while (e < n_elems) {
     const int64_t g = group[e];
     if (g < 0 || g >= n_groups) return -1;
-    rows.clear();
-    size_t cur = 0;
-    for (; e < n_elems && group[e] == g; ++e) {
-      const int64_t sg = sigma[e];
-      const int64_t ln = lam[e];
-      if (sg < 0 || sg >= wrows || sg > 127 || ln < 0 || ln > 127)
-        return -1;
-      const int8_t s8 = static_cast<int8_t>(sg);
-      while (cur < rows.size() && rows[cur].free_lanes == 0) ++cur;
-      size_t k = cur;
-      for (; k < rows.size(); ++k) {
-        Row& rw = rows[k];
-        if (rw.free_lanes == 0) continue;
-        if (rw.swv[ln] != -1 && rw.swv[ln] != s8) continue;
-        break;
+    const int64_t e0 = e;
+    while (e < n_elems && group[e] == g) ++e;
+    const int64_t m = e - e0;
+    // initial rows: distinct-rank of sigma per source lane (streaming)
+    for (int k = 0; k < 128; ++k) { last_sig[k] = -1; lane_cnt[k] = 0; }
+    for (int64_t i = e0; i < e; ++i) {
+      const int64_t ln = lam[i], sg = sigma[i];
+      if (ln < 0 || ln > 127 || sg < 0 || sg >= wrows) return -1;
+      if (static_cast<int32_t>(sg) != last_sig[ln]) {
+        last_sig[ln] = static_cast<int32_t>(sg);
+        ++lane_cnt[ln];
       }
-      if (k == rows.size()) {
-        rows.emplace_back();
-        Row& rw = rows.back();
-        rw.lanes[0] = rw.lanes[1] = 0;
-        std::memset(rw.swv, -1, sizeof rw.swv);
-        rw.free_lanes = 128;
-      }
-      Row& rw = rows[k];
-      const uint64_t f0 = ~rw.lanes[0], f1 = ~rw.lanes[1];
-      const int out_ln = f0 ? __builtin_ctzll(f0) : 64 + __builtin_ctzll(f1);
-      rw.lanes[out_ln >> 6] |= 1ull << (out_ln & 63);
-      rw.swv[ln] = s8;
-      --rw.free_lanes;
-      row_out[e] = static_cast<int32_t>(k);
-      lane_out[e] = static_cast<int32_t>(out_ln);
+      row_out[i] = lane_cnt[ln] - 1;
     }
-    group_rows[g] = static_cast<int32_t>(rows.size());
-    if (static_cast<int64_t>(rows.size()) > max_rows)
-      max_rows = static_cast<int64_t>(rows.size());
+    live.resize(m);
+    for (int64_t u = 0; u < m; ++u) live[u] = static_cast<int32_t>(u);
+    fit.assign(m, 0);
+    int iter = 0;
+    for (; iter < 64 && !live.empty(); ++iter) {
+      int64_t rmin = row_out[e0 + live[0]], rmax = rmin;
+      for (const int32_t u : live) {
+        const int64_t r = row_out[e0 + u];
+        if (r < rmin) rmin = r;
+        if (r > rmax) rmax = r;
+      }
+      const int64_t nk = (rmax - rmin + 1) * ndk;
+      counts.assign(nk + 1, 0);
+      for (const int32_t u : live)
+        ++counts[(row_out[e0 + u] - rmin) * ndk + nd[e0 + u] + 1];
+      for (int64_t k = 1; k <= nk; ++k) counts[k] += counts[k - 1];
+      sorted.resize(live.size());
+      for (const int32_t u : live)  // stable: live is in pos order
+        sorted[counts[(row_out[e0 + u] - rmin) * ndk + nd[e0 + u]]++] = u;
+      // rank within (row) runs of the (row, nd, pos) order; fits get
+      // the stride-scattered lane, the rest re-rank into fresh rows
+      int64_t prev_row = -1, rank = 0;
+      for (const int32_t u : sorted) {
+        const int64_t r = row_out[e0 + u];
+        if (r != prev_row) { prev_row = r; rank = 0; } else ++rank;
+        if (rank < 128) {
+          lane_out[e0 + u] =
+              static_cast<int32_t>((rank * 67 + (r + g) * 53) & 127);
+          if (r + 1 > group_rows[g]) group_rows[g] = r + 1;
+          fit[u] = 1;
+        } else {
+          fit[u] = 0;
+        }
+      }
+      for (int k = 0; k < 128; ++k) { last_sig[k] = -1; lane_cnt[k] = 0; }
+      const int64_t base = group_rows[g];
+      next_live.clear();
+      for (const int32_t u : live) {  // original (pos) order
+        if (fit[u]) continue;
+        const int64_t ln = lam[e0 + u], sg = sigma[e0 + u];
+        if (static_cast<int32_t>(sg) != last_sig[ln]) {
+          last_sig[ln] = static_cast<int32_t>(sg);
+          ++lane_cnt[ln];
+        }
+        row_out[e0 + u] = static_cast<int32_t>(base + lane_cnt[ln] - 1);
+        next_live.push_back(u);
+      }
+      live.swap(next_live);
+    }
+    if (!live.empty()) return -2;
+    if (group_rows[g] > max_rows) max_rows = group_rows[g];
   }
   return max_rows;
 }

@@ -153,3 +153,48 @@ class TestRoutedContract:
         res = cg(ra, jnp.asarray(b), epsilon=1e-5, max_iterations=500)
         assert int(res.status) == 0
         assert _relerr(res.x, x_true) < 1e-3
+
+
+class TestNativePackerParity:
+    """smm_stream_pack_cf must reproduce the NumPy closed-form packer
+    EXACTLY (same rows/lanes/plane contents), not just validly — the
+    NumPy version is the executable specification."""
+
+    @pytest.mark.parametrize(
+        "gen",
+        [
+            lambda: uniform_random_csr(50_000, per_row=5, dtype=np.float32),
+            lambda: uniform_random_csr(20_000, per_row=17, dtype=np.float32),
+        ],
+        ids=["rand50k", "rand20k_dense"],
+    )
+    def test_exact_layout_parity(self, gen, monkeypatch):
+        import sparse_matrix_math_tpu.native as native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        csr = gen()
+        nat = routed_from_csr(csr, max_slot_ratio=999.0)
+        monkeypatch.setattr(
+            native, "stream_pack_cf_native", lambda *a, **k: None
+        )
+        ref = routed_from_csr(csr, max_slot_ratio=999.0)
+        assert len(nat.passes) == len(ref.passes)
+        assert nat.slot_ratio == ref.slot_ratio
+        for i, (pn, pr) in enumerate(zip(nat.passes, ref.passes)):
+            assert (pn.x_rows, pn.window_f) == (pr.x_rows, pr.window_f)
+            np.testing.assert_array_equal(
+                np.asarray(pn.vals), np.asarray(pr.vals), err_msg=f"pass{i}"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(pn.meta), np.asarray(pr.meta), err_msg=f"pass{i}"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(pn.base), np.asarray(pr.base), err_msg=f"pass{i}"
+            )
+        np.testing.assert_array_equal(
+            np.asarray(nat.final.vals), np.asarray(ref.final.vals)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(nat.final.meta), np.asarray(ref.final.meta)
+        )
