@@ -97,3 +97,18 @@ def test_bench_spmv_includes_wsell(capsys, tmp_path):
     rc, out = run_cli(capsys, ["bench-spmv", path, "--iters", "2"])
     assert rc == 0
     assert "wsell" in out
+    assert "rsell" not in out  # routed timing is opt-in (--routed)
+
+
+def test_bench_spmv_routed_opt_in(capsys, tmp_path):
+    from sparse_matrix_math_tpu.io import save_dense_text
+    from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+    a = poisson_2d(6, dtype=np.float64)
+    path = str(tmp_path / "m.smmdt")
+    save_dense_text(path, a)
+    rc, report = run_cli(
+        capsys, ["bench-spmv", path, "--iters", "2", "--routed"]
+    )
+    assert rc == 0
+    assert report["rsell"] is None or report["rsell"]["gnnz_per_s"] > 0
