@@ -301,13 +301,17 @@ def routed_from_csr(
     window_f: int = 16,
     max_slot_ratio: float = 16.0,
     leaf_slabs: Optional[int] = None,
+    _digits: Optional[Tuple[int, ...]] = None,
 ) -> RoutedMatrix:
     """Build the routed chain for an arbitrary-pattern CSR matrix.
 
     ``window_f`` sets the per-vreg window-stack width for every pass
     (span = 1024*F positions).  ``leaf_slabs`` overrides how many
     1024-row output slabs form one leaf bucket (default: as many as keep
-    the final pass's windows within one leaf segment)."""
+    the final pass's windows within one leaf segment).  ``_digits``
+    overrides the mixed-radix plan — the distributed builder
+    (parallel/dist_rsell.py) pins one global plan so every shard's chain
+    has the same pass count and can stack under ``shard_map``."""
     indptr = np.asarray(csr.indptr, dtype=np.int64)
     n_rows, n_cols = csr.shape
     nnz = int(csr.nnz)
@@ -326,7 +330,10 @@ def routed_from_csr(
     n_leaves = -(-n_slabs // leaf_slabs)
     leaf = np.minimum(r // SLAB // leaf_slabs, n_leaves - 1)
 
-    digits = _plan_digits(n_cols, nnz, n_leaves, window_f)
+    digits = (
+        list(_digits) if _digits is not None
+        else _plan_digits(n_cols, nnz, n_leaves, window_f)
+    )
 
     # mixed-radix digit path of each element's leaf id
     weights = []
