@@ -89,6 +89,31 @@ class TestCGMulti:
             smm.cg_multi(a, jnp.ones(16, jnp.float64))
 
 
+class TestCGMultiOverFormats:
+    def test_wsell_operator_matches_csr(self):
+        """Multi-RHS CG over a W-SELL operator runs the SpMM kernel
+        (one plane stream for ALL columns) and must match the CSR run
+        column-for-column."""
+        from sparse_matrix_math_tpu.formats.wsell import wsell_from_csr
+
+        a = poisson_2d(16, dtype=np.float32)
+        ws = wsell_from_csr(a)
+        n = a.shape[0]
+        B = jnp.asarray(
+            np.random.default_rng(3).standard_normal((n, 3)).astype(
+                np.float32
+            )
+        )
+        ref = smm.cg_multi(a, B, epsilon=1e-4)
+        got = smm.cg_multi(ws, B, epsilon=1e-4)
+        for j in range(3):
+            assert int(got.status[j]) == int(ref.status[j])
+            np.testing.assert_allclose(
+                np.asarray(got.x[:, j]), np.asarray(ref.x[:, j]),
+                rtol=1e-3, atol=1e-4,
+            )
+
+
 class TestCGMultiPreconditioned:
     """Preconditioned multi-RHS: column j of cg_multi(..., M) must match
     an independent preconditioned_conjugate_gradient run on (a, B[:, j])
