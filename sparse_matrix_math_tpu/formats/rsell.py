@@ -270,15 +270,21 @@ def _build_stream_pass(pos, bucket, nd, values, table_len, window_f, dtype):
 # bucket-tree planner + chain builder
 # ---------------------------------------------------------------------------
 
-def _plan_digits(n, nnz, n_leaves, window_f, fill_target=8192):
+def _plan_digits(n, nnz, n_leaves, window_f, fill_target=4096):
     """Mixed-radix branching per routing pass.
 
     The FIRST pass reads x, whose source lanes are c%128 — effectively
     random — so its per-(group, lane) histogram is Poisson and the pack
     pads by max/mean; bigger groups (~``fill_target`` elements, per-lane
-    mean 64) keep that under ~1.5x.  LATER passes read the previous
+    mean 32) keep that under ~1.7x.  LATER passes read the previous
     stream, whose lane runs the packer balanced deliberately — their
-    fan-out is limited only by the window span (E*1024*pad <= 8F*128)."""
+    fan-out is limited only by the window span (E*1024*pad <= 8F*128).
+
+    The constants were swept offline on the 1M/2M-row uniform-random
+    benchmarks (total slots moved at fixed window_f is the runtime
+    proxy): fill_target 4096 + margin 1.6 beat the first-cut
+    8192 + 1.25 by 12% fewer slots AND one fewer pass at 2M rows
+    (ratio 8.90 / 3 passes vs 10.11 / 4)."""
     span = 8 * window_f * LANE
     digits = []
     remaining = n_leaves
@@ -287,8 +293,9 @@ def _plan_digits(n, nnz, n_leaves, window_f, fill_target=8192):
     e1 = max(int(per_stack / fill_target), 2)
     digits.append(min(e1, remaining))
     remaining = -(-remaining // digits[-1])
-    # later passes: span-limited (pad margin ~1.25)
-    e_mid = max(int(span / (1024 * 1.25)), 2)
+    # later passes: span-limited (pad margin ~1.6: a smaller fan-out
+    # per pass packs tighter and converges in fewer passes overall)
+    e_mid = max(int(span / (1024 * 1.6)), 2)
     while remaining > 1:
         digits.append(min(e_mid, remaining))
         remaining = -(-remaining // digits[-1])
