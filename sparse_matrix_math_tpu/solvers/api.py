@@ -86,6 +86,26 @@ def _build_preconditioner(a, kind: str, options):
     )
 
 
+def _build_preconditioner_for(a, a_source, kind, options):
+    """Build for the solve operator, falling back to the CSR source.
+
+    With ``auto_format`` the operator may be a layout (W-SELL/R-SELL)
+    whose kinds aren't directly buildable — but those layouts preserve
+    row/column order, so factoring from the original CSR is exact.
+    (ReorderedMatrix is NOT order-preserving; _build_preconditioner's
+    own branch factors from its permuted CSR first.)"""
+    from ..formats.reorder import ReorderedMatrix
+
+    try:
+        return _build_preconditioner(a, kind, options)
+    except ValueError:
+        # never fall back across a permutation: the hoisted solvers run
+        # in the permuted domain, where an original-order factor is wrong
+        if a_source is a or isinstance(a, ReorderedMatrix):
+            raise
+        return _build_preconditioner(a_source, kind, options)
+
+
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Runtime solver configuration (SURVEY §5 config-system plan)."""
@@ -102,6 +122,12 @@ class SolverConfig:
     # and true-residual iterative refinement — solvers/mixed.py; only
     # method='cg' on DIA matrices supports it
     matrix_dtype: str = None
+    # convert a CSR input through formats.best_format before solving
+    # (DIA / W-SELL / RCM+W-SELL / R-SELL / CSR by pattern) — the
+    # "switch from the reference and get the TPU fast path for free"
+    # knob.  Off by default: format builds cost host time (minutes for
+    # R-SELL at 10M+ nnz) that only amortises over real solver runs.
+    auto_format: bool = False
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)
@@ -130,6 +156,11 @@ def solve(
         raise ValueError(
             f"unknown method {cfg.method!r}; options: {sorted(set(SOLVERS))}"
         )
+    a_source = a  # preconditioners factor from the CSR source below
+    if cfg.auto_format and isinstance(a, CSRMatrix):
+        from ..formats import best_format
+
+        a = best_format(a)
     if getattr(b, "ndim", 1) == 2:
         # multi-RHS panel: route through the blocked solver (one SpMM
         # feeds every column — solvers/block.py).  Returns a
@@ -151,8 +182,8 @@ def solve(
             # every precond apply is panel-capable (triangular solves
             # run take/segment_sum over axis 0) — one apply serves all
             # m columns, mirroring the SpMM
-            precond = _build_preconditioner(
-                a, cfg.preconditioner, cfg.preconditioner_options
+            precond = _build_preconditioner_for(
+                a, a_source, cfg.preconditioner, cfg.preconditioner_options
             )
         return cg_multi(
             a, b, x0,
@@ -193,7 +224,7 @@ def solve(
                 f"{method} does not take a preconditioner "
                 "(reference parity: only CG and BiCGStab do)"
             )
-        kwargs["preconditioner"] = _build_preconditioner(
-            a, cfg.preconditioner, cfg.preconditioner_options
+        kwargs["preconditioner"] = _build_preconditioner_for(
+            a, a_source, cfg.preconditioner, cfg.preconditioner_options
         )
     return SOLVERS[method](a, b, x0, **kwargs)

@@ -112,3 +112,51 @@ def test_bench_spmv_routed_opt_in(capsys, tmp_path):
     )
     assert rc == 0
     assert report["rsell"] is None or report["rsell"]["gnnz_per_s"] > 0
+
+
+import jax.numpy as jnp
+
+
+class TestAutoFormat:
+    """solve(auto_format=True): a CSR input is converted through
+    best_format before solving — results must match the explicit-format
+    runs, and the preconditioner must still build (factored from the
+    CSR source when the selected layout can't factor it directly)."""
+
+    def test_stencil_routes_to_dia(self):
+        from sparse_matrix_math_tpu.solvers.api import solve
+        from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+        a = poisson_2d(24, dtype=np.float64)
+        b = a @ jnp.ones(a.shape[0], jnp.float64)
+        plain = solve(a, b, method="cg", epsilon=1e-10)
+        auto = solve(a, b, method="cg", epsilon=1e-10, auto_format=True)
+        assert int(auto.status) == 0
+        assert int(auto.iterations) == int(plain.iterations)
+        np.testing.assert_allclose(np.asarray(auto.x), 1.0, atol=1e-8)
+
+    def test_preconditioner_falls_back_to_csr_source(self):
+        """A pattern that selects W-SELL (or stays CSR) must still build
+        SGS — via the order-preserving CSR-source fallback."""
+        from sparse_matrix_math_tpu.formats import best_format
+        from sparse_matrix_math_tpu.formats.dia import DIAMatrix
+        from sparse_matrix_math_tpu.solvers.api import solve
+        from sparse_matrix_math_tpu.utils.generate import random_spd_csr
+
+        a = random_spd_csr(600, density=0.02, seed=3)
+        assert not isinstance(best_format(a), DIAMatrix)
+        b = a @ jnp.ones(600, jnp.float64)
+        res = solve(a, b, method="cg", preconditioner="sgs",
+                    epsilon=1e-10, auto_format=True)
+        assert int(res.status) == 0
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-7)
+
+    def test_non_csr_input_passes_through(self):
+        from sparse_matrix_math_tpu.formats.dia import dia_from_csr
+        from sparse_matrix_math_tpu.solvers.api import solve
+        from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+        a = dia_from_csr(poisson_2d(12, dtype=np.float64))
+        b = jnp.ones(a.shape[0], jnp.float64)
+        res = solve(a, b, method="cg", epsilon=1e-8, auto_format=True)
+        assert int(res.status) == 0
