@@ -155,3 +155,23 @@ def test_multigrid_pcg_on_hw(smm, jnp):
     res = smm.cg(a, b, epsilon=1e-4, preconditioner=mg)
     assert int(res.status) == 0
     assert int(res.iterations) <= 15
+
+
+def test_routed_chain_on_hw(smm, jnp):
+    """R-SELL routing passes + final W-SELL on chip vs a host reference
+    (the zero-locality pattern every windowed layout refuses)."""
+    from sparse_matrix_math_tpu.formats.rsell import routed_from_csr
+    from sparse_matrix_math_tpu.utils.generate import uniform_random_csr
+
+    a = uniform_random_csr(50_000, per_row=5, dtype=np.float32)
+    ra = routed_from_csr(a, max_slot_ratio=99.0)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal(a.shape[1]).astype(np.float32))
+    y = np.asarray(ra @ x, dtype=np.float64)
+    r = np.asarray(a.row_ids)
+    c = np.asarray(a.indices)
+    v = np.asarray(a.data, np.float64)
+    ref = np.zeros(a.shape[0], np.float64)
+    np.add.at(ref, r, v * np.asarray(x, np.float64)[c])
+    scale = np.max(np.abs(ref))
+    np.testing.assert_allclose(y / scale, ref / scale, atol=2e-6)
