@@ -28,9 +28,11 @@ time; the runtime is pure streaming.
 
 The element→slot assignment per pass must satisfy the same per-vreg
 constraints as W-SELL: one element per (row, out-lane); one window row
-per (row, source-lane).  A native first-fit packer handles this at
-build speed; the NumPy fallback lane-locks elements (out lane = source
-lane) which is correct but pads ~2x.
+per (row, source-lane).  A closed-form packer (distinct-rank rows +
+coprime-stride lane scatter, _pack_pass) satisfies both and keeps the
+NEXT pass's per-lane histograms flat; the native smm_stream_pack_cf
+computes the identical layout in linear time (the NumPy version is the
+fallback and the executable specification).
 """
 
 from __future__ import annotations

@@ -22,7 +22,7 @@ __all__ = [
     "ilu0_factorize_native",
     "mtx_read_native",
     "wsell_color_native",
-    "stream_pack_native",
+    "stream_pack_cf_native",
 ]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))

@@ -245,15 +245,6 @@ def _local_routed_spmv(
     return wsell_spmv(local, t, interpret=interpret)
 
 
-def _in_specs(a: DistRouted):
-    ax = a.axis
-    return (
-        tuple((P(ax, None, None), P(ax, None, None), P(ax, None))
-              for _ in a.passes),
-        P(ax, None, None), P(ax, None, None), P(ax, None), P(ax, None),
-    )
-
-
 def dist_routed_spmv(a: DistRouted, x: jnp.ndarray, mesh: jax.sharding.Mesh):
     """y = A @ x with row-sharded routed A and padded sharded x."""
     fn = _dist_routed_spmv_jit(

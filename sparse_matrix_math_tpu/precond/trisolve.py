@@ -59,7 +59,8 @@ class TriangularMatrix:
     sweeps: int = dataclasses.field(metadata=dict(static=True))
 
     def _strict_matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        g = self.data * jnp.take(x, self.indices, axis=0)
+        d = self.data[:, None] if x.ndim == 2 else self.data
+        g = d * jnp.take(x, self.indices, axis=0)
         return jax.ops.segment_sum(
             g, self.row_ids, num_segments=self.n, indices_are_sorted=True
         )

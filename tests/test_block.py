@@ -156,9 +156,12 @@ class TestCGMultiPreconditioned:
         assert int(pre.iterations.max()) < int(plain.iterations.max())
         np.testing.assert_allclose(np.asarray(pre.x), 1.0, atol=1e-7)
 
-    def test_panel_apply_equals_columnwise_apply(self):
+    @pytest.mark.parametrize("trisolve_method", ["dense", "jacobi"])
+    def test_panel_apply_equals_columnwise_apply(self, trisolve_method):
         """The panel-capable preconditioner applies must equal per-column
-        applies exactly (same kernels, axis-0 reductions)."""
+        applies exactly (same kernels, axis-0 reductions) — on BOTH
+        triangular-solve strategies (the jacobi-sweep path is what
+        method='auto' picks at n > 4096)."""
         from sparse_matrix_math_tpu.precond.preconditioners import (
             get_preconditioner,
         )
@@ -168,10 +171,13 @@ class TestCGMultiPreconditioned:
         rng = np.random.default_rng(2)
         R = jnp.asarray(rng.standard_normal((n, 4)))
         for kind in ("jacobi", "sgs", "ilu0", "ic0"):
-            m = get_preconditioner(a, kind)
+            kwargs = {} if kind == "jacobi" else dict(
+                method=trisolve_method, sweeps="exact"
+            )
+            m = get_preconditioner(a, kind, **kwargs)
             panel = np.asarray(m.apply(R))
             for j in range(4):
-                np.testing.assert_array_equal(
+                np.testing.assert_allclose(
                     panel[:, j], np.asarray(m.apply(R[:, j])),
-                    err_msg=kind,
+                    rtol=1e-13, atol=1e-13, err_msg=kind,
                 )
