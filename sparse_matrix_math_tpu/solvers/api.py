@@ -172,11 +172,6 @@ def solve(
                 "multi-RHS b (n, m) is supported for method='cg' "
                 "(cg_multi); solve each column separately for other methods"
             )
-        if cfg.record_residuals:
-            raise ValueError(
-                "cg_multi does not record residual traces; call it per "
-                "column (or vmap a single-RHS solver) for traces"
-            )
         precond = None
         if cfg.preconditioner not in (None, "none"):
             # every precond apply is panel-capable (triangular solves
@@ -189,6 +184,7 @@ def solve(
             a, b, x0,
             max_iterations=cfg.max_iterations, epsilon=cfg.epsilon,
             preconditioner=precond,
+            record_residuals=cfg.record_residuals,
         )
     if cfg.matrix_dtype is not None:
         # bf16-matrix / f32-vector mixed precision with true-residual IR

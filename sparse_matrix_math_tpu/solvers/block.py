@@ -50,6 +50,9 @@ class MultiSolveResult:
     status: jnp.ndarray          # (m,) int32 SolverStatus values
     iterations: jnp.ndarray      # (m,) int32: iteration count at freeze
     residual_norm: jnp.ndarray   # (m,)
+    # (maxiter+1, m) per-column ||r|| history (nan beyond a column's
+    # freeze point), or None when record_residuals was off
+    residual_trace: Optional[jnp.ndarray] = None
 
     def __getitem__(self, j: int) -> SolveResult:
         """The j-th column's outcome as a plain SolveResult."""
@@ -58,7 +61,10 @@ class MultiSolveResult:
             status=self.status[j],
             iterations=self.iterations[j],
             residual_norm=self.residual_norm[j],
-            residual_trace=None,
+            residual_trace=(
+                None if self.residual_trace is None
+                else self.residual_trace[:, j]
+            ),
         )
 
 
@@ -70,6 +76,7 @@ def cg_multi(
     max_iterations: int = -1,
     epsilon: float = 1e-8,
     preconditioner=None,
+    record_residuals: bool = False,
 ) -> MultiSolveResult:
     """Solve ``a @ X = B`` for SPD ``a`` and B of shape (n, m).
 
@@ -93,11 +100,15 @@ def cg_multi(
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)
     eps = jnp.asarray(epsilon, dtype=b.dtype)
-    return _cg_multi_loop(a, preconditioner, b, x0, eps, maxiter)
+    return _cg_multi_loop(
+        a, preconditioner, b, x0, eps, maxiter, bool(record_residuals)
+    )
 
 
-@partial(jax.jit, static_argnums=(5,))
-def _cg_multi_loop(a, precond, b, x0, eps, maxiter: int) -> MultiSolveResult:
+@partial(jax.jit, static_argnums=(5, 6))
+def _cg_multi_loop(
+    a, precond, b, x0, eps, maxiter: int, record: bool
+) -> MultiSolveResult:
     matvec = matvec_fn(a)
     eps2 = eps * eps
     m = b.shape[1]
@@ -116,13 +127,17 @@ def _cg_multi_loop(a, precond, b, x0, eps, maxiter: int) -> MultiSolveResult:
         jnp.int32
     )
     iters0 = jnp.zeros((m,), jnp.int32)
+    trace0 = (
+        jnp.full((maxiter + 1, m), jnp.nan, b.dtype).at[0].set(jnp.sqrt(rr))
+        if record else None
+    )
 
     def cond(carry):
-        _, _, _, _, k, status, _ = carry
+        _, _, _, _, k, status, _, _ = carry
         return jnp.any(status == RUNNING) & (k < maxiter)
 
     def body(carry):
-        x, r, p, rz, k, status, iters = carry
+        x, r, p, rz, k, status, iters, trace = carry
         active = status == RUNNING
         ap = matvec(p)
         denom = coldot(ap, p)
@@ -158,10 +173,16 @@ def _cg_multi_loop(a, precond, b, x0, eps, maxiter: int) -> MultiSolveResult:
         p = jnp.where(active[None, :], z_new + beta[None, :] * p, p)
         r = jnp.where(active[None, :], r_new, r)
         new_rz2 = jnp.where(active, new_rz, rz)
-        return x, r, p, new_rz2, k + 1, new_status, iters
+        if trace is not None:
+            trace = trace.at[k + 1].set(
+                jnp.where(active, jnp.sqrt(new_rr), jnp.nan)
+            )
+        return x, r, p, new_rz2, k + 1, new_status, iters, trace
 
-    carry = (x0, r, z, rz, jnp.int32(0), status0, iters0)
-    x, r, _, _, _, status, iters = jax.lax.while_loop(cond, body, carry)
+    carry = (x0, r, z, rz, jnp.int32(0), status0, iters0, trace0)
+    x, r, _, _, _, status, iters, trace = jax.lax.while_loop(
+        cond, body, carry
+    )
     rr = coldot(r, r)
     status = jnp.where(
         status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status
@@ -171,4 +192,5 @@ def _cg_multi_loop(a, precond, b, x0, eps, maxiter: int) -> MultiSolveResult:
         status=status,
         iterations=iters,
         residual_norm=jnp.sqrt(rr),
+        residual_trace=trace,
     )

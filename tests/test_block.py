@@ -181,3 +181,41 @@ class TestCGMultiPreconditioned:
                     panel[:, j], np.asarray(m.apply(R[:, j])),
                     rtol=1e-13, atol=1e-13, err_msg=kind,
                 )
+
+
+class TestCGMultiTraces:
+    def test_per_column_trace_matches_single(self):
+        """record_residuals: column j's trace equals the single-RHS cg
+        trace (same recurrences), nan beyond the column's freeze."""
+        a = poisson_2d(10, dtype=np.float64)
+        n = a.shape[0]
+        B = jnp.stack(
+            [a @ jnp.ones(n, jnp.float64), jnp.zeros(n, jnp.float64)],
+            axis=1,
+        )
+        res = smm.solve(a, B, method="cg", epsilon=1e-10,
+                        record_residuals=True)
+        assert res.residual_trace.shape == (n + 1, 2)
+        single = smm.cg(a, B[:, 0], epsilon=1e-10, record_residuals=True)
+        k = int(single.iterations)
+        # (atol floor: the two loops reduce dots in different orders —
+        # vdot vs axis-0 sum — so fully-converged entries differ at the
+        # f64 rounding level)
+        np.testing.assert_allclose(
+            np.asarray(res.residual_trace[: k + 1, 0]),
+            np.asarray(single.residual_trace[: k + 1]),
+            rtol=1e-10, atol=5e-14,
+        )
+        # frozen-at-0 column: trace is [0, nan, nan, ...]
+        col1 = np.asarray(res.residual_trace[:, 1])
+        assert col1[0] == 0.0 and np.isnan(col1[1:]).all()
+        # __getitem__ carries the column trace through
+        one = res[0]
+        np.testing.assert_array_equal(
+            np.asarray(one.residual_trace), np.asarray(res.residual_trace[:, 0])
+        )
+
+    def test_off_by_default(self):
+        a = poisson_2d(6, dtype=np.float64)
+        B = a @ jnp.ones((a.shape[0], 2), jnp.float64)
+        assert smm.cg_multi(a, B).residual_trace is None
