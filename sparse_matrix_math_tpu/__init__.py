@@ -58,6 +58,7 @@ from .solvers.cg import cg, conjugate_gradient
 from .solvers.cgs import cgs, conjugate_gradient_squared
 from .solvers.chebyshev import chebyshev, lanczos_extremal
 from .solvers.deflated import deflated_cg, lanczos_deflation_basis
+from .solvers.gmres import gmres
 from .solvers.implicit import cg_solve
 from .solvers.mixed import mixed_cg
 from .solvers.multigrid import PoissonMultigrid
@@ -92,7 +93,7 @@ __all__ = [
     "bicg_symmetric", "bicgstab", "cg", "conjugate_gradient",
     "cgs", "conjugate_gradient_squared", "cg_solve",
     "chebyshev", "lanczos_extremal", "cg_pipelined", "mixed_cg",
-    "deflated_cg", "lanczos_deflation_basis",
+    "deflated_cg", "lanczos_deflation_basis", "gmres",
     "cg_multi", "MultiSolveResult", "PoissonMultigrid", "best_format",
     "ReorderedMatrix", "rcm_permutation", "permute_csr", "reorder_to_wsell",
     "SolveResult", "SolverStatus", "SolverConfig", "solve",

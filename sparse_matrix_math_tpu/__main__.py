@@ -140,7 +140,8 @@ def main(argv=None) -> int:
     ps = sub.add_parser("solve", help="solve A x = b")
     ps.add_argument("matrix")
     ps.add_argument("--method", default="cg",
-                    choices=["cg", "bicg_symmetric", "cgs", "bicgstab"])
+                    choices=["cg", "bicg_symmetric", "cgs", "bicgstab",
+                             "gmres"])
     ps.add_argument("--preconditioner", default="none",
                     choices=["none", "jacobi", "sgs", "ilu0", "ic0",
                              "chebyshev"])

@@ -23,6 +23,7 @@ from .bicgstab import bicgstab
 from .cg import conjugate_gradient
 from .cgs import conjugate_gradient_squared
 from .chebyshev import chebyshev
+from .gmres import gmres
 from .pipelined import cg_pipelined
 from .types import SolveResult
 
@@ -37,11 +38,12 @@ SOLVERS = {
     "bicgstab": bicgstab,
     "chebyshev": chebyshev,
     "cg_pipelined": cg_pipelined,
+    "gmres": gmres,
 }
 
 # which solvers accept a preconditioner (mirrors the reference: CG has the
 # IC0 overload h:2414-2505, BiCGStab the preconditioned form h:2191-2283)
-_PRECONDITIONABLE = {"cg", "conjugate_gradient", "bicgstab"}
+_PRECONDITIONABLE = {"cg", "conjugate_gradient", "bicgstab", "gmres"}
 
 
 def _build_preconditioner(a, kind: str, options):

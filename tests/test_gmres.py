@@ -1,0 +1,144 @@
+"""GMRES(m) (solvers/gmres.py): restarted minimal-residual solves.
+
+Correctness bars: converges on the reference SPD assets and on
+nonsymmetric systems (where it is the minimal-residual complement to
+BiCGStab); the Givens residual estimate matches the true residual at
+exit; restarts and in-cycle freezing keep fixed shapes without changing
+results; preconditioning cuts iterations.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sparse_matrix_math_tpu as smm
+from sparse_matrix_math_tpu.solvers.types import SolverStatus
+from sparse_matrix_math_tpu.utils.generate import (
+    convection_diffusion_2d,
+    poisson_2d,
+)
+
+ASSETS = "/root/reference/test/assets"
+
+
+class TestGMRES:
+    def test_spd_mesh_matrix(self):
+        a = smm.load_matrix_csr(f"{ASSETS}/mesh1e1_structural_48_48_177.mtx")
+        b = a @ jnp.ones(48, jnp.float64)
+        res = smm.gmres(a, b, epsilon=1e-10)
+        assert int(res.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-8)
+
+    def test_nonsymmetric_convection_diffusion(self):
+        a = convection_diffusion_2d(24, cx=0.8, cy=0.3, dtype=np.float64)
+        b = a @ jnp.ones(a.shape[0], jnp.float64)
+        res = smm.gmres(a, b, epsilon=1e-10, restart=30)
+        assert int(res.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-7)
+
+    def test_reported_residual_matches_true(self):
+        a = convection_diffusion_2d(16, dtype=np.float64)
+        b = a @ jnp.ones(a.shape[0], jnp.float64)
+        res = smm.gmres(a, b, epsilon=1e-8, restart=25)
+        true = float(jnp.linalg.norm(b - a @ res.x))
+        assert abs(true - float(res.residual_norm)) < 1e-7
+
+    def test_sherman1_ilu0(self):
+        """The reference's nonsymmetric asset (oil reservoir, 1000x1000,
+        not SPD) in the realistic configuration: GMRES(50)+ILU0 solves
+        it in ~46 matvecs (plain restarted GMRES stagnates on it below
+        restart ~200 — the classic restart-loses-superlinearity case;
+        measured: restart=200 unpreconditioned needs 560)."""
+        from sparse_matrix_math_tpu.precond.preconditioners import (
+            get_preconditioner,
+        )
+
+        a = smm.load_matrix_csr(f"{ASSETS}/sherman1_1000_1000_2375.mtx")
+        b = a @ jnp.ones(1000, jnp.float64)
+        m = get_preconditioner(a, "ilu0")
+        res = smm.gmres(a, b, epsilon=1e-8, restart=50, preconditioner=m)
+        assert int(res.status) == SolverStatus.SUCCESS
+        assert int(res.iterations) < 60
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-6)
+
+    def test_restart_cycles_continue(self):
+        """A restart size far below the needed Krylov dimension must
+        still converge (more cycles), proving cross-cycle correctness."""
+        a = poisson_2d(12, dtype=np.float64)
+        b = a @ jnp.ones(144, jnp.float64)
+        big = smm.gmres(a, b, epsilon=1e-10, restart=144)
+        small = smm.gmres(a, b, epsilon=1e-10, restart=8,
+                          max_iterations=5000)
+        assert int(big.status) == int(small.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(np.asarray(small.x), 1.0, atol=1e-8)
+        assert int(small.iterations) >= int(big.iterations)
+
+    def test_preconditioned_fewer_iterations(self):
+        from sparse_matrix_math_tpu.precond.preconditioners import (
+            get_preconditioner,
+        )
+
+        a = convection_diffusion_2d(24, cx=0.5, cy=0.2, dtype=np.float64)
+        b = a @ jnp.ones(a.shape[0], jnp.float64)
+        plain = smm.gmres(a, b, epsilon=1e-10, restart=30)
+        m = get_preconditioner(a, "ilu0")
+        pre = smm.gmres(a, b, epsilon=1e-10, restart=30, preconditioner=m)
+        assert int(pre.status) == SolverStatus.SUCCESS
+        assert int(pre.iterations) < int(plain.iterations)
+        np.testing.assert_allclose(np.asarray(pre.x), 1.0, atol=1e-7)
+
+    def test_solve_api_route(self):
+        a = convection_diffusion_2d(12, dtype=np.float64)
+        b = a @ jnp.ones(a.shape[0], jnp.float64)
+        res = smm.solve(a, b, method="gmres", preconditioner="ilu0",
+                        epsilon=1e-10)
+        assert int(res.status) == SolverStatus.SUCCESS
+
+    def test_residual_trace(self):
+        a = poisson_2d(10, dtype=np.float64)
+        b = a @ jnp.ones(100, jnp.float64)
+        res = smm.gmres(a, b, epsilon=1e-10, restart=20,
+                        record_residuals=True)
+        tr = np.asarray(res.residual_trace)
+        k = int(res.iterations)
+        assert np.isfinite(tr[: k + 1]).all()
+        assert np.isnan(tr[k + 1:]).all()
+        # estimates decrease monotonically within GMRES
+        assert np.all(np.diff(tr[: k + 1]) <= 1e-12)
+        assert abs(tr[k] - float(res.residual_norm)) < 1e-10
+
+    def test_max_iterations_zero(self):
+        a = poisson_2d(6, dtype=np.float64)
+        b = a @ jnp.ones(36, jnp.float64)
+        res = smm.gmres(a, b, max_iterations=0)
+        assert int(res.status) == SolverStatus.MAX_ITERATIONS_REACHED
+        assert int(res.iterations) == 0
+
+    def test_zero_rhs_immediate_success(self):
+        a = poisson_2d(6, dtype=np.float64)
+        res = smm.gmres(a, jnp.zeros(36, jnp.float64))
+        assert int(res.status) == SolverStatus.SUCCESS
+        assert int(res.iterations) == 0
+
+    def test_rejects_bad_restart(self):
+        a = poisson_2d(4, dtype=np.float64)
+        with pytest.raises(ValueError):
+            smm.gmres(a, jnp.ones(16, jnp.float64), restart=0)
+
+    def test_f32(self):
+        a = convection_diffusion_2d(16, dtype=np.float32)
+        b = a @ jnp.ones(a.shape[0], jnp.float32)
+        res = smm.gmres(a, b, epsilon=1e-4, restart=30)
+        assert int(res.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-3)
+
+    def test_wsell_operator(self):
+        from sparse_matrix_math_tpu.formats.wsell import wsell_from_csr
+
+        a = convection_diffusion_2d(24, cx=0.8, cy=0.3, dtype=np.float64)
+        ws = wsell_from_csr(a)
+        b = a @ jnp.ones(a.shape[0], jnp.float64)
+        ref = smm.gmres(a, b, epsilon=1e-10, restart=30)
+        got = smm.gmres(ws, b, epsilon=1e-10, restart=30)
+        assert int(got.status) == SolverStatus.SUCCESS
+        assert int(got.iterations) == int(ref.iterations)
