@@ -50,6 +50,7 @@ from ..solvers.bicgstab import bicgstab_core
 from ..solvers.cg import cg_core, pcg_core
 from ..solvers.cgs import cgs_core
 from ..solvers.chebyshev import chebyshev_core
+from ..solvers.gmres import gmres_core
 from ..solvers.pipelined import cg_pipelined_core
 from ..solvers.types import SolveResult, resolve_max_iterations
 from .mesh import ROW_AXIS, make_mesh
@@ -548,6 +549,8 @@ _CORES = {
     # collective-minimal option for pods (solvers/chebyshev.py)
     "cg_pipelined": cg_pipelined_core,  # one fused psum per iteration
     # (Ghysels-Vanroose; solvers/pipelined.py)
+    "gmres": gmres_core,  # panel contractions psum over the row axis
+    # (see gmres_core's paneldot injection; solvers/gmres.py)
 }
 
 
@@ -626,6 +629,7 @@ def dist_solve(
     record_residuals: bool = False,
     eig_bounds=None,
     check_every: int = 10,
+    restart: int = 32,
 ) -> SolveResult:
     """Distributed Krylov solve over the row mesh.
 
@@ -641,10 +645,11 @@ def dist_solve(
     if solver not in _CORES:
         raise ValueError(f"unknown solver {solver!r}; options: {sorted(_CORES)}")
     mesh = mesh if mesh is not None else make_mesh()
-    if preconditioner is not None and solver not in ("cg", "bicgstab"):
+    if preconditioner is not None and solver not in (
+        "cg", "bicgstab", "gmres"
+    ):
         raise ValueError(
-            "preconditioning is supported for cg and bicgstab "
-            "(matching the reference's preconditioned entry points)"
+            "preconditioning is supported for cg, bicgstab, and gmres"
         )
     pre = preconditioner or DistPreconditioner(kind="none", arrays=(), statics=())
 
@@ -671,10 +676,14 @@ def dist_solve(
         if solver == "chebyshev"
         else None
     )
+    gmres_m = (
+        min(max(int(restart), 1), a.shape[0]) if solver == "gmres" else None
+    )
 
     fn = _dist_solve_jit(
         mesh, a.axis, a.block_rows, a.mode, solver, maxiter,
         bool(record_residuals), pre.kind, pre.statics, len(pre.arrays), cheb,
+        gmres_m,
     )
     return fn(
         a.data, a.cols, a.lrows, a.bdata, a.bcols, a.blrows,
@@ -695,6 +704,7 @@ def _dist_solve_jit(
     pre_statics: tuple,
     n_pre_arrays: int,
     cheb=None,
+    gmres_m=None,
 ):
     core = _CORES[solver]
 
@@ -741,6 +751,18 @@ def _dist_solve_jit(
             return chebyshev_core(
                 matvec, dotfn, b_local, x0_local, eps,
                 lmin, lmax, maxiter, check_every, record,
+            )
+        if solver == "gmres":
+
+            def paneldot(V, w):
+                # (m+1, n_local) @ (n_local,) is a shard-local partial
+                # of the global panel contraction — ONE psum completes
+                # all m+1 Arnoldi dots of a step together
+                return jax.lax.psum(V @ w, axis)
+
+            return gmres_core(
+                matvec, apply_, dotfn, paneldot, b_local, x0_local, eps,
+                gmres_m, maxiter, record,
             )
         return core(matvec, dotfn, b_local, x0_local, eps, maxiter, record)
 

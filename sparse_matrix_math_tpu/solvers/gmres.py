@@ -36,7 +36,7 @@ from ..ops.spmv import as_operator, matvec_fn
 from ..formats.reorder import reorder_hoisted
 from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
 
-__all__ = ["gmres"]
+__all__ = ["gmres", "gmres_core"]
 
 
 @reorder_hoisted
@@ -79,18 +79,37 @@ def _gmres_loop(
     a, precond, b, x0, eps, m: int, maxiter: int, record: bool
 ) -> SolveResult:
     matvec = matvec_fn(a)
-    n = b.shape[0]
-    dtype = b.dtype
 
     def mapply(v):
         return v if precond is None else precond.apply(v)
+
+    return gmres_core(
+        matvec, mapply, lambda u, v: jnp.vdot(u, v),
+        lambda V, w: V @ w, b, x0, eps, m, maxiter, record,
+    )
+
+
+def gmres_core(
+    matvec, precond_apply, dotfn, paneldot, b, x0, eps,
+    m: int, maxiter: int, record: bool,
+) -> SolveResult:
+    """GMRES(m) algorithm core with injectable reductions.
+
+    ``dotfn(u, v)`` is the (global) inner product and ``paneldot(V, w)``
+    the (global) panel contraction ``V @ w`` — on a mesh both psum over
+    the row axis while ``V.T @ h`` stays shard-local, which is the whole
+    distribution story (parallel/dist.py wires this into dist_solve).
+    """
+    n = b.shape[0]
+    dtype = b.dtype
+    mapply = precond_apply
 
     def cycle(x, k0, trace):
         """One GMRES(m) restart cycle from iterate ``x``.
 
         Returns (x_new, residual_estimate, steps_taken, trace)."""
         r = b - matvec(x)
-        beta = jnp.sqrt(jnp.vdot(r, r))
+        beta = jnp.sqrt(dotfn(r, r))
         safe_beta = jnp.maximum(beta, jnp.asarray(1e-30, dtype))
         V0 = jnp.zeros((m + 1, n), dtype).at[0].set(r / safe_beta)
         H0 = jnp.zeros((m + 1, m), dtype)
@@ -104,12 +123,12 @@ def _gmres_loop(
             # CGS2 against the whole panel: rows > j are zero vectors,
             # so the masked matmul is exact and the shapes stay static
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
-            h = (V @ w) * mask
+            h = paneldot(V, w) * mask
             w = w - V.T @ h
-            h2 = (V @ w) * mask
+            h2 = paneldot(V, w) * mask
             w = w - V.T @ h2
             h = h + h2
-            hj1 = jnp.sqrt(jnp.vdot(w, w))
+            hj1 = jnp.sqrt(dotfn(w, w))
             V = V.at[j + 1].set(
                 jnp.where(
                     done, V[j + 1],
@@ -179,7 +198,7 @@ def _gmres_loop(
         return x, res, k, status, trace
 
     r0 = b - matvec(x0)
-    res0 = jnp.sqrt(jnp.vdot(r0, r0))
+    res0 = jnp.sqrt(dotfn(r0, r0))
     status0 = jnp.where(res0 <= eps, SolverStatus.SUCCESS, RUNNING).astype(
         jnp.int32
     )

@@ -115,6 +115,37 @@ class TestDistSolve:
         assert int(res.status) == SolverStatus.SUCCESS
         np.testing.assert_allclose(collect(res.x, da), 1.0, atol=1e-7)
 
+    def test_gmres_distributed(self, mesh):
+        """Distributed GMRES: the Arnoldi panel contraction psums over
+        the row axis; iterates must MATCH the single-chip gmres (same
+        algorithm, deterministic collectives) on a nonsymmetric system."""
+        from sparse_matrix_math_tpu.utils.generate import (
+            convection_diffusion_2d,
+        )
+
+        a = convection_diffusion_2d(16, cx=0.6, cy=0.2, dtype=np.float64)
+        da = distribute_csr(a, mesh)
+        b = _ones_system(a)
+        res = dist_solve(da, b, solver="gmres", epsilon=1e-10, mesh=mesh,
+                         restart=20)
+        assert int(res.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(collect(res.x, da), 1.0, atol=1e-7)
+        single = smm.gmres(a, jnp.asarray(b), epsilon=1e-10, restart=20)
+        assert int(res.iterations) == int(single.iterations)
+
+    def test_gmres_distributed_preconditioned(self, mesh):
+        a = poisson_2d(16)
+        da = distribute_csr(a, mesh)
+        b = _ones_system(a)
+        p = smm.get_preconditioner(a, "jacobi")
+        dp = distribute_preconditioner(p, da, mesh)
+        plain = dist_solve(da, b, solver="gmres", epsilon=1e-9, mesh=mesh)
+        res = dist_solve(da, b, solver="gmres", preconditioner=dp,
+                         epsilon=1e-9, mesh=mesh)
+        assert int(res.status) == SolverStatus.SUCCESS
+        assert int(res.iterations) <= int(plain.iterations)
+        np.testing.assert_allclose(collect(res.x, da), 1.0, atol=1e-6)
+
     def test_pipelined_cg_distributed(self, mesh):
         """Communication-avoiding CG: one fused psum per iteration."""
         a = poisson_2d(16)
