@@ -298,10 +298,10 @@ def dist_routed_solve(
 ) -> SolveResult:
     """Distributed Krylov solve on the routed zero-locality fast path
     (same cores as dist_solve; psum dots, all_gather halo)."""
-    if solver not in ("cg", "bicg_symmetric", "cgs", "bicgstab"):
+    if solver not in ("cg", "bicg_symmetric", "cgs", "bicgstab", "gmres"):
         raise ValueError(
-            "dist_routed_solve supports cg/bicg_symmetric/cgs/bicgstab, "
-            f"got {solver!r}"
+            "dist_routed_solve supports cg/bicg_symmetric/cgs/bicgstab/"
+            f"gmres, got {solver!r}"
         )
     mesh = mesh if mesh is not None else make_mesh()
 
@@ -354,6 +354,14 @@ def _dist_routed_solve_jit(
             return core(
                 matvec, lambda v: v, dotfn, b_local, x0_local, eps,
                 maxiter, record,
+            )
+        if solver == "gmres":
+            # block_rows >= 1024 (slab-aligned), so restart 32 is
+            # always well inside the Krylov dimension here
+            return core(
+                matvec, lambda v: v, dotfn,
+                lambda V, w: jax.lax.psum(V @ w, axis),
+                b_local, x0_local, eps, 32, maxiter, record,
             )
         return core(matvec, dotfn, b_local, x0_local, eps, maxiter, record)
 

@@ -240,10 +240,10 @@ def dist_wsell_solve(
 ) -> SolveResult:
     """Distributed Krylov solve on the general-pattern W-SELL fast path
     (same cores as dist_solve; psum dots, neighbor-window halo)."""
-    if solver not in ("cg", "bicg_symmetric", "cgs", "bicgstab"):
+    if solver not in ("cg", "bicg_symmetric", "cgs", "bicgstab", "gmres"):
         raise ValueError(
-            "dist_wsell_solve supports cg/bicg_symmetric/cgs/bicgstab, "
-            f"got {solver!r}"
+            "dist_wsell_solve supports cg/bicg_symmetric/cgs/bicgstab/"
+            f"gmres, got {solver!r}"
         )
     mesh = mesh if mesh is not None else make_mesh()
 
@@ -289,6 +289,12 @@ def _dist_wsell_solve_jit(
             return core(
                 matvec, lambda v: v, dotfn, b_local, x0_local, eps, maxiter,
                 record,
+            )
+        if solver == "gmres":
+            return core(
+                matvec, lambda v: v, dotfn,
+                lambda V, w: jax.lax.psum(V @ w, axis),
+                b_local, x0_local, eps, min(32, shape[0]), maxiter, record,
             )
         return core(matvec, dotfn, b_local, x0_local, eps, maxiter, record)
 

@@ -75,3 +75,18 @@ class TestDistRoutedSolve:
 
 def a_dist(mesh, a):
     return distribute_routed(a, mesh, max_slot_ratio=99.0)
+
+
+def test_gmres_over_routed(mesh=None):
+    """GMRES (the minimal-residual nonsymmetric core) over the
+    distributed routed chain — the natural pairing for zero-locality
+    nonsymmetric systems."""
+    from sparse_matrix_math_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    a = uniform_random_csr(N, per_row=4, seed=7, dtype=np.float32)
+    da = distribute_routed(a, mesh, max_slot_ratio=99.0)
+    b = np.asarray(rmult(a, jnp.ones(N, jnp.float32)))
+    res = dist_routed_solve(da, b, epsilon=1e-4, solver="gmres", mesh=mesh)
+    assert int(res.status) == SolverStatus.SUCCESS
+    np.testing.assert_allclose(np.asarray(res.x)[:N], 1.0, atol=1e-3)

@@ -375,6 +375,22 @@ class TestDistWSell:
         single = smm.cg(sym, jnp.asarray(b), epsilon=1e-10)
         assert int(res.iterations) == int(single.iterations)
 
+    def test_gmres_over_wsell(self, mesh):
+        """GMRES over the distributed W-SELL path (nonsymmetric core on
+        the general-pattern kernel — no symmetrisation needed)."""
+        from sparse_matrix_math_tpu.parallel import (
+            dist_wsell_solve,
+            distribute_wsell,
+        )
+
+        csr = self._matrix()
+        b = np.asarray(csr @ jnp.ones(csr.shape[0], jnp.float64))
+        d = distribute_wsell(csr, mesh)
+        res = dist_wsell_solve(d, b, solver="gmres", epsilon=1e-9,
+                               mesh=mesh)
+        assert int(res.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(collect(res.x, d), 1.0, atol=1e-6)
+
     def test_rejects_long_range(self, mesh):
         from sparse_matrix_math_tpu.formats.csr import csr_from_dense
         from sparse_matrix_math_tpu.parallel import distribute_wsell
