@@ -295,6 +295,7 @@ def dist_routed_solve(
     solver: str = "bicgstab",
     mesh: Optional[jax.sharding.Mesh] = None,
     record_residuals: bool = False,
+    restart: int = 32,
 ) -> SolveResult:
     """Distributed Krylov solve on the routed zero-locality fast path
     (same cores as dist_solve; psum dots, all_gather halo)."""
@@ -317,10 +318,11 @@ def dist_routed_solve(
 
     maxiter = resolve_max_iterations(max_iterations, a.shape[0])
     eps = jnp.asarray(epsilon, dtype=b_arr.dtype)
+    gmres_m = min(max(int(restart), 1), a.shape[0])
     fn = _dist_routed_solve_jit(
         mesh, a.axis, a.block_rows, a.pass_x_rows, a.window_f,
         a.final_n_slabs, a.final_x_rows, a.slot_ratio, len(a.passes),
-        solver, maxiter, bool(record_residuals),
+        solver, maxiter, bool(record_residuals), gmres_m,
     )
     return fn(
         a.passes, a.final_vals, a.final_meta, a.final_base, a.final_slab,
@@ -332,7 +334,7 @@ def dist_routed_solve(
 def _dist_routed_solve_jit(
     mesh, axis, block_rows, pass_x_rows, window_f,
     final_n_slabs, final_x_rows, ratio, n_passes: int,
-    solver: str, maxiter: int, record: bool,
+    solver: str, maxiter: int, record: bool, gmres_m: int = 32,
 ):
     core = _CORES[solver]
     interpret = _mesh_interpret(mesh)
@@ -356,12 +358,10 @@ def _dist_routed_solve_jit(
                 maxiter, record,
             )
         if solver == "gmres":
-            # block_rows >= 1024 (slab-aligned), so restart 32 is
-            # always well inside the Krylov dimension here
             return core(
                 matvec, lambda v: v, dotfn,
                 lambda V, w: jax.lax.psum(V @ w, axis),
-                b_local, x0_local, eps, 32, maxiter, record,
+                b_local, x0_local, eps, gmres_m, maxiter, record,
             )
         return core(matvec, dotfn, b_local, x0_local, eps, maxiter, record)
 

@@ -237,6 +237,7 @@ def dist_wsell_solve(
     solver: str = "cg",
     mesh: Optional[jax.sharding.Mesh] = None,
     record_residuals: bool = False,
+    restart: int = 32,
 ) -> SolveResult:
     """Distributed Krylov solve on the general-pattern W-SELL fast path
     (same cores as dist_solve; psum dots, neighbor-window halo)."""
@@ -259,9 +260,10 @@ def dist_wsell_solve(
 
     maxiter = resolve_max_iterations(max_iterations, a.shape[0])
     eps = jnp.asarray(epsilon, dtype=b_arr.dtype)
+    gmres_m = min(max(int(restart), 1), a.shape[0])
     fn = _dist_wsell_solve_jit(
         mesh, a.axis, a.block_rows, a.n_slabs, a.x_rows, a.shape,
-        a.slot_ratio, solver, maxiter, bool(record_residuals),
+        a.slot_ratio, solver, maxiter, bool(record_residuals), gmres_m,
     )
     return fn(a.vals, a.meta, a.base, a.slab, b_arr, x0_arr, eps)
 
@@ -269,7 +271,7 @@ def dist_wsell_solve(
 @lru_cache(maxsize=None)
 def _dist_wsell_solve_jit(
     mesh, axis, block_rows, n_slabs, x_rows, shape, ratio,
-    solver: str, maxiter: int, record: bool,
+    solver: str, maxiter: int, record: bool, gmres_m: int = 32,
 ):
     core = _CORES[solver]
     interpret = _mesh_interpret(mesh)
@@ -294,7 +296,7 @@ def _dist_wsell_solve_jit(
             return core(
                 matvec, lambda v: v, dotfn,
                 lambda V, w: jax.lax.psum(V @ w, axis),
-                b_local, x0_local, eps, min(32, shape[0]), maxiter, record,
+                b_local, x0_local, eps, gmres_m, maxiter, record,
             )
         return core(matvec, dotfn, b_local, x0_local, eps, maxiter, record)
 

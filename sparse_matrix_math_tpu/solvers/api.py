@@ -220,7 +220,7 @@ def solve(
         if method not in _PRECONDITIONABLE:
             raise ValueError(
                 f"{method} does not take a preconditioner "
-                "(reference parity: only CG and BiCGStab do)"
+                "(cg, bicgstab, and gmres do)"
             )
         kwargs["preconditioner"] = _build_preconditioner_for(
             a, a_source, cfg.preconditioner, cfg.preconditioner_options

@@ -31,8 +31,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import dataclasses
+
 from ..ops.spmv import as_operator, matvec_fn
-from ..formats.reorder import reorder_hoisted
+from ..formats.reorder import ReorderedMatrix
 from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
 
 __all__ = ["lanczos_deflation_basis", "deflated_cg"]
@@ -70,10 +72,15 @@ def lanczos_deflation_basis(
             raise ValueError(
                 "lanczos_deflation_basis needs n= for callable operators"
             )
-    m = int(steps) if steps is not None else 4 * int(n_vectors)
-    m = max(m, int(n_vectors))
-    if m > n:
-        raise ValueError(f"steps={m} exceeds the system size n={n}")
+    if steps is not None:
+        m = int(steps)
+        if m > n:
+            raise ValueError(f"steps={m} exceeds the system size n={n}")
+    else:
+        # default: 4 steps per requested vector, clamped to the system
+        # size so small systems don't reject the documented defaults
+        m = min(4 * int(n_vectors), n)
+    m = max(min(m, n), 1)
     dtype = getattr(a, "dtype", jnp.float32)
 
     V, alphas, betas = _lanczos_panel(a, jnp.int32(seed), n, m, dtype)
@@ -134,7 +141,6 @@ def _lanczos_panel(a, seed, n: int, m: int, dtype):
     return V, alphas, betas
 
 
-@reorder_hoisted
 def deflated_cg(
     a,
     b: jnp.ndarray,
@@ -154,6 +160,22 @@ def deflated_cg(
     ``preconditioner`` composes as in :func:`solvers.cg.cg`.
     """
     a = as_operator(a)
+    if isinstance(a, ReorderedMatrix):
+        # hoist the permutation ourselves (reorder_hoisted can't — the
+        # DEFLATION BASIS rows must be permuted along with b/x0, or the
+        # inner solve would deflate a scrambled subspace)
+        bp = a.to_permuted(jnp.asarray(b))
+        x0p = None if x0 is None else a.to_permuted(jnp.asarray(x0))
+        wp = (
+            None if deflation_basis is None
+            else a.to_permuted(jnp.asarray(deflation_basis))
+        )
+        res = deflated_cg(
+            a.inner, bp, x0p, max_iterations, epsilon,
+            deflation_basis=wp, n_deflate=n_deflate,
+            preconditioner=preconditioner,
+        )
+        return dataclasses.replace(res, x=a.from_permuted(res.x))
     n = b.shape[0]
     w = deflation_basis
     if w is None:

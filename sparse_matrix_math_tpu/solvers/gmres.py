@@ -107,7 +107,12 @@ def gmres_core(
     def cycle(x, k0, trace):
         """One GMRES(m) restart cycle from iterate ``x``.
 
+        Steps past ``maxiter - k0`` freeze exactly like post-convergence
+        steps, so the iteration cap is honored mid-cycle (the library
+        contract: caps are counted in matvecs and respected).
+
         Returns (x_new, residual_estimate, steps_taken, trace)."""
+        cap = maxiter - k0
         r = b - matvec(x)
         beta = jnp.sqrt(dotfn(r, r))
         safe_beta = jnp.maximum(beta, jnp.asarray(1e-30, dtype))
@@ -119,6 +124,7 @@ def gmres_core(
 
         def arnoldi(j, carry):
             V, H, cs, sn, g, rest, steps, done, trace = carry
+            frozen = done | (j >= cap)
             w = matvec(mapply(V[j]))
             # CGS2 against the whole panel: rows > j are zero vectors,
             # so the masked matmul is exact and the shapes stay static
@@ -131,7 +137,7 @@ def gmres_core(
             hj1 = jnp.sqrt(dotfn(w, w))
             V = V.at[j + 1].set(
                 jnp.where(
-                    done, V[j + 1],
+                    frozen, V[j + 1],
                     w / jnp.maximum(hj1, jnp.asarray(1e-30, dtype)),
                 )
             )
@@ -157,17 +163,17 @@ def gmres_core(
             # frozen steps write an identity column (and a zero g entry)
             # so the triangular solve returns y_j = 0 for them
             unit = jnp.zeros((m + 1,), dtype).at[j].set(1.0)
-            H = H.at[:, j].set(jnp.where(done, unit, hcol))
-            cs = cs.at[j].set(jnp.where(done, 1.0, c))
-            sn = sn.at[j].set(jnp.where(done, 0.0, s))
+            H = H.at[:, j].set(jnp.where(frozen, unit, hcol))
+            cs = cs.at[j].set(jnp.where(frozen, 1.0, c))
+            sn = sn.at[j].set(jnp.where(frozen, 0.0, s))
             g = jnp.where(
-                done, g.at[j].set(0.0), g.at[j].set(gj).at[j + 1].set(gj1)
+                frozen, g.at[j].set(0.0), g.at[j].set(gj).at[j + 1].set(gj1)
             )
-            rest = jnp.where(done, rest, jnp.abs(gj1))
-            steps = jnp.where(done, steps, j + 1)
+            rest = jnp.where(frozen, rest, jnp.abs(gj1))
+            steps = jnp.where(frozen, steps, j + 1)
             if trace is not None:
                 trace = jnp.where(
-                    done, trace, trace.at[k0 + j + 1].set(jnp.abs(gj1))
+                    frozen, trace, trace.at[k0 + j + 1].set(jnp.abs(gj1))
                 )
             done = done | (rest <= eps)
             return V, H, cs, sn, g, rest, steps, done, trace

@@ -185,3 +185,47 @@ class TestDeflatedCG:
             smm.deflated_cg(
                 a, b, deflation_basis=jnp.ones((7, 2), jnp.float64)
             )
+
+
+class TestDeflatedCGEdges:
+    def test_small_system_default_steps_clamped(self):
+        """n < 4*n_deflate must clamp the default Lanczos steps, not
+        reject the documented defaults."""
+        a = poisson_2d(5, dtype=np.float64)  # n = 25 < 32
+        b = a @ jnp.ones(25, jnp.float64)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = smm.deflated_cg(a, b, epsilon=1e-10)
+        assert int(res.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-8)
+
+    def test_reordered_matrix_permutes_basis(self):
+        """Over a ReorderedMatrix the user's deflation basis must be
+        permuted with b/x0 — the solve must match the raw-CSR run."""
+        from sparse_matrix_math_tpu.formats.reorder import (
+            ReorderedMatrix, permute_csr, rcm_permutation,
+        )
+
+        n = 96
+        a = ring_laplacian(n, shift=1e-5)
+        rng = np.random.default_rng(3)
+        p2 = rcm_permutation(a)
+        inner = permute_csr(a, p2)
+        ro = ReorderedMatrix(
+            inner=inner, inner_csr=inner,
+            perm=jnp.asarray(p2.astype(np.int32)),
+            iperm=jnp.asarray(np.argsort(p2).astype(np.int32)),
+            shape=a.shape, nnz=a.nnz,
+        )
+        # basis in the OPERATOR'S (original) row order, as a user would
+        # build it; deflated_cg must permute it alongside b/x0
+        w = smm.lanczos_deflation_basis(a, n_vectors=1, steps=72)
+        b = jnp.asarray(rng.standard_normal(n))
+        ref = smm.deflated_cg(a, b, epsilon=1e-8,
+                              deflation_basis=w, max_iterations=5000)
+        got = smm.deflated_cg(ro, b, epsilon=1e-8,
+                              deflation_basis=w, max_iterations=5000)
+        assert int(got.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(
+            np.asarray(got.x), np.asarray(ref.x), rtol=1e-5, atol=1e-6
+        )

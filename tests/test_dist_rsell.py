@@ -77,14 +77,11 @@ def a_dist(mesh, a):
     return distribute_routed(a, mesh, max_slot_ratio=99.0)
 
 
-def test_gmres_over_routed(mesh=None):
+def test_gmres_over_routed(mesh, system):
     """GMRES (the minimal-residual nonsymmetric core) over the
     distributed routed chain — the natural pairing for zero-locality
     nonsymmetric systems."""
-    from sparse_matrix_math_tpu.parallel import make_mesh
-
-    mesh = make_mesh()
-    a = uniform_random_csr(N, per_row=4, seed=7, dtype=np.float32)
+    a, _ = system
     da = distribute_routed(a, mesh, max_slot_ratio=99.0)
     b = np.asarray(rmult(a, jnp.ones(N, jnp.float32)))
     res = dist_routed_solve(da, b, epsilon=1e-4, solver="gmres", mesh=mesh)

@@ -142,3 +142,17 @@ class TestGMRES:
         got = smm.gmres(ws, b, epsilon=1e-10, restart=30)
         assert int(got.status) == SolverStatus.SUCCESS
         assert int(got.iterations) == int(ref.iterations)
+
+    def test_max_iterations_honored_mid_cycle(self):
+        """The cap counts matvecs and is respected INSIDE a restart
+        cycle (steps past it freeze), and the trace buffer is never
+        overrun."""
+        a = poisson_2d(10, dtype=np.float64)
+        b = a @ jnp.ones(100, jnp.float64)
+        res = smm.gmres(a, b, max_iterations=10, restart=32,
+                        epsilon=1e-14, record_residuals=True)
+        assert int(res.status) == SolverStatus.MAX_ITERATIONS_REACHED
+        assert int(res.iterations) == 10
+        tr = np.asarray(res.residual_trace)
+        assert tr.shape == (11,)
+        assert np.isfinite(tr).all()
