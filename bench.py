@@ -117,7 +117,40 @@ def _time_spmv_loop(mat, x, iters: int, apply_fn=None) -> float:
     return max(timed(4 * iters) - timed(iters), 1e-9) / (3 * iters)
 
 
+def _probe_backend(timeout_s: int = 900) -> bool:
+    """Check the accelerator backend initialises, in a SUBPROCESS.
+
+    The tunneled TPU backend can HANG in init for tens of minutes when
+    the tunnel is down (observed: >90 min, uninterruptible C call — a
+    signal-based timeout cannot fire).  A hung bench would leave the
+    round with NO benchmark artifact at all; probing in a killable
+    child turns that into an honest one-line error."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "spmv_in_solver_poisson2d_10Mnnz_f32",
+            "value": 0.0,
+            "unit": "GNNZ/s",
+            "vs_baseline": 0.0,
+            "error": "accelerator backend unreachable (tunnel down or "
+                     "init hung >900s); bench skipped rather than hung",
+        }))
+        raise SystemExit(2)
+
     import jax
     import jax.numpy as jnp
 
