@@ -93,6 +93,52 @@ def _wsell_kernel(
     jax.lax.fori_loop(0, chunk, acc, None)
 
 
+def _wsell_kernel_hbm(
+    base_ref, slab_ref, x_hbm, meta_ref, vals_ref, y_ref, wbuf, pbuf, sems,
+    *, chunk: int, f: int,
+):
+    """HBM-table variant of :func:`_wsell_kernel`: windows DMA from the
+    HBM-resident x table (all chunk copies in flight before the first
+    wait).  Needed when x exceeds VMEM residency — e.g. the routed
+    chain's final pass reads a 100+ MB stream at benchmark scale."""
+    ch = pl.program_id(0)
+    wr = 8 * f
+
+    @pl.when(ch == 0)
+    def _():
+        y_ref[:, :] = jnp.zeros_like(y_ref)
+
+    def copy(u):
+        v = ch * chunk + u
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(base_ref[v], wr), :],
+            wbuf.at[pl.ds(u * wr, wr), :],
+            sems.at[u],
+        )
+
+    def start(u, _):
+        copy(u).start()
+        return _
+
+    jax.lax.fori_loop(0, chunk, start, None)
+
+    def wait(u, _):
+        copy(u).wait()
+        return _
+
+    jax.lax.fori_loop(0, chunk, wait, None)
+
+    pbuf[:, :] = _gather_products(wbuf, meta_ref, vals_ref, chunk, f)
+
+    def acc(u, _):
+        v = ch * chunk + u
+        yo = slab_ref[v] * 8
+        y_ref[pl.ds(yo, 8), :] = y_ref[pl.ds(yo, 8), :] + pbuf[pl.ds(u * 8, 8), :]
+        return _
+
+    jax.lax.fori_loop(0, chunk, acc, None)
+
+
 def _wsell_spmm_kernel(
     base_ref, slab_ref, x_ref, meta_ref, vals_ref, y_ref, wbuf, pbuf,
     *, chunk: int, k: int, f: int,
@@ -130,9 +176,20 @@ def _wsell_spmm_kernel(
         jax.lax.fori_loop(0, chunk, acc, None)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def wsell_spmv(a: WSellMatrix, x: jnp.ndarray, *, interpret: bool = False):
-    """y = A @ x for a W-SELL matrix (single-vector x)."""
+# x tables beyond this stay in HBM with per-window DMA
+_VMEM_TABLE_BYTES = 64 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "force_hbm"))
+def wsell_spmv(
+    a: WSellMatrix, x: jnp.ndarray, *,
+    interpret: bool = False, force_hbm: bool = False,
+):
+    """y = A @ x for a W-SELL matrix (single-vector x).
+
+    x tables beyond ``_VMEM_TABLE_BYTES`` (or ``force_hbm``, for tests)
+    run the HBM-streamed window-DMA kernel — the routed chain's final
+    pass reads streams far beyond VMEM at benchmark scale."""
     n_rows, n_cols = a.shape
     dtype = jnp.result_type(a.dtype, x.dtype)
     xt = jnp.pad(x.astype(dtype), (0, a.x_rows * LANE - n_cols)).reshape(
@@ -148,12 +205,15 @@ def wsell_spmv(a: WSellMatrix, x: jnp.ndarray, *, interpret: bool = False):
     meta = a.meta
     vals = a.vals if a.vals.dtype == dtype else a.vals.astype(dtype)
     base, slab = a.base, a.slab
+    hbm = force_hbm or (
+        a.x_rows * LANE * xt.dtype.itemsize > _VMEM_TABLE_BYTES
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(
+            pl.BlockSpec(memory_space=pltpu.ANY) if hbm else pl.BlockSpec(
                 (a.x_rows, LANE), lambda c, b, s: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -164,17 +224,26 @@ def wsell_spmv(a: WSellMatrix, x: jnp.ndarray, *, interpret: bool = False):
             (a.n_slabs * 8, LANE), lambda c, b, s: (0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((chunk * 8 * f, LANE), dtype),
-            pltpu.VMEM((chunk * 8, LANE), dtype),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((chunk * 8 * f, LANE), dtype),
+             pltpu.VMEM((chunk * 8, LANE), dtype),
+             pltpu.SemaphoreType.DMA((chunk,))]
+            if hbm else
+            [pltpu.VMEM((chunk * 8 * f, LANE), dtype),
+             pltpu.VMEM((chunk * 8, LANE), dtype)]
+        ),
+    )
+    kernel = (
+        functools.partial(_wsell_kernel_hbm, chunk=chunk, f=f)
+        if hbm else functools.partial(_wsell_kernel, chunk=chunk, f=f)
     )
     out = pl.pallas_call(
-        functools.partial(_wsell_kernel, chunk=chunk, f=f),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((a.n_slabs * 8, LANE), dtype),
         grid_spec=grid_spec,
-        # x table + y accumulator are VMEM-resident by design; the default
-        # 16 MB scoped limit rejects multi-million-row systems
+        # x table (VMEM path) + y accumulator are VMEM-resident by
+        # design; the default 16 MB scoped limit rejects
+        # multi-million-row systems
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

@@ -198,3 +198,25 @@ class TestNativePackerParity:
         np.testing.assert_array_equal(
             np.asarray(nat.final.meta), np.asarray(ref.final.meta)
         )
+
+
+def test_hbm_streamed_table_parity():
+    """stream_gather's HBM window-DMA variant must match the
+    VMEM-resident path exactly on every pass of a routed chain."""
+    from sparse_matrix_math_tpu.ops.pallas_rsell import stream_gather
+    from sparse_matrix_math_tpu.ops.pallas_wsell import wsell_spmv
+
+    a = uniform_random_csr(30_000, per_row=5, dtype=np.float32)
+    ra = routed_from_csr(a, max_slot_ratio=99.0)
+    rng = np.random.default_rng(11)
+    t_v = jnp.asarray(rng.standard_normal(a.shape[1]).astype(np.float32))
+    t_h = t_v
+    for p in ra.passes:
+        kw = dict(x_rows=p.x_rows, window_f=p.window_f, interpret=True)
+        t_v = stream_gather(p.base, p.meta, p.vals, t_v, **kw)
+        t_h = stream_gather(p.base, p.meta, p.vals, t_h, force_hbm=True,
+                            **kw)
+        np.testing.assert_array_equal(np.asarray(t_h), np.asarray(t_v))
+    y_v = wsell_spmv(ra.final, t_v, interpret=True)
+    y_h = wsell_spmv(ra.final, t_h, interpret=True, force_hbm=True)
+    np.testing.assert_array_equal(np.asarray(y_h), np.asarray(y_v))

@@ -287,3 +287,18 @@ def test_uniform_random_routes():
     y = np.asarray(a @ jnp.asarray(x))
     yd = np.asarray(a.to_dense()) @ x
     np.testing.assert_allclose(y, yd, rtol=2e-4, atol=2e-4)
+
+
+def test_hbm_streamed_table_parity():
+    """The HBM window-DMA kernel variant must produce bit-identical
+    results to the VMEM-resident path (same windows, same selects)."""
+    from sparse_matrix_math_tpu.formats.wsell import wsell_from_csr
+    from sparse_matrix_math_tpu.ops.pallas_wsell import wsell_spmv
+
+    a = poisson_2d(48, dtype=np.float32)
+    ws = wsell_from_csr(a)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal(a.shape[1]).astype(np.float32))
+    y_vmem = np.asarray(wsell_spmv(ws, x, interpret=True))
+    y_hbm = np.asarray(wsell_spmv(ws, x, interpret=True, force_hbm=True))
+    np.testing.assert_array_equal(y_hbm, y_vmem)

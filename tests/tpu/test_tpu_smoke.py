@@ -175,3 +175,34 @@ def test_routed_chain_on_hw(smm, jnp):
     np.add.at(ref, r, v * np.asarray(x, np.float64)[c])
     scale = np.max(np.abs(ref))
     np.testing.assert_allclose(y / scale, ref / scale, atol=2e-6)
+
+
+def test_hbm_window_dma_variants_on_hw(smm, jnp):
+    """The HBM window-DMA kernel variants must match the VMEM-resident
+    paths on real hardware (DMA semantics differ from interpret mode)."""
+    from sparse_matrix_math_tpu.formats.wsell import wsell_from_csr
+    from sparse_matrix_math_tpu.ops.pallas_rsell import stream_gather
+    from sparse_matrix_math_tpu.ops.pallas_wsell import wsell_spmv
+    from sparse_matrix_math_tpu.formats.rsell import routed_from_csr
+    from sparse_matrix_math_tpu.utils.generate import (
+        laplace_3d_jittered, uniform_random_csr,
+    )
+
+    a = laplace_3d_jittered(24, dtype=np.float32)
+    ws = wsell_from_csr(a)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(a.shape[1]).astype(np.float32))
+    y0 = np.asarray(wsell_spmv(ws, x))
+    y1 = np.asarray(wsell_spmv(ws, x, force_hbm=True))
+    np.testing.assert_array_equal(y1, y0)
+
+    ar = uniform_random_csr(60_000, per_row=5, dtype=np.float32)
+    ra = routed_from_csr(ar, max_slot_ratio=99.0)
+    t0 = t1 = jnp.asarray(
+        rng.standard_normal(ar.shape[1]).astype(np.float32)
+    )
+    for p in ra.passes:
+        kw = dict(x_rows=p.x_rows, window_f=p.window_f)
+        t0 = stream_gather(p.base, p.meta, p.vals, t0, **kw)
+        t1 = stream_gather(p.base, p.meta, p.vals, t1, force_hbm=True, **kw)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
