@@ -128,6 +128,15 @@ def _probe_backend(timeout_s: int = 900) -> bool:
     import subprocess
     import sys
 
+    if "jax" in sys.modules:
+        # already initialised in THIS process (e.g. bench exec'd inside
+        # a warm worker): probing in a child would open a SECOND client
+        # against the device and abort — just ask the live one
+        try:
+            sys.modules["jax"].devices()
+            return True
+        except Exception:
+            return False
     try:
         r = subprocess.run(
             [sys.executable, "-c",
