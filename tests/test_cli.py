@@ -160,3 +160,30 @@ class TestAutoFormat:
         b = jnp.ones(a.shape[0], jnp.float64)
         res = solve(a, b, method="cg", epsilon=1e-8, auto_format=True)
         assert int(res.status) == 0
+
+    def test_reordered_route_preconditioner_in_permuted_domain(self):
+        """A shuffled mesh routes to RCM+W-SELL; the preconditioner must
+        factor from the PERMUTED matrix (never the unpermuted source)
+        and the solve must match the raw-CSR preconditioned run."""
+        from sparse_matrix_math_tpu.formats import best_format
+        from sparse_matrix_math_tpu.formats.reorder import (
+            ReorderedMatrix, permute_csr,
+        )
+        from sparse_matrix_math_tpu.solvers.api import solve
+        from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+        rng = np.random.default_rng(4)
+        a0 = poisson_2d(48, dtype=np.float64)
+        perm = rng.permutation(a0.shape[0])
+        a = permute_csr(a0, perm)  # scrambled numbering, same system
+        sel = best_format(a)
+        assert isinstance(sel, ReorderedMatrix)
+        b = a @ jnp.ones(a.shape[0], jnp.float64)
+        ref = solve(a, b, method="cg", preconditioner="sgs", epsilon=1e-10)
+        got = solve(a, b, method="cg", preconditioner="sgs", epsilon=1e-10,
+                    auto_format=True)
+        assert int(got.status) == 0
+        np.testing.assert_allclose(np.asarray(got.x), 1.0, atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(got.x), np.asarray(ref.x), atol=1e-8
+        )
