@@ -198,11 +198,17 @@ def _rmult_wsell(a: WSellMatrix, x: jnp.ndarray) -> jnp.ndarray:
     # the general-pattern Pallas kernels (ops/pallas_wsell.py); 2-D x
     # runs the SpMM kernel, which streams the slot planes ONCE for all
     # columns instead of once per column
-    from .pallas_wsell import wsell_spmm, wsell_spmv
+    from .pallas_wsell import _VMEM_TABLE_BYTES, wsell_spmm, wsell_spmv
 
     interpret = jax.default_backend() != "tpu"
     if x.ndim == 1:
         return wsell_spmv(a, x, interpret=interpret)
+    if a.x_rows * 128 * x.dtype.itemsize > _VMEM_TABLE_BYTES:
+        # each SpMM x table must be VMEM-resident; past the budget run
+        # per-column SpMVs, which stream the table from HBM instead
+        cols = [wsell_spmv(a, x[:, j], interpret=interpret)
+                for j in range(x.shape[1])]
+        return jnp.stack(cols, axis=1)
     return wsell_spmm(a, x, interpret=interpret)
 
 
