@@ -4,21 +4,25 @@ A from-scratch JAX/XLA/Pallas re-design with the capabilities of the C++
 reference library vasil-pashov/sparse_matrix_math (see SURVEY.md):
 
 * sparse formats: Triplet/COO assembly, CSR, plus TPU compute layouts —
-  ELL (padded), DIA (stencil), HYB, and W-SELL (windowed sliced-ELL,
-  the general-pattern Pallas fast path); RCM reordering onto W-SELL
+  ELL (padded), DIA (stencil), HYB, W-SELL (windowed sliced-ELL, the
+  general-pattern Pallas fast path), and R-SELL (routed multi-pass
+  chain for zero-locality patterns); RCM reordering onto W-SELL
 * SpMV/SpMM family: rmult / rmult_add / rmult_sub (1-D and multi-RHS)
-  with XLA and Pallas paths; ``best_format`` auto-selection
+  with XLA and Pallas paths (HBM-streamed window DMA past VMEM);
+  ``best_format`` auto-selection (also via ``solve(auto_format=True)``)
 * Krylov solvers as jitted while_loops: ConjugateGradient (plain +
-  preconditioned + pipelined + multi-RHS), BiCGSymmetric,
-  ConjugateGradientSquared, BiCGStab, Chebyshev semi-iteration
+  preconditioned + pipelined + mixed-precision + deflated + multi-RHS),
+  BiCGSymmetric, ConjugateGradientSquared, BiCGStab, restarted GMRES,
+  Chebyshev semi-iteration
 * preconditioners: Identity, Jacobi, Symmetric Gauss-Seidel, ILU(0),
   IC(0) with TPU triangular-solve strategies (fused Pallas halo-sweep
-  kernels on the padded stencil domain); geometric multigrid
-  (PoissonMultigrid) as solver or PCG preconditioner
+  kernels on the padded stencil domain), Chebyshev polynomial;
+  geometric multigrid (PoissonMultigrid) as solver or PCG
+  preconditioner
 * I/O: Matrix Market (.mtx) + SMMDT dense-text, extension dispatch
 * distribution: 1-D mesh row partitioning via shard_map with psum
-  reductions and neighbor-halo ppermute for CSR / DIA / W-SELL /
-  multigrid (parallel/)
+  reductions and neighbor-halo ppermute (all_gather where the pattern
+  demands) for CSR / DIA / W-SELL / R-SELL / multigrid (parallel/)
 """
 
 from .formats import best_format
