@@ -56,6 +56,12 @@ def main(n: int = 40) -> None:
           f"iters={int(res3.iterations)} "
           f"max|x-1|={float(jnp.abs(res3.x - 1.0).max()):.2e}")
 
+    # -- the minimal-residual alternative: restarted GMRES + ILU(0) ----
+    res4 = smm.solve(a3, b3, method="gmres", preconditioner="ilu0",
+                     epsilon=1e-10)
+    print(f"nonsymmetric GMRES+ILU0: status={int(res4.status)} "
+          f"iters={int(res4.iterations)}")
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 40)

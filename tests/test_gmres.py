@@ -156,3 +156,20 @@ class TestGMRES:
         tr = np.asarray(res.residual_trace)
         assert tr.shape == (11,)
         assert np.isfinite(tr).all()
+
+    def test_checkpointed_gmres(self, tmp_path):
+        """checkpointed_solve chunks compose with gmres (chunk restarts
+        are just GMRES restarts from the checkpointed iterate)."""
+        from sparse_matrix_math_tpu.utils.checkpoint import (
+            checkpointed_solve,
+        )
+
+        a = convection_diffusion_2d(16, dtype=np.float64)
+        b = a @ jnp.ones(a.shape[0], jnp.float64)
+        res = checkpointed_solve(
+            smm.gmres, a, b,
+            checkpoint_path=str(tmp_path / "gm.npz"),
+            chunk_iterations=40, epsilon=1e-10, restart=20,
+        )
+        assert int(res.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-7)
