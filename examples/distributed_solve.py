@@ -46,12 +46,16 @@ def main() -> None:
     print("exchange mode:", da.mode)
     b = np.asarray(a.to_dense()).sum(axis=1)
 
+    # explicit small sweep count: the standard approximate triangular
+    # solve (sweeps="exact" would cost depth~127 SpMVs per apply here)
     pre = distribute_preconditioner(
-        smm.get_preconditioner(a, "sgs", method="jacobi", sweeps="exact"),
+        smm.get_preconditioner(a, "sgs", method="jacobi", sweeps=4),
         da, mesh,
     )
+    # eps sits above the f32 true-residual floor (~1e-6 at this n):
+    # SUCCESS is verified against ||b - A x||, not the recurrence
     res = dist_solve(
-        da, b, solver="bicgstab", preconditioner=pre, epsilon=1e-9, mesh=mesh
+        da, b, solver="bicgstab", preconditioner=pre, epsilon=1e-5, mesh=mesh
     )
     x = collect(res.x, da)
     print(res, "| max|x-1| =", float(np.abs(x - 1).max()))

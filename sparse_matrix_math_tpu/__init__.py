@@ -25,7 +25,7 @@ reference library vasil-pashov/sparse_matrix_math (see SURVEY.md):
   demands) for CSR / DIA / W-SELL / R-SELL / multigrid (parallel/)
 """
 
-from .formats import best_format
+from .formats import PerformanceWarning, best_format
 from .formats.reorder import (
     ReorderedMatrix,
     permute_csr,
@@ -99,6 +99,7 @@ __all__ = [
     "chebyshev", "lanczos_extremal", "cg_pipelined", "mixed_cg",
     "deflated_cg", "lanczos_deflation_basis", "gmres",
     "cg_multi", "MultiSolveResult", "PoissonMultigrid", "best_format",
+    "PerformanceWarning",
     "ReorderedMatrix", "rcm_permutation", "permute_csr", "reorder_to_wsell",
     "SolveResult", "SolverStatus", "SolverConfig", "solve",
     "checkpointed_solve", "load_checkpoint", "save_checkpoint",

@@ -217,6 +217,14 @@ def reorder_hoisted(solver_fn):
 
     @functools.wraps(solver_fn)
     def wrapped(a, b, x0=None, *args, **kwargs):
+        if isinstance(a, CSRMatrix):
+            # default-path safety: large CSR on TPU auto-routes to a
+            # fast layout (formats/__init__.py:auto_route_for_solve)
+            from . import auto_route_for_solve
+
+            a = auto_route_for_solve(
+                a, has_preconditioner=kwargs.get("preconditioner") is not None
+            )
         if not isinstance(a, ReorderedMatrix):
             return solver_fn(a, b, x0, *args, **kwargs)
         bp = a.to_permuted(jnp.asarray(b))

@@ -119,7 +119,7 @@ def stream_gather(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY) if hbm else pl.BlockSpec(
+            pl.BlockSpec(memory_space=pl.ANY) if hbm else pl.BlockSpec(
                 (x_rows, LANE), lambda c, b: (0, 0),
                 memory_space=pltpu.VMEM,
             ),

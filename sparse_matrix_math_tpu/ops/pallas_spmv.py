@@ -312,7 +312,7 @@ def dia_spmv_streamed(a: PaddedDIA, xp: jnp.ndarray, *, interpret: bool = False)
         out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),  # see padded note
         grid=(total_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 (a.diags3.shape[0], rows_blk, _LANE), lambda j: (0, j, 0)
             ),

@@ -214,7 +214,7 @@ def sgs_apply_fused(psgs, r_padded: jnp.ndarray, *, interpret: bool = False):
         kernel,
         out_shape=jax.ShapeDtypeStruct((tot_rows, _LANE), dtype),
         grid=(n_grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=pl.BlockSpec((rows_blk, _LANE), lambda j: (j, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, win, _LANE), dtype),
@@ -279,7 +279,7 @@ def tri_pair_apply_fused(pair, r_padded: jnp.ndarray, *, interpret: bool = False
         kernel,
         out_shape=jax.ShapeDtypeStruct((tot_rows, _LANE), dtype),
         grid=(n_grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=pl.BlockSpec((rows_blk, _LANE), lambda j: (j, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, win, _LANE), dtype),

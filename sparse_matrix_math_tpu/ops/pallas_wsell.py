@@ -213,7 +213,7 @@ def wsell_spmv(
         num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY) if hbm else pl.BlockSpec(
+            pl.BlockSpec(memory_space=pl.ANY) if hbm else pl.BlockSpec(
                 (a.x_rows, LANE), lambda c, b, s: (0, 0),
                 memory_space=pltpu.VMEM,
             ),

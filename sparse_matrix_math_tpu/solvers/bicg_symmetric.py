@@ -73,7 +73,12 @@ def bicg_symmetric_core(
     matvec, dotfn, b, x0, eps, maxiter: int, record: bool
 ) -> SolveResult:
     """Algorithm core, parameterised over ``matvec``/``dotfn`` for reuse by
-    the distributed layer (see solvers/cg.py:cg_core)."""
+    the distributed layer (see solvers/cg.py:cg_core).
+
+    Verified convergence: SUCCESS means the TRUE residual ``b - A x``
+    passed eps (see cg_core for the full contract); a refuted recurrence
+    claim restarts from the true residual, stalling twice in a row stops
+    with MAX_ITERATIONS_REACHED at the precision floor."""
     dot = dotfn
     eps2 = eps * eps
     one = jnp.asarray(1.0, b.dtype)
@@ -87,13 +92,13 @@ def bicg_symmetric_core(
     )
 
     def cond(carry):
-        _, _, _, rr, k, status, _ = carry
+        _, _, _, rr, _, k, status, _ = carry
         # do-while semantics: the convergence test happens inside the body,
         # so the loop only continues while still RUNNING.
         return (status == RUNNING) & (k < maxiter)
 
     def body(carry):
-        x, r, p, rr, k, status, trace = carry
+        x, r, p, rr, floor_rr, k, status, trace = carry
         ap = matvec(p)
         denom = dot(ap, p)
         # serious breakdown heuristic (h:2056-2058); the reference exits
@@ -106,22 +111,51 @@ def bicg_symmetric_core(
         # critical BiCG breakdown heuristic (h:2079-2081); the reference
         # exits AFTER the x/r update here, so those stand.
         critical = (new_rr > one) & (rr < eps)
+        rec_conv = (new_rr <= eps2) & ~serious & ~critical
+
+        def verify(args):
+            x, r, new_rr = args
+            r_t = b - matvec(x)
+            t_rr = dot(r_t, r_t)
+            return r_t, t_rr, t_rr <= eps2
+
+        def skip(args):
+            _, r, new_rr = args
+            return r, new_rr, jnp.bool_(False)
+
+        r, new_rr, verified = jax.lax.cond(
+            rec_conv, verify, skip, (x, r, new_rr)
+        )
+        refuted = rec_conv & ~verified
+        stalled = refuted & (new_rr > floor_rr * 0.25)
+        floor_rr = jnp.where(refuted, new_rr, floor_rr)
+
         diverged = serious | critical | ~jnp.isfinite(new_rr)
-        converged = new_rr <= eps2
         status = jnp.where(
             diverged,
             SolverStatus.DIVERGED,
-            jnp.where(converged, SolverStatus.SUCCESS, RUNNING),
+            jnp.where(
+                verified,
+                SolverStatus.SUCCESS,
+                jnp.where(stalled, SolverStatus.MAX_ITERATIONS_REACHED, RUNNING),
+            ),
         ).astype(jnp.int32)
         beta = new_rr / rr
-        p = r + beta * p
+        p = jnp.where(refuted, r, r + beta * p)
         if trace is not None:
             trace = trace.at[k + 1].set(jnp.sqrt(new_rr))
-        return x, r, p, new_rr, k + 1, status, trace
+        return x, r, p, new_rr, floor_rr, k + 1, status, trace
 
-    carry = (x0, r, r, rr, jnp.int32(0), jnp.int32(RUNNING), trace)
-    x, r, _, rr, k, status, trace = jax.lax.while_loop(cond, body, carry)
+    inf = jnp.asarray(jnp.inf, rr.dtype)
+    carry = (x0, r, r, rr, inf, jnp.int32(0), jnp.int32(RUNNING), trace)
+    x, r, _, rr, _, k, status, trace = jax.lax.while_loop(cond, body, carry)
     status = jnp.where(status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status)
+
+    def _true_rr():
+        r_t = b - matvec(x)
+        return dot(r_t, r_t)
+
+    rr = jax.lax.cond(status == SolverStatus.SUCCESS, lambda: rr, _true_rr)
     return SolveResult(
         x=x,
         status=status.astype(jnp.int32),

@@ -89,7 +89,17 @@ def _bicgstab_precond_loop(a, m, b, x0, eps, maxiter: int, record: bool):
 
 def bicgstab_core(matvec, precond, dotfn, b, x0, eps, maxiter: int, record: bool):
     """Algorithm core, parameterised over ``matvec``/``precond``/``dotfn``
-    for reuse by the distributed layer (see solvers/cg.py:cg_core)."""
+    for reuse by the distributed layer (see solvers/cg.py:cg_core).
+
+    Verified convergence (same contract as cg_core): SUCCESS means the
+    TRUE residual ``M^{-1}(b - A x)`` — the quantity the reference's
+    convergence test measures (h:2277) — passed eps, not merely the
+    recurrence value.  When the recurrence claims convergence the loop
+    recomputes the true residual (one extra SpMV+apply, only at claimed
+    convergence); a refuted claim performs a full BiCGStab restart from
+    the current x (r = r0 = p = true residual).  If a restart fails to
+    shrink the true residual 2x the solve stops honestly with
+    MAX_ITERATIONS_REACHED, reporting the floor."""
     dot = dotfn
     tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
 
@@ -105,11 +115,11 @@ def bicgstab_core(matvec, precond, dotfn, b, x0, eps, maxiter: int, record: bool
     )
 
     def cond(carry):
-        _, _, _, _, _, k, status, _ = carry
+        _, _, _, _, _, _, _, k, status, _ = carry
         return (status == RUNNING) & (k < maxiter)
 
     def body(carry):
-        x, r, p, rr0, res_norm, k, status, trace = carry
+        x, r, r0, p, rr0, res_norm, floor, k, status, trace = carry
         ap = precond(matvec(p))
         denom = dot(ap, r0)
         bd1 = jnp.abs(denom) < tiny
@@ -122,24 +132,67 @@ def bicgstab_core(matvec, precond, dotfn, b, x0, eps, maxiter: int, record: bool
         x = x + alpha * p + omega * s
         r = s - omega * as_
         new_res_norm = jnp.sqrt(dot(r, r))
+        rec_conv = new_res_norm <= eps
+
+        def verify(args):
+            x, r, new_res_norm = args
+            r_t = precond(b - matvec(x))
+            t_norm = jnp.sqrt(dot(r_t, r_t))
+            return r_t, t_norm, t_norm <= eps
+
+        def skip(args):
+            _, r, new_res_norm = args
+            return r, new_res_norm, jnp.bool_(False)
+
+        r, new_res_norm, verified = jax.lax.cond(
+            rec_conv, verify, skip, (x, r, new_res_norm)
+        )
+        refuted = rec_conv & ~verified
+        stalled = refuted & (new_res_norm > floor * 0.5)
+        floor = jnp.where(refuted, new_res_norm, floor)
+
         new_rr0 = dot(r, r0)
         bd3 = (jnp.abs(rr0) < tiny) | (jnp.abs(omega) < tiny)
         beta = jnp.where(bd3, 0, (new_rr0 * alpha) / (rr0 * omega))
-        p = r + beta * (p - omega * ap)
-        converged = new_res_norm <= eps
-        diverged = (bd1 | bd2 | bd3 | ~jnp.isfinite(new_res_norm)) & ~converged
+        # full restart on refutation: shadow vector and direction reset
+        # to the true residual (breakdown flags don't apply to the
+        # restarted recursion)
+        r0 = jnp.where(refuted, r, r0)
+        new_rr0 = jnp.where(refuted, dot(r, r), new_rr0)
+        p = jnp.where(refuted, r, r + beta * (p - omega * ap))
+        diverged = (
+            ((bd1 | bd2 | bd3) & ~refuted) | ~jnp.isfinite(new_res_norm)
+        ) & ~verified
         status = jnp.where(
             diverged,
             SolverStatus.DIVERGED,
-            jnp.where(converged, SolverStatus.SUCCESS, RUNNING),
+            jnp.where(
+                verified,
+                SolverStatus.SUCCESS,
+                jnp.where(stalled, SolverStatus.MAX_ITERATIONS_REACHED, RUNNING),
+            ),
         ).astype(jnp.int32)
         if trace is not None:
             trace = trace.at[k + 1].set(new_res_norm)
-        return x, r, p, new_rr0, new_res_norm, k + 1, status, trace
+        return x, r, r0, p, new_rr0, new_res_norm, floor, k + 1, status, trace
 
-    carry = (x0, r, r, rr0, res_norm, jnp.int32(0), jnp.int32(RUNNING), trace)
-    x, _, _, _, res_norm, k, status, trace = jax.lax.while_loop(cond, body, carry)
+    inf = jnp.asarray(jnp.inf, res_norm.dtype)
+    carry = (
+        x0, r, r0, r, rr0, res_norm, inf, jnp.int32(0), jnp.int32(RUNNING),
+        trace,
+    )
+    x, _, _, _, _, res_norm, _, k, status, trace = jax.lax.while_loop(
+        cond, body, carry
+    )
     status = jnp.where(status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status)
+
+    def _true_norm():
+        r_t = precond(b - matvec(x))
+        return jnp.sqrt(dot(r_t, r_t))
+
+    res_norm = jax.lax.cond(
+        status == SolverStatus.SUCCESS, lambda: res_norm, _true_norm
+    )
     return SolveResult(
         x=x,
         status=status.astype(jnp.int32),

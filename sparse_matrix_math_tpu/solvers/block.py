@@ -133,11 +133,11 @@ def _cg_multi_loop(
     )
 
     def cond(carry):
-        _, _, _, _, k, status, _, _ = carry
+        _, _, _, _, _, k, status, _, _ = carry
         return jnp.any(status == RUNNING) & (k < maxiter)
 
     def body(carry):
-        x, r, p, rz, k, status, iters, trace = carry
+        x, r, p, rz, floor_rr, k, status, iters, trace = carry
         active = status == RUNNING
         ap = matvec(p)
         denom = coldot(ap, p)
@@ -145,12 +145,35 @@ def _cg_multi_loop(
         alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
         x = x + alpha[None, :] * p
         r_new = r - alpha[None, :] * ap
-        z_new = mapply(r_new)
         new_rr = coldot(r_new, r_new)
+        converged = new_rr <= eps2
+        newly = active & converged  # recurrence claims, pre-verification
+
+        # verified convergence (same contract as cg_core): when any
+        # column newly claims convergence, recompute the TRUE residual
+        # panel once and replace the claiming columns' r/rr with it —
+        # confirmed columns exit with the true residual, refuted ones
+        # restart from it
+        def verify(args):
+            x, r_new, new_rr = args
+            r_t = b - matvec(x)
+            t_rr = coldot(r_t, r_t)
+            r2 = jnp.where(newly[None, :], r_t, r_new)
+            rr2 = jnp.where(newly, t_rr, new_rr)
+            return r2, rr2
+
+        r_new, new_rr = jax.lax.cond(
+            jnp.any(newly), verify, lambda a: (a[1], a[2]), (x, r_new, new_rr)
+        )
+        verified = newly & (new_rr <= eps2)
+        refuted = newly & ~verified
+        stalled = refuted & (new_rr > floor_rr * 0.25)
+        floor_rr = jnp.where(refuted, new_rr, floor_rr)
+
+        z_new = mapply(r_new)
         new_rz = (
             coldot(r_new, z_new) if precond is not None else new_rr
         )
-        converged = new_rr <= eps2
         # exact breakdown (denom == 0, i.e. p.A.p = 0 on an indefinite
         # system) and non-finite reductions both mean this column cannot
         # make progress: DIVERGED, matching the single-RHS cg's guard.
@@ -164,29 +187,50 @@ def _cg_multi_loop(
             jnp.where(
                 diverged,
                 SolverStatus.DIVERGED,
-                jnp.where(converged, SolverStatus.SUCCESS, RUNNING),
+                jnp.where(
+                    verified,
+                    SolverStatus.SUCCESS,
+                    jnp.where(
+                        stalled, SolverStatus.MAX_ITERATIONS_REACHED, RUNNING
+                    ),
+                ),
             ),
             status,
         ).astype(jnp.int32)
         iters = jnp.where(active, k + 1, iters)
         beta = jnp.where(active, new_rz / jnp.where(rz == 0, 1.0, rz), 0.0)
-        p = jnp.where(active[None, :], z_new + beta[None, :] * p, p)
+        p_next = jnp.where(
+            refuted[None, :], z_new, z_new + beta[None, :] * p
+        )
+        p = jnp.where(active[None, :], p_next, p)
         r = jnp.where(active[None, :], r_new, r)
         new_rz2 = jnp.where(active, new_rz, rz)
         if trace is not None:
             trace = trace.at[k + 1].set(
                 jnp.where(active, jnp.sqrt(new_rr), jnp.nan)
             )
-        return x, r, p, new_rz2, k + 1, new_status, iters, trace
+        return x, r, p, new_rz2, floor_rr, k + 1, new_status, iters, trace
 
-    carry = (x0, r, z, rz, jnp.int32(0), status0, iters0, trace0)
-    x, r, _, _, _, status, iters, trace = jax.lax.while_loop(
+    inf0 = jnp.full((m,), jnp.inf, rr.dtype)
+    carry = (x0, r, z, rz, inf0, jnp.int32(0), status0, iters0, trace0)
+    x, r, _, _, _, _, status, iters, trace = jax.lax.while_loop(
         cond, body, carry
     )
-    rr = coldot(r, r)
     status = jnp.where(
         status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status
     ).astype(jnp.int32)
+    # report ||b - A x|| per column: SUCCESS/stalled columns froze with
+    # the true residual in r; cap-exit columns need one extra SpMM
+    rr = coldot(r, r)
+
+    def _fix(rr):
+        r_t = b - matvec(x)
+        t_rr = coldot(r_t, r_t)
+        return jnp.where(status == SolverStatus.SUCCESS, rr, t_rr)
+
+    rr = jax.lax.cond(
+        jnp.all(status == SolverStatus.SUCCESS), lambda rr: rr, _fix, rr
+    )
     return MultiSolveResult(
         x=x,
         status=status,

@@ -81,7 +81,12 @@ def _cgs_loop(a, b, x0, eps, maxiter: int, record: bool) -> SolveResult:
 
 def cgs_core(matvec, dotfn, b, x0, eps, maxiter: int, record: bool) -> SolveResult:
     """Algorithm core, parameterised over ``matvec``/``dotfn`` for reuse by
-    the distributed layer (see solvers/cg.py:cg_core)."""
+    the distributed layer (see solvers/cg.py:cg_core).
+
+    Verified convergence: SUCCESS means the TRUE residual ``b - A x``
+    passed eps (see cg_core); a refuted recurrence claim restarts the CGS
+    recursion from the current x, a stalled restart stops honestly with
+    MAX_ITERATIONS_REACHED."""
     dot = dotfn
     eps2 = eps * eps
     tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
@@ -97,11 +102,11 @@ def cgs_core(matvec, dotfn, b, x0, eps, maxiter: int, record: bool) -> SolveResu
     )
 
     def cond(carry):
-        _, _, _, _, _, _, k, status, _ = carry
+        _, _, _, _, _, _, _, _, k, status, _ = carry
         return (status == RUNNING) & (k < maxiter)
 
     def body(carry):
-        x, r, p, u, q, rr0, k, status, trace = carry
+        x, r, r0, p, u, q, rr0, floor_rr, k, status, trace = carry
         ap = matvec(p)
         denom = dot(ap, r0)
         breakdown = jnp.abs(denom) < tiny
@@ -112,34 +117,69 @@ def cgs_core(matvec, dotfn, b, x0, eps, maxiter: int, record: bool) -> SolveResu
         r = r - alpha * matvec(uq)
         new_rr0 = dot(r, r0)
         rr = dot(r, r)
+        rec_conv = rr <= eps2
+
+        def verify(args):
+            x, r, rr = args
+            r_t = b - matvec(x)
+            t_rr = dot(r_t, r_t)
+            return r_t, t_rr, t_rr <= eps2
+
+        def skip(args):
+            _, r, rr = args
+            return r, rr, jnp.bool_(False)
+
+        r, rr, verified = jax.lax.cond(rec_conv, verify, skip, (x, r, rr))
+        refuted = rec_conv & ~verified
+        stalled = refuted & (rr > floor_rr * 0.25)
+        floor_rr = jnp.where(refuted, rr, floor_rr)
+
         breakdown |= (jnp.abs(rr0) < tiny) | ~jnp.isfinite(rr)
-        converged = rr <= eps2
         status = jnp.where(
-            breakdown & ~converged,
+            (breakdown & ~refuted) & ~verified,
             SolverStatus.DIVERGED,
-            jnp.where(converged, SolverStatus.SUCCESS, RUNNING),
+            jnp.where(
+                verified,
+                SolverStatus.SUCCESS,
+                jnp.where(stalled, SolverStatus.MAX_ITERATIONS_REACHED, RUNNING),
+            ),
         ).astype(jnp.int32)
         beta = jnp.where(jnp.abs(rr0) < tiny, 0, new_rr0 / rr0)
-        u = r + beta * q
-        p = u + beta * (q + beta * p)
+        u_next = r + beta * q
+        p_next = u_next + beta * (q + beta * p)
+        # full restart on refutation: shadow vector and recursion vectors
+        # reset to the true residual
+        r0 = jnp.where(refuted, r, r0)
+        new_rr0 = jnp.where(refuted, rr, new_rr0)
+        u = jnp.where(refuted, r, u_next)
+        p = jnp.where(refuted, r, p_next)
+        q = jnp.where(refuted, jnp.zeros_like(q), q)
         if trace is not None:
             trace = trace.at[k + 1].set(jnp.sqrt(rr))
-        return x, r, p, u, q, new_rr0, k + 1, status, trace
+        return x, r, r0, p, u, q, new_rr0, floor_rr, k + 1, status, trace
 
+    inf = jnp.asarray(jnp.inf, rr.dtype)
     carry = (
         x0,
         r,
+        r0,
         r,
         r,
         jnp.zeros_like(r),
         rr0,
+        inf,
         jnp.int32(0),
         jnp.int32(RUNNING),
         trace,
     )
-    x, r, _, _, _, _, k, status, trace = jax.lax.while_loop(cond, body, carry)
+    x, r, _, _, _, _, _, _, k, status, trace = jax.lax.while_loop(cond, body, carry)
     status = jnp.where(status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status)
-    rr = dot(r, r)
+
+    def _true_rr():
+        r_t = b - matvec(x)
+        return dot(r_t, r_t)
+
+    rr = jax.lax.cond(status == SolverStatus.SUCCESS, lambda: dot(r, r), _true_rr)
     return SolveResult(
         x=x,
         status=status.astype(jnp.int32),

@@ -70,9 +70,12 @@ class TestDistMGSolve:
         mg = PoissonMultigrid.for_grid(nx)
         b = a @ jnp.ones(nx * nx, jnp.float32)
 
-        ref = cg(a, b, epsilon=1e-5, preconditioner=mg)
+        # eps must sit above the f32 true-residual floor (~2e-5 at this
+        # n): solvers verify convergence against ||b - A x|| and honestly
+        # refuse SUCCESS below the floor (see cg_core)
+        ref = cg(a, b, epsilon=1e-4, preconditioner=mg)
         dmg = distribute_multigrid(mg, mesh)
-        res = dist_mg_solve(dmg, b, solver="pcg", epsilon=1e-5, mesh=mesh)
+        res = dist_mg_solve(dmg, b, solver="pcg", epsilon=1e-4, mesh=mesh)
 
         assert int(res.status) == SolverStatus.SUCCESS
         assert int(res.iterations) == int(ref.iterations)
@@ -84,7 +87,9 @@ class TestDistMGSolve:
         mg = PoissonMultigrid.for_grid(nx)
         dmg = distribute_multigrid(mg, mesh)
         b = a @ jnp.ones(nx * nx, jnp.float32)
-        res = dist_mg_solve(dmg, b, solver="cg", epsilon=1e-5, mesh=mesh)
+        # eps above the f32 true-residual floor (solvers verify SUCCESS
+        # against ||b - A x|| — see cg_core)
+        res = dist_mg_solve(dmg, b, solver="cg", epsilon=1e-4, mesh=mesh)
         assert int(res.status) == SolverStatus.SUCCESS
         np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=5e-4)
 
@@ -110,7 +115,8 @@ class TestDistMGSolve:
         mg = PoissonMultigrid.for_grid(nx, nx, nx)
         dmg = distribute_multigrid(mg, mesh)
         b = a @ jnp.ones(nx ** 3, jnp.float32)
-        res = dist_mg_solve(dmg, b, solver="pcg", epsilon=1e-5, mesh=mesh)
+        # eps above the f32 true-residual floor (see cg_core)
+        res = dist_mg_solve(dmg, b, solver="pcg", epsilon=1e-4, mesh=mesh)
         assert int(res.status) == SolverStatus.SUCCESS
         np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=5e-4)
 

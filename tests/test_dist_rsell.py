@@ -66,7 +66,8 @@ class TestDistRoutedSolve:
         a, _ = system
         b = np.asarray(rmult(a, jnp.ones(N, jnp.float32)))
         res = dist_routed_solve(
-            a_dist(mesh, a), b, epsilon=1e-5, solver="bicgstab", mesh=mesh
+            # eps above the f32 true-residual floor (~2e-5 here; see cg_core)
+            a_dist(mesh, a), b, epsilon=1e-4, solver="bicgstab", mesh=mesh
         )
         assert int(res.status) == SolverStatus.SUCCESS
         x = np.asarray(res.x)[:N]

@@ -155,3 +155,104 @@ class TestReorderedMatrix:
         assert int(rp.status) == SolverStatus.SUCCESS
         assert int(rp.iterations) <= int(res.iterations) + 1
         np.testing.assert_allclose(np.asarray(rp.x), 1.0, atol=1e-8)
+
+
+class TestAutoRoute:
+    """Default-path safety: cg(csr, b) at scale must not silently run the
+    XLA gather path on TPU (VERDICT r2 item 6).  Forced on here via
+    SMM_FORCE_AUTOROUTE so the CPU suite exercises the policy."""
+
+    def _big_banded_csr(self, n=4096, half_bw=2):
+        # diagonally-structured pattern at scale -> DIA-routable
+        from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+        return poisson_2d(64)  # 4096 rows, but nnz < 100k — see below
+
+    def test_small_matrix_untouched(self, monkeypatch):
+        monkeypatch.setenv("SMM_FORCE_AUTOROUTE", "1")
+        from sparse_matrix_math_tpu.formats import auto_route_for_solve
+        from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+        a = poisson_2d(16)
+        assert auto_route_for_solve(a) is a
+
+    def test_stencil_routes_to_dia_and_caches(self, monkeypatch):
+        monkeypatch.setenv("SMM_FORCE_AUTOROUTE", "1")
+        from sparse_matrix_math_tpu.formats import auto_route_for_solve
+        from sparse_matrix_math_tpu.formats.dia import DIAMatrix
+        from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+        a = poisson_2d(160)  # 25600 rows, ~127k nnz: above both thresholds
+        routed = auto_route_for_solve(a)
+        assert isinstance(routed, DIAMatrix)
+        assert auto_route_for_solve(a) is routed  # cached
+
+    def test_solver_entry_routes_and_solves(self, monkeypatch):
+        monkeypatch.setenv("SMM_FORCE_AUTOROUTE", "1")
+        import sparse_matrix_math_tpu as smm
+        from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+        a = poisson_2d(160)
+        b = a @ jnp.ones(160 * 160, a.dtype)
+        res = smm.cg(a, b, epsilon=1e-8)
+        assert int(res.status) == 0
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-6)
+
+    def test_unrouteable_pattern_warns(self, monkeypatch):
+        monkeypatch.setenv("SMM_FORCE_AUTOROUTE", "1")
+        import warnings
+
+        import sparse_matrix_math_tpu as smm
+        from sparse_matrix_math_tpu.formats import auto_route_for_solve
+        from sparse_matrix_math_tpu.formats.csr import csr_from_coo
+        from sparse_matrix_math_tpu.formats.triplet import coo_from_arrays
+
+        # uniform-random pattern: no windowed layout at ratio<=8, RCM
+        # can't help — expect the loud warning and an unchanged operator
+        rng = np.random.default_rng(0)
+        n, per_row = 32768, 4
+        rows = np.repeat(np.arange(n), per_row)
+        cols = rng.integers(0, n, n * per_row)
+        # dedupe to keep CSR construction happy
+        key = rows.astype(np.int64) * n + cols
+        key = np.unique(key)
+        rows, cols = (key // n).astype(np.int64), (key % n).astype(np.int64)
+        vals = rng.standard_normal(rows.size)
+        a = csr_from_coo(coo_from_arrays(rows, cols, vals, (n, n)))
+        assert a.nnz >= 100_000
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            routed = auto_route_for_solve(a)
+        assert routed is a
+        assert any(
+            issubclass(x.category, smm.PerformanceWarning) for x in w
+        )
+
+    def test_opt_out(self, monkeypatch):
+        monkeypatch.setenv("SMM_FORCE_AUTOROUTE", "1")
+        monkeypatch.setenv("SMM_NO_AUTOROUTE", "1")
+        from sparse_matrix_math_tpu.formats import auto_route_for_solve
+        from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+        a = poisson_2d(160)
+        assert auto_route_for_solve(a) is a
+
+    def test_preconditioner_blocks_permuting_route(self, monkeypatch):
+        """With a bound preconditioner the auto-route must not permute the
+        domain (the factor was built in the original ordering)."""
+        monkeypatch.setenv("SMM_FORCE_AUTOROUTE", "1")
+        from sparse_matrix_math_tpu.formats import auto_route_for_solve
+        from sparse_matrix_math_tpu.formats.reorder import ReorderedMatrix
+        from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+        # shuffle a stencil so DIA/W-SELL fail raw but RCM succeeds
+        a = poisson_2d(160)
+        rng = np.random.default_rng(1)
+        perm = rng.permutation(a.shape[0])
+        from sparse_matrix_math_tpu.formats.reorder import permute_csr
+
+        shuffled = permute_csr(a, perm)
+        routed_free = auto_route_for_solve(shuffled)
+        routed_pre = auto_route_for_solve(shuffled, has_preconditioner=True)
+        if isinstance(routed_free, ReorderedMatrix):
+            assert not isinstance(routed_pre, ReorderedMatrix)

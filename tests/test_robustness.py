@@ -105,3 +105,114 @@ class TestDeterminism:
         y1 = np.asarray(a @ x)
         y2 = np.asarray(a @ x)
         np.testing.assert_array_equal(y1, y2)
+
+
+class TestVerifiedConvergence:
+    """SUCCESS means the TRUE residual passed eps (VERDICT r2 item 1).
+
+    The recurrence residual in every Krylov core drifts from
+    ``||b - A x||`` in finite precision; the cores verify a convergence
+    claim against the true residual before reporting SUCCESS.  An affine
+    (deliberately inconsistent) operator makes recurrence and truth
+    disagree by a controlled amount, exercising the refute/restart/stall
+    machinery deterministically on any backend.
+    """
+
+    @staticmethod
+    def _affine_matvec(offset):
+        # matvec(v) = v + offset: the recurrence (which assumes
+        # linearity) converges, the true residual stalls at ~||offset||
+        def mv(v):
+            return v + offset
+
+        return mv
+
+    @staticmethod
+    def _cores():
+        from sparse_matrix_math_tpu.solvers.bicg_symmetric import (
+            bicg_symmetric_core,
+        )
+        from sparse_matrix_math_tpu.solvers.bicgstab import bicgstab_core
+        from sparse_matrix_math_tpu.solvers.cg import cg_core, pcg_core
+        from sparse_matrix_math_tpu.solvers.cgs import cgs_core
+
+        def dot(u, v):
+            return jnp.sum(u * v)
+
+        ident = lambda v: v  # noqa: E731
+        return {
+            "cg": lambda mv, b, eps, it: cg_core(
+                mv, dot, b, jnp.zeros_like(b), eps, it, False
+            ),
+            "pcg": lambda mv, b, eps, it: pcg_core(
+                mv, ident, dot, b, jnp.zeros_like(b), eps, it, False
+            ),
+            "bicgstab": lambda mv, b, eps, it: bicgstab_core(
+                mv, ident, dot, b, jnp.zeros_like(b), eps, it, False
+            ),
+            "bicg_symmetric": lambda mv, b, eps, it: bicg_symmetric_core(
+                mv, dot, b, jnp.zeros_like(b), eps, it, False
+            ),
+            "cgs": lambda mv, b, eps, it: cgs_core(
+                mv, dot, b, jnp.zeros_like(b), eps, it, False
+            ),
+        }
+
+    @pytest.mark.parametrize(
+        "name", ["cg", "pcg", "bicgstab", "bicg_symmetric", "cgs"]
+    )
+    def test_refuted_claim_is_not_success(self, name):
+        """Recurrence says converged, true residual is ~1e-3 >> eps=1e-6:
+        the core must NOT report SUCCESS, and residual_norm must be the
+        true residual, not the drifted recurrence value."""
+        n = 64
+        rng = np.random.default_rng(0)
+        b = jnp.asarray(rng.standard_normal(n), jnp.float64)
+        offset = jnp.full((n,), 1e-3, jnp.float64)
+        mv = self._affine_matvec(offset)
+        eps = jnp.float64(1e-6)
+        res = self._cores()[name](mv, b, eps, 200)
+        assert int(res.status) != SolverStatus.SUCCESS, name
+        true_norm = float(jnp.linalg.norm(b - mv(res.x)))
+        assert float(res.residual_norm) == pytest.approx(
+            true_norm, rel=1e-6
+        ), name
+        assert true_norm > 1e-6
+
+    @pytest.mark.parametrize(
+        "name", ["cg", "pcg", "bicgstab", "bicg_symmetric", "cgs"]
+    )
+    def test_success_claim_is_true(self, name):
+        """On an honest operator SUCCESS still fires, and the reported
+        residual_norm equals the true residual within roundoff."""
+        n = 128
+        a = poisson_2d(16)  # n=256... use explicit small grid
+        dense = np.asarray(a.to_dense(), np.float64)
+        n = dense.shape[0]
+        amat = jnp.asarray(dense)
+        mv = lambda v: amat @ v  # noqa: E731
+        b = jnp.asarray(dense.sum(axis=1))  # all-ones oracle
+        eps = jnp.float64(1e-8)
+        res = self._cores()[name](mv, b, eps, 2 * n)
+        assert int(res.status) == SolverStatus.SUCCESS, name
+        true_norm = float(jnp.linalg.norm(b - mv(res.x)))
+        assert true_norm <= 1e-8 * (1 + 1e-6), name
+
+    def test_maxiter_reports_true_residual(self):
+        """On an iteration-cap exit residual_norm must be ||b - A x||,
+        not the recurrence value."""
+        from sparse_matrix_math_tpu.solvers.cg import cg_core
+
+        a = poisson_2d(32)
+        dense = np.asarray(a.to_dense(), np.float64)
+        amat = jnp.asarray(dense)
+        mv = lambda v: amat @ v  # noqa: E731
+        b = jnp.asarray(dense.sum(axis=1))
+
+        def dot(u, v):
+            return jnp.sum(u * v)
+
+        res = cg_core(mv, dot, b, jnp.zeros_like(b), jnp.float64(1e-14), 5, False)
+        assert int(res.status) == SolverStatus.MAX_ITERATIONS_REACHED
+        true_norm = float(jnp.linalg.norm(b - mv(res.x)))
+        assert float(res.residual_norm) == pytest.approx(true_norm, rel=1e-10)
