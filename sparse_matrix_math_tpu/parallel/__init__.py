@@ -29,7 +29,15 @@ from .dist import (
     distribute_preconditioner,
     distribute_vector,
 )
-from .mesh import ROW_AXIS, make_mesh, replicated_sharding, row_sharding
+from .mesh import (
+    ROW_AXIS,
+    gather_to_host,
+    init_distributed,
+    make_mesh,
+    put_sharded,
+    replicated_sharding,
+    row_sharding,
+)
 
 __all__ = [
     "DistCSR",
@@ -60,4 +68,7 @@ __all__ = [
     "make_mesh",
     "replicated_sharding",
     "row_sharding",
+    "init_distributed",
+    "put_sharded",
+    "gather_to_host",
 ]

@@ -53,7 +53,7 @@ from ..solvers.chebyshev import chebyshev_core
 from ..solvers.gmres import gmres_core
 from ..solvers.pipelined import cg_pipelined_core
 from ..solvers.types import SolveResult, resolve_max_iterations
-from .mesh import ROW_AXIS, make_mesh
+from .mesh import ROW_AXIS, gather_to_host, make_mesh, put_sharded
 
 __all__ = [
     "DistCSR",
@@ -236,8 +236,7 @@ def distribute_csr(
         n_dev=n_dev, block=block, mode=mode,
     )
 
-    shard2 = jax.sharding.NamedSharding(mesh, P(axis, None))
-    put = lambda a: jax.device_put(jnp.asarray(a), shard2)  # noqa: E731
+    put = lambda a: put_sharded(a, mesh, P(axis, None))  # noqa: E731
     return DistCSR(
         data=put(vals), cols=put(cols), lrows=put(lrows),
         bdata=put(bvals), bcols=put(bcols), blrows=put(blrows),
@@ -257,14 +256,13 @@ def distribute_vector(
     n_pad = dist.padded_rows
     if x.shape[0] != n_pad:
         x = np.concatenate([x, np.zeros(n_pad - x.shape[0], dtype=x.dtype)])
-    return jax.device_put(
-        jnp.asarray(x), jax.sharding.NamedSharding(mesh, P(dist.axis))
-    )
+    return put_sharded(x, mesh, P(dist.axis))
 
 
 def collect(x: jnp.ndarray, dist: DistCSR) -> np.ndarray:
-    """Gather a sharded padded vector back to an unpadded host array."""
-    return np.asarray(jax.device_get(x))[: dist.shape[0]]
+    """Gather a sharded padded vector back to an unpadded host array
+    (works across processes — parallel/mesh.py:gather_to_host)."""
+    return gather_to_host(x)[: dist.shape[0]]
 
 
 # -- local (per-shard) kernels ------------------------------------------------
@@ -398,13 +396,11 @@ def _distribute_triangular(
     diag = np.ones(dist.padded_rows, dtype=np.asarray(tri.data).dtype)
     diag[:n] = np.asarray(tri.diag)
 
-    shard2 = jax.sharding.NamedSharding(mesh, P(dist.axis, None))
-    shard1 = jax.sharding.NamedSharding(mesh, P(dist.axis))
-    put = lambda a: jax.device_put(jnp.asarray(a), shard2)  # noqa: E731
+    put = lambda a: put_sharded(a, mesh, P(dist.axis, None))  # noqa: E731
     return _DistTriArrays(
         data=put(v), cols=put(c), lrows=put(lr),
         bdata=put(bv), bcols=put(bc), blrows=put(blr),
-        diag=jax.device_put(jnp.asarray(diag), shard1),
+        diag=put_sharded(diag, mesh, P(dist.axis)),
         sweeps=tri.sweeps if tri.method != "dense" else tri.depth,
     )
 
@@ -419,7 +415,6 @@ def distribute_preconditioner(
     level-schedule depth is reached — precond/trisolve.py).
     """
     mesh = mesh if mesh is not None else make_mesh()
-    shard1 = jax.sharding.NamedSharding(mesh, P(dist.axis))
     if precond is None or isinstance(precond, IdentityPreconditioner):
         return DistPreconditioner(kind="none", arrays=(), statics=())
     if isinstance(precond, JacobiPreconditioner):
@@ -427,7 +422,7 @@ def distribute_preconditioner(
         inv[: dist.shape[0]] = np.asarray(precond.inv_diag)
         return DistPreconditioner(
             kind="jacobi",
-            arrays=(jax.device_put(jnp.asarray(inv), shard1),),
+            arrays=(put_sharded(inv, mesh, P(dist.axis)),),
             statics=(),
         )
     if isinstance(precond, SGSPreconditioner):
@@ -438,7 +433,7 @@ def distribute_preconditioner(
         return DistPreconditioner(
             kind="sgs",
             arrays=fwd.flat + bwd.flat + (
-                jax.device_put(jnp.asarray(dscale), shard1),
+                put_sharded(dscale, mesh, P(dist.axis)),
             ),
             statics=(fwd.sweeps, bwd.sweeps),
         )

@@ -41,7 +41,7 @@ from jax.sharding import PartitionSpec as P
 from ..formats.dia import DIAMatrix
 from ..solvers.types import SolveResult, resolve_max_iterations
 from .dist import _CORES, _psum_dot, distribute_vector
-from .mesh import ROW_AXIS, make_mesh
+from .mesh import ROW_AXIS, make_mesh, put_sharded
 
 __all__ = ["DistDIA", "distribute_dia", "dist_dia_spmv", "dist_dia_solve"]
 
@@ -114,9 +114,8 @@ def distribute_dia(
     d = np.pad(d, ((0, 0), (0, n_dev * block - n_rows)))
     d = d.reshape(d.shape[0], n_dev, block).transpose(1, 0, 2)
 
-    shard = jax.sharding.NamedSharding(mesh, P(axis, None, None))
     return DistDIA(
-        diags=jax.device_put(jnp.asarray(d), shard),
+        diags=put_sharded(d, mesh, P(axis, None, None)),
         offsets=tuple(int(o) for o in dia.offsets),
         shape=(int(n_rows), int(n_cols)),
         block_rows=int(block),

@@ -54,7 +54,7 @@ from ..solvers.multigrid import (
     _tridiag_apply,
 )
 from ..solvers.types import RUNNING, SolveResult, SolverStatus
-from .mesh import ROW_AXIS, make_mesh
+from .mesh import ROW_AXIS, make_mesh, put_sharded
 
 __all__ = [
     "DistPoissonMG",
@@ -160,9 +160,7 @@ def distribute_multigrid(
         pad = [(0, m0 - v.shape[0])] + [(0, 0)] * (v.ndim - 1)
         v = np.pad(v, pad).reshape((n_dev, m0 // n_dev) + v.shape[1:])
         spec = P(axis, *([None] * np.asarray(vec).ndim))
-        return jax.device_put(
-            jnp.asarray(v, dtype), jax.sharding.NamedSharding(mesh, spec)
-        )
+        return put_sharded(np.asarray(v, dtype), mesh, spec)
 
     masks = tuple(blocks(np.ones(dims[l][0]), l) for l in range(k + 1))
     ax0 = []
@@ -361,9 +359,7 @@ def _to_blocks(dmg: DistPoissonMG, v, mesh) -> jnp.ndarray:
         (dmg.n_shards, m0 // dmg.n_shards) + tuple(dims0[1:])
     )
     spec = P(dmg.axis, *([None] * len(dims0)))
-    return jax.device_put(
-        jnp.asarray(arr, dmg.dtype), jax.sharding.NamedSharding(mesh, spec)
-    )
+    return put_sharded(np.asarray(arr, dmg.dtype), mesh, spec)
 
 
 def _from_grid(dmg: DistPoissonMG, x: jnp.ndarray) -> jnp.ndarray:

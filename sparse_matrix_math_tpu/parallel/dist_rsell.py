@@ -44,7 +44,7 @@ from ..formats.wsell import SLAB, WSellMatrix, _round_up, chunk_for
 from ..solvers.types import SolveResult, resolve_max_iterations
 from .dist import _CORES, _psum_dot, distribute_vector
 from .dist_wsell import _mesh_interpret
-from .mesh import ROW_AXIS, make_mesh
+from .mesh import ROW_AXIS, make_mesh, put_sharded
 
 __all__ = [
     "DistRouted", "distribute_routed", "dist_routed_spmv",
@@ -159,10 +159,7 @@ def distribute_routed(
         )
 
     def shard(arr_np, dims):
-        return jax.device_put(
-            jnp.asarray(arr_np),
-            jax.sharding.NamedSharding(mesh, P(axis, *([None] * dims))),
-        )
+        return put_sharded(arr_np, mesh, P(axis, *([None] * dims)))
 
     def pad_stack(arrs, vmax, pad_value):
         outs = []

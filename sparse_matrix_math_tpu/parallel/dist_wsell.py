@@ -36,7 +36,7 @@ from ..formats.csr import CSRMatrix, _csr_from_sorted_host
 from ..formats.wsell import SLAB, WSellMatrix, _round_up, wsell_from_csr
 from ..solvers.types import SolveResult, resolve_max_iterations
 from .dist import _CORES, _psum_dot, distribute_vector
-from .mesh import ROW_AXIS, make_mesh
+from .mesh import ROW_AXIS, make_mesh, put_sharded
 
 __all__ = ["DistWSell", "distribute_wsell", "dist_wsell_spmv", "dist_wsell_solve"]
 
@@ -140,11 +140,9 @@ def distribute_wsell(
                     [arr, np.full((pad * 8, arr.shape[1]), pad_value, arr.dtype)]
                 )
             outs.append(arr)
-        return jax.device_put(
-            jnp.asarray(np.stack(outs), dtype),
-            jax.sharding.NamedSharding(
-                mesh, P(axis, *([None] * np.asarray(outs[0]).ndim))
-            ),
+        return put_sharded(
+            np.asarray(np.stack(outs), dtype), mesh,
+            P(axis, *([None] * np.asarray(outs[0]).ndim)),
         )
 
     return DistWSell(
