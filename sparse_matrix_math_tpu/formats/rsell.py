@@ -44,6 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..native import sort_perm_native
 from .csr import CSRMatrix
 from .wsell import (
     LANE,
@@ -192,29 +193,44 @@ def _pack_pass(group, sigma, lam, nd, pos, wrows):
     return row, out_lane, rows_per_group
 
 
-def _build_stream_pass(pos, bucket, nd, values, table_len, window_f, dtype):
-    """Lay out one routing pass.
+def _build_stream_pass(pos, bucket, nd, table_len, window_f, dtype):
+    """Lay out one routing pass (slot values are always 1.0 — a routing
+    pass only moves data; the final W-SELL pass multiplies).
 
     pos:     current position of each element in the input table (sorted
              ascending within each bucket; bucket-major order overall)
     bucket:  dense nondecreasing bucket id per element
     nd:      next-level refinement digit per element (lane-run ordering)
-    values:  slot values to emit (1.0 for pure routing)
     Returns (StreamPass, new position per element).
+
+    The per-element phases (grouping, packing, plane emission) run in
+    the native library when available (smm_stream_group /
+    smm_stream_pack_cf / smm_stream_emit); the NumPy expressions below
+    are the fallback and the executable specification.
     """
+    from ..native import stream_emit_native, stream_group_native
+
     wrows = 8 * window_f
-    xrow = pos // LANE
-    lam = pos % LANE
-    stack = xrow // wrows
-    # dense group id per (bucket, window stack) — inputs are sorted by
-    # (bucket, pos) so the pair key is nondecreasing
-    key = bucket * ((-(-table_len // LANE)) // wrows + 2) + stack
-    new_group = np.zeros(key.shape[0], bool)
-    if key.size:
-        new_group[0] = True
-        new_group[1:] = key[1:] != key[:-1]
-    group = np.cumsum(new_group) - 1
-    sigma = xrow - stack * wrows
+    grouped = stream_group_native(wrows, bucket, pos) if pos.size else None
+    if grouped is not None:
+        group, sigma, lam, group_stack, _n_groups = grouped
+    else:
+        xrow = pos // LANE
+        lam = pos % LANE
+        stack = xrow // wrows
+        # dense group id per (bucket, window stack) — inputs are sorted
+        # by (bucket, pos) so the pair key is nondecreasing
+        key = bucket * ((-(-table_len // LANE)) // wrows + 2) + stack
+        new_group = np.zeros(key.shape[0], bool)
+        if key.size:
+            new_group[0] = True
+            new_group[1:] = key[1:] != key[:-1]
+        group = np.cumsum(new_group) - 1
+        sigma = xrow - stack * wrows
+        n_groups = int(group[-1]) + 1 if group.size else 0
+        group_stack = np.zeros(n_groups, np.int64)
+        if group.size:
+            group_stack[group] = stack
 
     row_in_group, out_lane, rows_per_group = _pack_pass(
         group, sigma, lam, nd, pos, wrows
@@ -229,27 +245,31 @@ def _build_stream_pass(pos, bucket, nd, values, table_len, window_f, dtype):
     n_vregs_padded = _round_up(n_vregs, chunk_unit)
     total_rows_padded = n_vregs_padded * 8
 
-    row_global = row_off[group] + row_in_group if group.size else group
-    out_pos = row_global * LANE + out_lane
-
     sw_bits = max(3, (wrows - 1).bit_length())
     vals_plane = np.zeros((total_rows_padded, LANE), dtype=dtype)
-    sw_plane = np.zeros((total_rows_padded, LANE), np.int32)
-    lsrc_plane = np.zeros((total_rows_padded, LANE), np.int32)
+    meta = np.zeros((total_rows_padded, LANE), np.int32)
+    out_pos = None
     if group.size:
-        vals_plane[row_global, out_lane] = values
-        lsrc_plane[row_global, out_lane] = lam.astype(np.int32)
-        sw_plane[row_global, lam] = sigma.astype(np.int32)
-    meta = (sw_plane | (lsrc_plane << sw_bits)).astype(np.int32)
+        out_pos = stream_emit_native(
+            sw_bits, group, row_off, row_in_group, out_lane, lam, sigma,
+            vals_plane, meta,
+        )
+    if out_pos is None:
+        row_global = row_off[group] + row_in_group if group.size else group
+        out_pos = row_global * LANE + out_lane
+        sw_plane = np.zeros((total_rows_padded, LANE), np.int32)
+        lsrc_plane = np.zeros((total_rows_padded, LANE), np.int32)
+        if group.size:
+            vals_plane[row_global, out_lane] = 1.0
+            lsrc_plane[row_global, out_lane] = lam.astype(np.int32)
+            sw_plane[row_global, lam] = sigma.astype(np.int32)
+        meta = (sw_plane | (lsrc_plane << sw_bits)).astype(np.int32)
 
     # per-vreg window-stack base rows; the table pads to a whole number
     # of stacks so no base ever needs clamping (which would shift window
     # contents against the precomputed sw meta)
     x_rows = _round_up(max(-(-table_len // LANE), wrows), wrows)
     if rows_padded.size:
-        group_stack = np.zeros(rows_per_group.shape[0], np.int64)
-        if group.size:
-            group_stack[group] = stack
         base_rows = np.repeat(group_stack * wrows, rows_padded // 8)
     else:
         base_rows = np.zeros(0, np.int64)
@@ -363,7 +383,9 @@ def routed_from_csr(
         digit = (leaf // wt) % d
         prefix = prefix * d + digit
         sort_key = _pack_keys((prefix, pos), (0, 38))
-        perm = np.argsort(sort_key, kind="stable")
+        perm = sort_perm_native(sort_key) if nnz else None
+        if perm is None:
+            perm = np.argsort(sort_key, kind="stable")
         prefix, pos, order, leaf, slab_in_leaf = (
             prefix[perm], pos[perm], order[perm], leaf[perm],
             slab_in_leaf[perm],
@@ -375,9 +397,8 @@ def routed_from_csr(
             nd = (leaf // weights[level + 1]) % digits[level + 1]
         else:
             nd = slab_in_leaf
-        ones = np.ones(nnz, dtype=dtype)
         sp, pos = _build_stream_pass(
-            pos, prefix, nd, ones, table_len, window_f, dtype
+            pos, prefix, nd, table_len, window_f, dtype
         )
         passes.append(sp)
         table_len = sp.out_len

@@ -23,6 +23,9 @@ __all__ = [
     "mtx_read_native",
     "wsell_color_native",
     "stream_pack_cf_native",
+    "sort_perm_native",
+    "stream_group_native",
+    "stream_emit_native",
 ]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
@@ -49,6 +52,7 @@ def _so_path() -> str:
     return os.path.join(_BUILD_DIR, f"libsmm_native.{h}.so")
 
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
@@ -138,6 +142,19 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.smm_stream_pack_cf.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         _i64p, _i64p, _i64p, _i64p, _i32p, _i32p, _i64p,
+    ]
+    lib.smm_sort_perm.restype = None
+    lib.smm_sort_perm.argtypes = [ctypes.c_int64, _u64p, ctypes.c_int, _i64p]
+    lib.smm_stream_group.restype = ctypes.c_int64
+    lib.smm_stream_group.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i64p,
+        _i64p,
+    ]
+    lib.smm_stream_emit.restype = None
+    lib.smm_stream_emit.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        _i64p, _i64p, _i32p, _i32p, _i64p, _i64p,
+        ctypes.c_void_p, _i32p, _i64p,
     ]
 
 
@@ -299,3 +316,79 @@ class _MtxNativeError(ValueError):
     def __init__(self, status: int, message: str):
         super().__init__(message)
         self.status = status
+
+
+def sort_perm_native(key: np.ndarray) -> Optional[np.ndarray]:
+    """Stable radix-sort permutation of an int64/uint64 key array
+    (smm_sort_perm), or None if the native library is unavailable.
+    Equivalent to ``np.argsort(key, kind="stable")`` for non-negative
+    keys, at a fraction of the cost at 10M+ elements."""
+    lib = _load()
+    if lib is None:
+        return None
+    key = np.ascontiguousarray(key)
+    if key.dtype == np.int64:
+        if key.size and int(key.max(initial=0)) < 0:
+            return None
+        key = key.view(np.uint64)
+    elif key.dtype != np.uint64:
+        return None
+    bits = int(key.max(initial=0)).bit_length() if key.size else 1
+    perm = np.empty(key.shape[0], np.int64)
+    lib.smm_sort_perm(key.shape[0], key, max(bits, 1), perm)
+    return perm
+
+
+def stream_group_native(wrows: int, bucket, pos):
+    """(group, sigma, lam, group_stack, n_groups) for one stream level
+    (smm_stream_group; inputs sorted by (bucket, pos)), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = bucket.shape[0]
+    group = np.empty(n, np.int64)
+    sigma = np.empty(n, np.int64)
+    lam = np.empty(n, np.int64)
+    group_stack = np.empty(n, np.int64)
+    n_groups = lib.smm_stream_group(
+        n, int(wrows),
+        np.ascontiguousarray(bucket, np.int64),
+        np.ascontiguousarray(pos, np.int64),
+        group, sigma, lam, group_stack,
+    )
+    return group, sigma, lam, group_stack[:n_groups], int(n_groups)
+
+
+def stream_emit_native(
+    sw_bits: int, group, row_off, row_in_group, out_lane, lam, sigma,
+    vals_plane: np.ndarray, meta_plane: np.ndarray,
+) -> Optional[np.ndarray]:
+    """Scatter one stream level's planes in place (smm_stream_emit) and
+    return each element's new position, or None if unavailable.
+    ``vals_plane`` (f32/f64, zeroed) and ``meta_plane`` (int32, zeroed)
+    are written in place."""
+    lib = _load()
+    if lib is None:
+        return None
+    if vals_plane.dtype == np.float64:
+        dtype64 = 1
+    elif vals_plane.dtype == np.float32:
+        dtype64 = 0
+    else:
+        return None
+    n = group.shape[0]
+    out_pos = np.empty(n, np.int64)
+    assert vals_plane.flags["C_CONTIGUOUS"] and meta_plane.flags["C_CONTIGUOUS"]
+    lib.smm_stream_emit(
+        n, int(sw_bits), dtype64,
+        np.ascontiguousarray(group, np.int64),
+        np.ascontiguousarray(row_off, np.int64),
+        np.ascontiguousarray(row_in_group, np.int32),
+        np.ascontiguousarray(out_lane, np.int32),
+        np.ascontiguousarray(lam, np.int64),
+        np.ascontiguousarray(sigma, np.int64),
+        vals_plane.ctypes.data_as(ctypes.c_void_p),
+        meta_plane,
+        out_pos,
+    )
+    return out_pos

@@ -421,4 +421,107 @@ int64_t smm_stream_pack_cf(int64_t n_elems, int64_t n_groups, int64_t wrows,
   return max_rows;
 }
 
+
+// ---------------------------------------------------------------------------
+// R-SELL chain-build fast path (formats/rsell.py:routed_from_csr).
+//
+// The routed build is host-side layout planning over nnz-sized arrays:
+// per level, sort by (bucket, position), derive (group, sigma, lane),
+// pack (smm_stream_pack_cf above), and scatter the slot planes.  In
+// NumPy that is ~30 full passes of int64 temporaries per level (~90 s at
+// 12M nnz); these primitives do each phase in one or two streaming
+// passes.  Python composes them (native/__init__.py) with the NumPy
+// implementations as fallback and executable specification.
+// ---------------------------------------------------------------------------
+
+// Stable LSD radix-sort permutation of uint64 keys (11-bit digits).
+// perm_out[i] = index of the i-th smallest key (ties in input order).
+void smm_sort_perm(int64_t n, const uint64_t* key, int key_bits,
+                   int64_t* perm_out) {
+  if (n <= 0) return;
+  constexpr int kDigitBits = 11;
+  constexpr int kBuckets = 1 << kDigitBits;
+  std::vector<int64_t> tmp(static_cast<size_t>(n));
+  int64_t* cur = perm_out;
+  int64_t* nxt = tmp.data();
+  for (int64_t i = 0; i < n; ++i) cur[i] = i;
+  int64_t hist[kBuckets];
+  for (int shift = 0; shift < key_bits; shift += kDigitBits) {
+    const uint64_t mask = (shift + kDigitBits >= 64)
+                              ? (~0ull >> shift)
+                              : ((1ull << kDigitBits) - 1);
+    std::memset(hist, 0, sizeof hist);
+    for (int64_t i = 0; i < n; ++i)
+      ++hist[(key[cur[i]] >> shift) & mask];
+    int64_t run = 0;
+    for (int b = 0; b < kBuckets; ++b) {
+      const int64_t c = hist[b];
+      hist[b] = run;
+      run += c;
+    }
+    for (int64_t i = 0; i < n; ++i)
+      nxt[hist[(key[cur[i]] >> shift) & mask]++] = cur[i];
+    int64_t* t = cur;
+    cur = nxt;
+    nxt = t;
+  }
+  if (cur != perm_out)
+    std::memcpy(perm_out, cur, static_cast<size_t>(n) * sizeof(int64_t));
+}
+
+// Grouping pass for one stream level.  Inputs sorted by (bucket, pos);
+// emits the dense (bucket, window-stack) group id, the within-stack row
+// sigma, the lane (pos mod 128) per element, and each group's window
+// stack (group_stack, capacity n — only the first n_groups entries are
+// written).  Returns n_groups.
+int64_t smm_stream_group(int64_t n, int64_t wrows, const int64_t* bucket,
+                         const int64_t* pos, int64_t* group, int64_t* sigma,
+                         int64_t* lam, int64_t* group_stack) {
+  int64_t g = -1;
+  int64_t prev_bucket = -1, prev_stack = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t xrow = pos[i] >> 7;       // pos / 128
+    const int64_t ln = pos[i] & 127;        // pos % 128
+    const int64_t stack = xrow / wrows;
+    if (bucket[i] != prev_bucket || stack != prev_stack) {
+      ++g;
+      prev_bucket = bucket[i];
+      prev_stack = stack;
+      group_stack[g] = stack;
+    }
+    group[i] = g;
+    sigma[i] = xrow - stack * wrows;
+    lam[i] = ln;
+  }
+  return g + 1;
+}
+
+// Plane emission for one stream level: scatter values/meta into the
+// (total_rows_padded x 128) planes and compute each element's new
+// position.  row_off = per-group padded row offsets (from Python's tiny
+// cumsum over groups); planes arrive zero-initialised.  dtype64 selects
+// the vals plane element type.  Also returns, per vreg (8-row block),
+// the window-stack base row via base_out (length n_vregs_padded,
+// pre-filled by Python; only rows covered by groups are written).
+void smm_stream_emit(int64_t n, int64_t sw_bits, int dtype64,
+                     const int64_t* group, const int64_t* row_off,
+                     const int32_t* row_in_group, const int32_t* out_lane,
+                     const int64_t* lam, const int64_t* sigma,
+                     void* vals_plane, int32_t* meta_plane,
+                     int64_t* out_pos) {
+  float* vf = static_cast<float*>(vals_plane);
+  double* vd = static_cast<double*>(vals_plane);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t rg = row_off[group[i]] + row_in_group[i];
+    const int64_t slot = (rg << 7) | out_lane[i];
+    out_pos[i] = slot;
+    if (dtype64)
+      vd[slot] = 1.0;
+    else
+      vf[slot] = 1.0f;
+    meta_plane[slot] |= static_cast<int32_t>(lam[i]) << sw_bits;
+    meta_plane[(rg << 7) | lam[i]] |= static_cast<int32_t>(sigma[i]);
+  }
+}
+
 }  // extern "C"
