@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..native import sort_perm_native
+from ..native import sort_perm_native, stream_level_native
 from .csr import CSRMatrix
 from .wsell import (
     LANE,
@@ -193,7 +193,8 @@ def _pack_pass(group, sigma, lam, nd, pos, wrows):
     return row, out_lane, rows_per_group
 
 
-def _build_stream_pass(pos, bucket, nd, table_len, window_f, dtype):
+def _build_stream_pass(pos, bucket, nd, table_len, window_f, dtype,
+                       grouped=None):
     """Lay out one routing pass (slot values are always 1.0 — a routing
     pass only moves data; the final W-SELL pass multiplies).
 
@@ -201,6 +202,9 @@ def _build_stream_pass(pos, bucket, nd, table_len, window_f, dtype):
              ascending within each bucket; bucket-major order overall)
     bucket:  dense nondecreasing bucket id per element
     nd:      next-level refinement digit per element (lane-run ordering)
+    grouped: optional precomputed (group, sigma, lam, group_stack) from
+             the fused level driver (smm_stream_level) — skips the
+             grouping phase here
     Returns (StreamPass, new position per element).
 
     The per-element phases (grouping, packing, plane emission) run in
@@ -211,9 +215,12 @@ def _build_stream_pass(pos, bucket, nd, table_len, window_f, dtype):
     from ..native import stream_emit_native, stream_group_native
 
     wrows = 8 * window_f
-    grouped = stream_group_native(wrows, bucket, pos) if pos.size else None
+    if grouped is None and pos.size:
+        grouped = stream_group_native(wrows, bucket, pos)
+        if grouped is not None:
+            grouped = grouped[:4]
     if grouped is not None:
-        group, sigma, lam, group_stack, _n_groups = grouped
+        group, sigma, lam, group_stack = grouped
     else:
         xrow = pos // LANE
         lam = pos % LANE
@@ -376,30 +383,53 @@ def routed_from_csr(
     pos = c.copy()
     prefix = np.zeros(nnz, np.int64)
     table_len = int(n_cols)
-    order = np.arange(nnz)
-    slab_in_leaf = (r // SLAB) % max(leaf_slabs, 1)
+    order = np.arange(nnz, dtype=np.int64)
+    slab_in_leaf = ((r // SLAB) % max(leaf_slabs, 1)).astype(np.int64)
     total_slots = 0
+    prefix_card = 1  # number of distinct prefix values after the update
     for level, (d, wt) in enumerate(zip(digits, weights)):
-        digit = (leaf // wt) % d
-        prefix = prefix * d + digit
-        sort_key = _pack_keys((prefix, pos), (0, 38))
-        perm = sort_perm_native(sort_key) if nnz else None
-        if perm is None:
-            perm = np.argsort(sort_key, kind="stable")
-        prefix, pos, order, leaf, slab_in_leaf = (
-            prefix[perm], pos[perm], order[perm], leaf[perm],
-            slab_in_leaf[perm],
-        )
-        # The NEXT-level digit orders each slot row's lanes (contiguous
-        # lane runs per next bucket), keeping the next pass's per-lane
-        # histograms flat — see _pack_pass.
         if level + 1 < len(digits):
-            nd = (leaf // weights[level + 1]) % digits[level + 1]
+            d_next, wt_next = digits[level + 1], weights[level + 1]
         else:
-            nd = slab_in_leaf
-        sp, pos = _build_stream_pass(
-            pos, prefix, nd, table_len, window_f, dtype
-        )
+            d_next, wt_next = 1, -1
+        prefix_card *= d
+        # fused native level driver: prefix update + stable (prefix, pos)
+        # sort of all carried arrays + nd + grouping in one call
+        pos_bits = 38
+        key_bits = pos_bits + max(int(prefix_card - 1).bit_length(), 1)
+        fused = None
+        if nnz and key_bits <= 64:
+            fused = stream_level_native(
+                8 * window_f, d, wt, d_next, wt_next, pos_bits, key_bits,
+                prefix, pos, order, leaf, slab_in_leaf,
+            )
+        if fused is not None:
+            nd, group, sigma, lam, group_stack = fused
+            sp, pos = _build_stream_pass(
+                pos, prefix, nd, table_len, window_f, dtype,
+                grouped=(group, sigma, lam, group_stack),
+            )
+        else:
+            digit = (leaf // wt) % d
+            prefix = prefix * d + digit
+            sort_key = _pack_keys((prefix, pos), (0, 38))
+            perm = sort_perm_native(sort_key) if nnz else None
+            if perm is None:
+                perm = np.argsort(sort_key, kind="stable")
+            prefix, pos, order, leaf, slab_in_leaf = (
+                prefix[perm], pos[perm], order[perm], leaf[perm],
+                slab_in_leaf[perm],
+            )
+            # The NEXT-level digit orders each slot row's lanes
+            # (contiguous lane runs per next bucket), keeping the next
+            # pass's per-lane histograms flat — see _pack_pass.
+            if level + 1 < len(digits):
+                nd = (leaf // weights[level + 1]) % digits[level + 1]
+            else:
+                nd = slab_in_leaf
+            sp, pos = _build_stream_pass(
+                pos, prefix, nd, table_len, window_f, dtype
+            )
         passes.append(sp)
         table_len = sp.out_len
         total_slots += sp.out_len

@@ -315,60 +315,75 @@ def _wsell_from_coo(
     # contents against the precomputed sw meta)
     x_rows = max(_round_up(-(-n_cols // LANE), wrows), wrows)
 
-    slab_of = r // SLAB
-    t_of = (r % SLAB) // LANE
-    lane_out = r % LANE
-    lsrc = c % LANE
-    xrow = c // LANE
-    job, job_base, job_slab = _window_jobs(slab_of, xrow, x_rows, window_f)
-    n_jobs = job_base.shape[0]
-
-    # -- slot-row colouring ---------------------------------------------------
-    # distinct columns within a (job, t, source-lane) group differ exactly
-    # in the window-stack sublane (one aligned 8F-row window stack per job)
     sw_bits = max(3, (wrows - 1).bit_length())
-    sw3 = ((c // LANE) % wrows).astype(np.int64)
-    row = None
+    plan = None
     if r.size:
-        # native first-fit colourer: one pass, satisfies both constraints
-        # by construction, and packs at least as tightly as the
-        # rank+repair fallback below (~10x faster at 10M+ nnz)
-        from ..native import wsell_color_native
+        # fully fused native layout plan: window-job mapping + first-fit
+        # slot-row colouring + per-job row counts in one call — skips
+        # materialising the per-nnz int64 field arrays entirely
+        from ..native import wsell_plan_native
 
-        row_native = wsell_color_native(job, t_of, lane_out, lsrc, sw3, n_jobs)
-        if row_native is not None:
-            row = row_native.astype(np.int64)
-    if row is None:
-        # NumPy fallback: over-approximate with independent ranks, then
-        # repair residual conflicts.
-        # rank1: same (job, matrix row) slots must occupy distinct slot rows
-        rank1 = _group_rank(_pack_keys((job, r), (0, 27)))
-        # rank2: within (job, t, source lane), distinct columns must occupy
-        # distinct slot rows (equal columns share the SW entry -> same row ok)
-        key_jtl = _pack_keys((job, t_of, lsrc), (0, 3, 7))
-        rank2 = _distinct_rank(key_jtl, sw3, val_bits=sw_bits)
-        row = np.maximum(rank1, rank2)
-        if r.size:
-            row = _repair_conflicts(
-                row, job, t_of, lane_out, lsrc, sw3, max_repair_rounds,
-                sw_bits=sw_bits,
-            )
-
-    # -- per-job row layout ---------------------------------------------------
-    # STATIC-TARGET layout: vreg position i holds ONLY rows of target
-    # sublane t == i, so the kernel's reduction is the identity (the
-    # products vreg IS the slab contribution) — zero reduction ops.  A
-    # job needs K = max_t rows_t vregs; bucket t's k-th row sits at
-    # (vreg k, position t).  Cost: unbalanced buckets pad (slot_ratio
-    # reports it); balanced patterns (stencils, meshes) pad ~nothing.
-    if r.size:
-        # K(job) = max over t of rows_t — one row per (vreg, t) position
-        job_rows = np.zeros(n_jobs, np.int64)  # = 8 * K(job)
-        np.maximum.at(job_rows, job, (row + 1) * 8)
-        row_in_job = row * 8 + t_of
+        plan = wsell_plan_native(r, c, n_rows, x_rows, window_f)
+    if plan is not None:
+        job, row, job_rows, job_base, job_slab = plan  # row: int32 colour
+        n_jobs = job_base.shape[0]
     else:
-        job_rows = np.zeros(n_jobs, np.int64)
-        row_in_job = np.zeros(0, np.int64)
+        slab_of = r // SLAB
+        t_of = (r % SLAB) // LANE
+        lane_out = r % LANE
+        lsrc = c % LANE
+        xrow = c // LANE
+        job, job_base, job_slab = _window_jobs(
+            slab_of, xrow, x_rows, window_f
+        )
+        n_jobs = job_base.shape[0]
+
+        # -- slot-row colouring ------------------------------------------------
+        # distinct columns within a (job, t, source-lane) group differ
+        # exactly in the window-stack sublane (one aligned 8F-x-row
+        # window stack per job)
+        sw3 = ((c // LANE) % wrows).astype(np.int64)
+        row = None
+        if r.size:
+            # native first-fit colourer: one pass, satisfies both
+            # constraints by construction, and packs at least as tightly
+            # as the rank+repair fallback below (~10x faster at 10M+ nnz)
+            from ..native import wsell_color_native
+
+            row_native = wsell_color_native(
+                job, t_of, lane_out, lsrc, sw3, n_jobs
+            )
+            if row_native is not None:
+                row = row_native.astype(np.int64)
+        if row is None:
+            # NumPy fallback: over-approximate with independent ranks,
+            # then repair residual conflicts.
+            # rank1: same (job, matrix row) slots must occupy distinct
+            # slot rows
+            rank1 = _group_rank(_pack_keys((job, r), (0, 27)))
+            # rank2: within (job, t, source lane), distinct columns must
+            # occupy distinct slot rows (equal columns share the SW
+            # entry -> same row ok)
+            key_jtl = _pack_keys((job, t_of, lsrc), (0, 3, 7))
+            rank2 = _distinct_rank(key_jtl, sw3, val_bits=sw_bits)
+            row = np.maximum(rank1, rank2)
+            if r.size:
+                row = _repair_conflicts(
+                    row, job, t_of, lane_out, lsrc, sw3, max_repair_rounds,
+                    sw_bits=sw_bits,
+                )
+
+        # -- per-job row layout --------------------------------------------------
+        # STATIC-TARGET layout: vreg position i holds ONLY rows of target
+        # sublane t == i, so the kernel's reduction is the identity (the
+        # products vreg IS the slab contribution) — zero reduction ops.  A
+        # job needs K = max_t rows_t vregs; bucket t's k-th row sits at
+        # (vreg k, position t).  Cost: unbalanced buckets pad (slot_ratio
+        # reports it); balanced patterns (stencils, meshes) pad ~nothing.
+        job_rows = np.zeros(n_jobs, np.int64)  # = 8 * K(job)
+        if r.size:
+            # K(job) = max over t of rows_t — one row per (vreg, t) slot
+            np.maximum.at(job_rows, job, (row + 1) * 8)
 
     kv = np.maximum(job_rows // 8, 1)  # vregs per job (K)
 
@@ -399,17 +414,8 @@ def _wsell_from_coo(
     job_pos[order_jobs] = np.arange(all_slab.shape[0])
     vreg_start_of_job = vreg_start[job_pos[:n_jobs]]
 
-    if r.size:
-        row_global = vreg_start_of_job[job] * 8 + row_in_job
-    else:
-        row_global = np.zeros(0, np.int64)
-
     total_rows = n_vregs_padded * 8
     vals_plane = np.zeros((total_rows, LANE), dtype=v.dtype)
-    vals_plane[row_global, lane_out] = v
-    lsrc_plane = np.zeros((total_rows, LANE), np.int32)
-    lsrc_plane[row_global, lane_out] = lsrc.astype(np.int32)
-    sw_plane = np.zeros((total_rows, LANE), np.int32)
 
     # per-vreg window base (already clamped into the padded x table);
     # chunk-pad vregs carry zero values and point at the last slab
@@ -423,17 +429,46 @@ def _wsell_from_coo(
         np.full(pad_v, n_slabs - 1, np.int32),
     ])
 
-    if r.size:
-        sw = (c // LANE - base_vreg[row_global // 8].astype(np.int64)).astype(
-            np.int32
-        )
-        if sw.min(initial=0) < 0 or sw.max(initial=0) > wrows - 1:
-            raise AssertionError(
-                f"window base math violated sw in [0, {wrows})"
-            )
-        sw_plane[row_global, lsrc] = sw
+    meta = None
+    if plan is not None and r.size:
+        # fused native scatter of both planes (validates the window
+        # sublane range like the NumPy path's invariant check)
+        from ..native import wsell_emit_native
 
-    meta = (sw_plane | (lsrc_plane << _lsrc_shift(window_f))).astype(np.int32)
+        meta_plane = np.zeros((total_rows, LANE), np.int32)
+        if wsell_emit_native(
+            _lsrc_shift(window_f), wrows, r, c, v, job, row,
+            vreg_start_of_job, base_vreg, vals_plane, meta_plane,
+        ):
+            meta = meta_plane
+    if meta is None:
+        if plan is not None:
+            # plan succeeded but the emit dtype is unsupported — derive
+            # the per-nnz fields the NumPy scatter needs
+            t_of = (r % SLAB) // LANE
+            lane_out = r % LANE
+            lsrc = c % LANE
+        if r.size:
+            row_in_job = row.astype(np.int64) * 8 + t_of
+            row_global = vreg_start_of_job[job] * 8 + row_in_job
+        else:
+            row_global = np.zeros(0, np.int64)
+        vals_plane[row_global, lane_out] = v
+        lsrc_plane = np.zeros((total_rows, LANE), np.int32)
+        lsrc_plane[row_global, lane_out] = lsrc.astype(np.int32)
+        sw_plane = np.zeros((total_rows, LANE), np.int32)
+        if r.size:
+            sw = (
+                c // LANE - base_vreg[row_global // 8].astype(np.int64)
+            ).astype(np.int32)
+            if sw.min(initial=0) < 0 or sw.max(initial=0) > wrows - 1:
+                raise AssertionError(
+                    f"window base math violated sw in [0, {wrows})"
+                )
+            sw_plane[row_global, lsrc] = sw
+        meta = (
+            sw_plane | (lsrc_plane << _lsrc_shift(window_f))
+        ).astype(np.int32)
 
     slot_ratio = float(total_rows * LANE / max(nnz, 1))
     if slot_ratio > max_slot_ratio:

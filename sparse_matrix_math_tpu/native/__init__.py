@@ -26,6 +26,9 @@ __all__ = [
     "sort_perm_native",
     "stream_group_native",
     "stream_emit_native",
+    "stream_level_native",
+    "wsell_plan_native",
+    "wsell_emit_native",
 ]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
@@ -67,11 +70,17 @@ def _compile() -> Optional[str]:
         if os.path.exists(so):
             return so
         tmp = f"{so}.{os.getpid()}.tmp"
-        cmd = [
+        base = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
             _SRC, "-o", tmp,
         ]
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        try:  # OpenMP first (the hot builders are parallelised with it)
+            subprocess.run(
+                base + ["-fopenmp"], check=True, capture_output=True,
+                timeout=120,
+            )
+        except subprocess.SubprocessError:
+            subprocess.run(base, check=True, capture_output=True, timeout=120)
         os.replace(tmp, so)
         # opportunistically drop superseded builds (best-effort; a build
         # still mapped by another live process keeps working — unlink
@@ -155,6 +164,24 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
         _i64p, _i64p, _i32p, _i32p, _i64p, _i64p,
         ctypes.c_void_p, _i32p, _i64p,
+    ]
+    lib.smm_stream_level.restype = ctypes.c_int64
+    lib.smm_stream_level.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _i64p, _i64p, _i64p, _i64p, _i64p,
+        _i64p, _i64p, _i64p, _i64p, _i64p,
+    ]
+    lib.smm_wsell_plan.restype = ctypes.c_int64
+    lib.smm_wsell_plan.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _i64p, _i64p, _i64p, _i32p, _i64p, _i64p, _i64p,
+    ]
+    lib.smm_wsell_emit.restype = ctypes.c_int
+    lib.smm_wsell_emit.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        _i64p, _i64p, ctypes.c_void_p, _i64p, _i32p, _i64p, _i32p,
+        ctypes.c_void_p, _i32p,
     ]
 
 
@@ -392,3 +419,102 @@ def stream_emit_native(
         out_pos,
     )
     return out_pos
+
+
+def stream_level_native(
+    wrows: int, d: int, wt: int, d_next: int, wt_next: int,
+    pos_bits: int, key_bits: int,
+    prefix: np.ndarray, pos: np.ndarray, order: np.ndarray,
+    leaf: np.ndarray, slab_in_leaf: np.ndarray,
+):
+    """Fused routed-chain level reorder (smm_stream_level): updates
+    prefix <- prefix*d + (leaf/wt)%d, stable-sorts ALL five carried
+    arrays IN PLACE by (prefix, pos), and returns
+    (nd, group, sigma, lam, group_stack) for the sorted order — or None
+    if the native library is unavailable.  All five arrays must be
+    C-contiguous int64 (they are mutated)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = prefix.shape[0]
+    for a in (prefix, pos, order, leaf, slab_in_leaf):
+        if a.dtype != np.int64 or not a.flags["C_CONTIGUOUS"]:
+            return None
+    nd = np.empty(n, np.int64)
+    group = np.empty(n, np.int64)
+    sigma = np.empty(n, np.int64)
+    lam = np.empty(n, np.int64)
+    group_stack = np.empty(n, np.int64)
+    n_groups = lib.smm_stream_level(
+        n, int(wrows), int(d), int(wt), int(d_next), int(wt_next),
+        int(pos_bits), int(key_bits),
+        prefix, pos, order, leaf, slab_in_leaf,
+        nd, group, sigma, lam, group_stack,
+    )
+    if n_groups < 0:
+        return None
+    return nd, group, sigma, lam, group_stack[:n_groups]
+
+
+def wsell_plan_native(r, c, n_rows: int, x_rows: int, window_f: int):
+    """Fused W-SELL layout plan (smm_wsell_plan): per-nnz (job, slot
+    row) plus per-job (8*K rows, window base, slab) — or None when the
+    native library is unavailable or the job key span is too large for
+    the dense map (caller falls back to the NumPy path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = r.shape[0]
+    job = np.empty(n, np.int64)
+    row = np.empty(n, np.int32)
+    job_rows = np.empty(n, np.int64)
+    job_base = np.empty(n, np.int64)
+    job_slab = np.empty(n, np.int64)
+    n_jobs = lib.smm_wsell_plan(
+        n, int(n_rows), int(x_rows), int(window_f),
+        np.ascontiguousarray(r, np.int64),
+        np.ascontiguousarray(c, np.int64),
+        job, row, job_rows, job_base, job_slab,
+    )
+    if n_jobs < 0:
+        return None
+    k = int(n_jobs)
+    return job, row, job_rows[:k], job_base[:k], job_slab[:k]
+
+
+def wsell_emit_native(
+    lsrc_shift: int, wrows: int, r, c, v: np.ndarray, job, row,
+    vreg_start_of_job, base_vreg,
+    vals_plane: np.ndarray, meta_plane: np.ndarray,
+) -> Optional[bool]:
+    """Scatter the W-SELL vals/meta planes in place (smm_wsell_emit).
+    Returns True on success, None if unavailable/unsupported dtype.
+    Raises AssertionError when a window sublane falls outside
+    [0, wrows) (parity with the NumPy path's invariant check)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if v.dtype == np.float64 and vals_plane.dtype == np.float64:
+        dtype64 = 1
+    elif v.dtype == np.float32 and vals_plane.dtype == np.float32:
+        dtype64 = 0
+    else:
+        return None
+    assert vals_plane.flags["C_CONTIGUOUS"] and meta_plane.flags["C_CONTIGUOUS"]
+    rc = lib.smm_wsell_emit(
+        r.shape[0], int(lsrc_shift), int(wrows), dtype64,
+        np.ascontiguousarray(r, np.int64),
+        np.ascontiguousarray(c, np.int64),
+        np.ascontiguousarray(v).ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(job, np.int64),
+        np.ascontiguousarray(row, np.int32),
+        np.ascontiguousarray(vreg_start_of_job, np.int64),
+        np.ascontiguousarray(base_vreg, np.int32),
+        vals_plane.ctypes.data_as(ctypes.c_void_p),
+        meta_plane,
+    )
+    if rc != 0:
+        raise AssertionError(
+            f"window base math violated sw in [0, {wrows})"
+        )
+    return True

@@ -20,6 +20,93 @@
 #include <cstring>
 #include <vector>
 
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+namespace {
+
+inline int thread_count() {
+#if defined(_OPENMP)
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
+// Parallel stable LSD radix-sort permutation of uint64 keys (11-bit
+// digits).  Stability per pass: threads own contiguous input chunks and
+// scatter through per-(digit, thread) offsets accumulated in thread
+// order, so equal keys keep their relative order.
+void radix_sort_perm(int64_t n, const uint64_t* key, int key_bits,
+                     int64_t* perm_out) {
+  if (n <= 0) return;
+  constexpr int kDigitBits = 11;
+  constexpr int kBuckets = 1 << kDigitBits;
+  const int T = thread_count();
+  std::vector<int64_t> tmp(static_cast<size_t>(n));
+  std::vector<int64_t> hist(static_cast<size_t>(T) * kBuckets);
+  int64_t* cur = perm_out;
+  int64_t* nxt = tmp.data();
+  for (int64_t i = 0; i < n; ++i) cur[i] = i;
+  const int64_t chunk = (n + T - 1) / T;
+  for (int shift = 0; shift < key_bits; shift += kDigitBits) {
+    const uint64_t mask = (shift + kDigitBits >= 64)
+                              ? (~0ull >> shift)
+                              : ((1ull << kDigitBits) - 1);
+#pragma omp parallel num_threads(T)
+    {
+#if defined(_OPENMP)
+      const int t = omp_get_thread_num();
+#else
+      const int t = 0;
+#endif
+      int64_t* h = hist.data() + static_cast<size_t>(t) * kBuckets;
+      std::memset(h, 0, sizeof(int64_t) * kBuckets);
+      const int64_t lo = t * chunk;
+      const int64_t hi = lo + chunk < n ? lo + chunk : n;
+      for (int64_t i = lo; i < hi; ++i)
+        ++h[(key[cur[i]] >> shift) & mask];
+    }
+    int64_t run = 0;
+    for (int b = 0; b < kBuckets; ++b)
+      for (int t = 0; t < T; ++t) {
+        int64_t& c = hist[static_cast<size_t>(t) * kBuckets + b];
+        const int64_t v = c;
+        c = run;
+        run += v;
+      }
+#pragma omp parallel num_threads(T)
+    {
+#if defined(_OPENMP)
+      const int t = omp_get_thread_num();
+#else
+      const int t = 0;
+#endif
+      int64_t* h = hist.data() + static_cast<size_t>(t) * kBuckets;
+      const int64_t lo = t * chunk;
+      const int64_t hi = lo + chunk < n ? lo + chunk : n;
+      for (int64_t i = lo; i < hi; ++i)
+        nxt[h[(key[cur[i]] >> shift) & mask]++] = cur[i];
+    }
+    int64_t* t2 = cur;
+    cur = nxt;
+    nxt = t2;
+  }
+  if (cur != perm_out)
+    std::memcpy(perm_out, cur, static_cast<size_t>(n) * sizeof(int64_t));
+}
+
+// Permute one int64 array in place through a scratch buffer.
+inline void apply_perm_inplace(int64_t n, const int64_t* perm, int64_t* arr,
+                               int64_t* scratch) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) scratch[i] = arr[perm[i]];
+  std::memcpy(arr, scratch, static_cast<size_t>(n) * sizeof(int64_t));
+}
+
+}  // namespace
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -312,6 +399,182 @@ int64_t smm_wsell_color(int64_t nnz, int64_t n_jobs, const int64_t* job,
 }
 
 // ---------------------------------------------------------------------------
+// Fused W-SELL layout planner (formats/wsell.py:_wsell_from_coo, the
+// per-element phases): derive the per-nnz layout fields from (r, c),
+// map nnz to (slab, aligned window-stack) jobs via a dense presence
+// map, and first-fit colour slot rows per (job, target-sublane) group —
+// all in one call so the Python layer never materialises the nnz-sized
+// int64 field arrays.  Outputs: per-nnz job id + slot row, per-job
+// 8*K row count / window base / slab (capacity n; first n_jobs valid).
+// Returns n_jobs; -1 on bad input; -3 when the job key span is too
+// large for the dense map (caller falls back to NumPy np.unique).
+// ---------------------------------------------------------------------------
+int64_t smm_wsell_plan(int64_t n, int64_t n_rows, int64_t x_rows,
+                       int64_t window_f, const int64_t* r, const int64_t* c,
+                       int64_t* job_out, int32_t* row_out,
+                       int64_t* job_rows, int64_t* job_base,
+                       int64_t* job_slab) {
+  if (n <= 0 || window_f < 1 || window_f > 16 || x_rows < 8 * window_f)
+    return -1;
+  const int64_t wrows = 8 * window_f;
+  const int64_t wdim = (x_rows + wrows - 1) / wrows + 1;
+  const int64_t c_max = (x_rows << 7) - 1;
+  int64_t max_slab = 0;
+#pragma omp parallel for schedule(static) reduction(max : max_slab)
+  for (int64_t i = 0; i < n; ++i) {
+    // out-of-range r/c poison max_slab past the span cap -> return -1
+    const int64_t s = (r[i] < 0 || r[i] >= n_rows || c[i] < 0 ||
+                       c[i] > c_max)
+                          ? (int64_t{1} << 50)
+                          : (r[i] >> 10);
+    if (s > max_slab) max_slab = s;
+  }
+  if (max_slab >= (int64_t{1} << 50)) return -1;
+  const int64_t key_span = (max_slab + 1) * wdim;
+  const int64_t span_cap = 4 * n > (int64_t{1} << 26) ? 4 * n
+                                                      : (int64_t{1} << 26);
+  if (key_span > span_cap) return -3;
+
+  // dense presence map -> dense job ids in ascending (slab, window) order
+  std::vector<uint8_t> flags(static_cast<size_t>(key_span), 0);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i)
+    flags[static_cast<size_t>((r[i] >> 10) * wdim + (c[i] >> 7) / wrows)] = 1;
+  std::vector<int32_t> keypos(static_cast<size_t>(key_span));
+  int64_t n_jobs = 0;
+  for (int64_t k = 0; k < key_span; ++k) {
+    keypos[k] = static_cast<int32_t>(n_jobs);
+    if (flags[k]) {
+      job_base[n_jobs] = (k % wdim) * wrows;
+      if (job_base[n_jobs] > x_rows - wrows) job_base[n_jobs] = x_rows - wrows;
+      job_slab[n_jobs] = k / wdim;
+      ++n_jobs;
+    }
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i)
+    job_out[i] = keypos[static_cast<size_t>((r[i] >> 10) * wdim +
+                                            (c[i] >> 7) / wrows)];
+
+  // bucket entries by (job, target sublane) preserving input order
+  const int64_t n_groups = n_jobs * 8;
+  std::vector<int64_t> count(static_cast<size_t>(n_groups) + 1, 0);
+  for (int64_t i = 0; i < n; ++i)
+    ++count[job_out[i] * 8 + ((r[i] & 1023) >> 7) + 1];
+  for (int64_t g = 0; g < n_groups; ++g) count[g + 1] += count[g];
+  std::vector<int64_t> order(static_cast<size_t>(n));
+  {
+    std::vector<int64_t> cursor(count.begin(), count.end() - 1);
+    for (int64_t i = 0; i < n; ++i)
+      order[cursor[job_out[i] * 8 + ((r[i] & 1023) >> 7)]++] = i;
+  }
+
+  // first-fit colouring per (job, t) group, parallel over groups
+  for (int64_t j = 0; j < n_jobs; ++j) job_rows[j] = 0;
+  int err = 0;
+#pragma omp parallel
+  {
+    struct Row {
+      uint64_t lanes[2];   // output-lane occupancy
+      int8_t swv[128];     // window sublane per source lane (-1 = unset)
+    };
+    std::vector<Row> rows;
+#pragma omp for schedule(dynamic, 64)
+    for (int64_t g = 0; g < n_groups; ++g) {
+      const int64_t lo = count[g], hi = count[g + 1];
+      if (lo == hi) continue;
+      rows.clear();
+      bool bad = false;
+      for (int64_t i = lo; i < hi; ++i) {
+        const int64_t e = order[i];
+        const int ln = static_cast<int>(r[e] & 127);
+        const int ls = static_cast<int>(c[e] & 127);
+        const int64_t swl = (c[e] >> 7) % wrows;
+        if (swl < 0 || swl > 127) { bad = true; break; }
+        const int8_t s = static_cast<int8_t>(swl);
+        size_t k = 0;
+        for (; k < rows.size(); ++k) {
+          Row& rw = rows[k];
+          if (rw.lanes[ln >> 6] & (1ull << (ln & 63))) continue;
+          if (rw.swv[ls] != -1 && rw.swv[ls] != s) continue;
+          break;
+        }
+        if (k == rows.size()) {
+          rows.emplace_back();
+          Row& rw = rows.back();
+          rw.lanes[0] = rw.lanes[1] = 0;
+          std::memset(rw.swv, -1, sizeof rw.swv);
+        }
+        Row& rw = rows[k];
+        rw.lanes[ln >> 6] |= 1ull << (ln & 63);
+        rw.swv[ls] = s;
+        row_out[e] = static_cast<int32_t>(k);
+      }
+      if (bad) {
+#pragma omp atomic write
+        err = 1;
+        continue;
+      }
+      // K(job) = max over t of rows_t; accumulate 8*rows_t atomically
+      // (8 t-groups of one job may run on different threads)
+      const int64_t jr = static_cast<int64_t>(rows.size()) * 8;
+      int64_t* slot = &job_rows[g >> 3];
+      int64_t prev_v = __atomic_load_n(slot, __ATOMIC_RELAXED);
+      while (prev_v < jr &&
+             !__atomic_compare_exchange_n(slot, &prev_v, jr, true,
+                                          __ATOMIC_RELAXED,
+                                          __ATOMIC_RELAXED)) {
+      }
+    }
+  }
+  if (err) return -1;
+  return n_jobs;
+}
+
+// Fused W-SELL plane emission (formats/wsell.py:_wsell_from_coo, the
+// vals/meta scatters): computes each nnz's global slot row from the
+// planner outputs + the job->vreg placement, validates the window
+// sublane, and scatters value + packed meta.  vals_plane/meta_plane
+// arrive zero-initialised; dtype64 selects f32/f64 for v/vals_plane.
+// Returns 0, or -1 when a window sublane falls outside [0, wrows).
+int smm_wsell_emit(int64_t n, int64_t lsrc_shift, int64_t wrows, int dtype64,
+                   const int64_t* r, const int64_t* c, const void* v,
+                   const int64_t* job, const int32_t* row,
+                   const int64_t* vreg_start_of_job,
+                   const int32_t* base_vreg, void* vals_plane,
+                   int32_t* meta_plane) {
+  const float* vf = static_cast<const float*>(v);
+  const double* vd = static_cast<const double*>(v);
+  float* of = static_cast<float*>(vals_plane);
+  double* od = static_cast<double*>(vals_plane);
+  int err = 0;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t t = (r[i] & 1023) >> 7;
+    const int64_t lane = r[i] & 127;
+    const int64_t lsrc = c[i] & 127;
+    const int64_t rg = (vreg_start_of_job[job[i]] + row[i]) * 8 + t;
+    const int64_t sw = (c[i] >> 7) - base_vreg[rg >> 3];
+    if (sw < 0 || sw >= wrows) {
+#pragma omp atomic write
+      err = -1;
+      continue;
+    }
+    const int64_t slot = (rg << 7) | lane;
+    if (dtype64)
+      od[slot] = vd[i];
+    else
+      of[slot] = vf[i];
+    __atomic_fetch_or(&meta_plane[slot],
+                      static_cast<int32_t>(lsrc << lsrc_shift),
+                      __ATOMIC_RELAXED);
+    __atomic_fetch_or(&meta_plane[(rg << 7) | lsrc],
+                      static_cast<int32_t>(sw), __ATOMIC_RELAXED);
+  }
+  return err;
+}
+
+// ---------------------------------------------------------------------------
 // R-SELL closed-form stream-pass packer (formats/rsell.py:_pack_pass).
 //
 // Exact native reimplementation of the NumPy closed-form packer — same
@@ -329,6 +592,87 @@ int64_t smm_wsell_color(int64_t nnz, int64_t n_jobs, const int64_t* job,
 // the overflow loop fails to converge (duplicate flood, matches the
 // Python ValueError).
 // ---------------------------------------------------------------------------
+// Per-group scratch for the pack loop; one instance per thread.
+struct _PackScratch {
+  std::vector<int32_t> live, next_live, sorted;
+  std::vector<int64_t> counts;
+  std::vector<uint8_t> fit;
+};
+
+// Pack one group's elements [e0, e1).  Returns the group's row count,
+// -1 on out-of-range input, -2 on non-convergence.
+static int64_t _pack_one_group(int64_t e0, int64_t e1, int64_t g,
+                               int64_t wrows, int64_t ndk,
+                               const int64_t* sigma, const int64_t* lam,
+                               const int64_t* nd, int32_t* row_out,
+                               int32_t* lane_out, _PackScratch& s) {
+  const int64_t m = e1 - e0;
+  int32_t last_sig[128];
+  int32_t lane_cnt[128];
+  // initial rows: distinct-rank of sigma per source lane (streaming)
+  for (int k = 0; k < 128; ++k) { last_sig[k] = -1; lane_cnt[k] = 0; }
+  for (int64_t i = e0; i < e1; ++i) {
+    const int64_t ln = lam[i], sg = sigma[i];
+    if (ln < 0 || ln > 127 || sg < 0 || sg >= wrows) return -1;
+    if (static_cast<int32_t>(sg) != last_sig[ln]) {
+      last_sig[ln] = static_cast<int32_t>(sg);
+      ++lane_cnt[ln];
+    }
+    row_out[i] = lane_cnt[ln] - 1;
+  }
+  s.live.resize(m);
+  for (int64_t u = 0; u < m; ++u) s.live[u] = static_cast<int32_t>(u);
+  s.fit.assign(m, 0);
+  int64_t rows = 0;
+  int iter = 0;
+  for (; iter < 64 && !s.live.empty(); ++iter) {
+    int64_t rmin = row_out[e0 + s.live[0]], rmax = rmin;
+    for (const int32_t u : s.live) {
+      const int64_t r = row_out[e0 + u];
+      if (r < rmin) rmin = r;
+      if (r > rmax) rmax = r;
+    }
+    const int64_t nk = (rmax - rmin + 1) * ndk;
+    s.counts.assign(nk + 1, 0);
+    for (const int32_t u : s.live)
+      ++s.counts[(row_out[e0 + u] - rmin) * ndk + nd[e0 + u] + 1];
+    for (int64_t k = 1; k <= nk; ++k) s.counts[k] += s.counts[k - 1];
+    s.sorted.resize(s.live.size());
+    for (const int32_t u : s.live)  // stable: live is in pos order
+      s.sorted[s.counts[(row_out[e0 + u] - rmin) * ndk + nd[e0 + u]]++] = u;
+    // rank within (row) runs of the (row, nd, pos) order; fits get
+    // the stride-scattered lane, the rest re-rank into fresh rows
+    int64_t prev_row = -1, rank = 0;
+    for (const int32_t u : s.sorted) {
+      const int64_t r = row_out[e0 + u];
+      if (r != prev_row) { prev_row = r; rank = 0; } else ++rank;
+      if (rank < 128) {
+        lane_out[e0 + u] =
+            static_cast<int32_t>((rank * 67 + (r + g) * 53) & 127);
+        if (r + 1 > rows) rows = r + 1;
+        s.fit[u] = 1;
+      } else {
+        s.fit[u] = 0;
+      }
+    }
+    for (int k = 0; k < 128; ++k) { last_sig[k] = -1; lane_cnt[k] = 0; }
+    s.next_live.clear();
+    for (const int32_t u : s.live) {  // original (pos) order
+      if (s.fit[u]) continue;
+      const int64_t ln = lam[e0 + u], sg = sigma[e0 + u];
+      if (static_cast<int32_t>(sg) != last_sig[ln]) {
+        last_sig[ln] = static_cast<int32_t>(sg);
+        ++lane_cnt[ln];
+      }
+      row_out[e0 + u] = static_cast<int32_t>(rows + lane_cnt[ln] - 1);
+      s.next_live.push_back(u);
+    }
+    s.live.swap(s.next_live);
+  }
+  if (!s.live.empty()) return -2;
+  return rows;
+}
+
 int64_t smm_stream_pack_cf(int64_t n_elems, int64_t n_groups, int64_t wrows,
                            const int64_t* group, const int64_t* sigma,
                            const int64_t* lam, const int64_t* nd,
@@ -337,87 +681,49 @@ int64_t smm_stream_pack_cf(int64_t n_elems, int64_t n_groups, int64_t wrows,
   for (int64_t g = 0; g < n_groups; ++g) group_rows[g] = 0;
   if (n_elems == 0) return 0;
   int64_t nd_max = 0;
+#pragma omp parallel for schedule(static) reduction(max : nd_max)
   for (int64_t i = 0; i < n_elems; ++i) {
-    if (nd[i] < 0) return -1;
-    if (nd[i] > nd_max) nd_max = nd[i];
+    // negative nd poisons the max; checked after the loop
+    const int64_t v = nd[i] < 0 ? (int64_t{1} << 40) : nd[i];
+    if (v > nd_max) nd_max = v;
   }
+  if (nd_max >= (int64_t{1} << 40)) return -1;
   const int64_t ndk = nd_max + 1;
-  std::vector<int32_t> live, next_live, sorted;
-  std::vector<int64_t> counts;
-  std::vector<uint8_t> fit;
-  int32_t last_sig[128];
-  int32_t lane_cnt[128];
-  int64_t max_rows = 0;
-  int64_t e = 0;
-  while (e < n_elems) {
-    const int64_t g = group[e];
-    if (g < 0 || g >= n_groups) return -1;
-    const int64_t e0 = e;
-    while (e < n_elems && group[e] == g) ++e;
-    const int64_t m = e - e0;
-    // initial rows: distinct-rank of sigma per source lane (streaming)
-    for (int k = 0; k < 128; ++k) { last_sig[k] = -1; lane_cnt[k] = 0; }
-    for (int64_t i = e0; i < e; ++i) {
-      const int64_t ln = lam[i], sg = sigma[i];
-      if (ln < 0 || ln > 127 || sg < 0 || sg >= wrows) return -1;
-      if (static_cast<int32_t>(sg) != last_sig[ln]) {
-        last_sig[ln] = static_cast<int32_t>(sg);
-        ++lane_cnt[ln];
-      }
-      row_out[i] = lane_cnt[ln] - 1;
+  // group run boundaries (groups are dense ids, nondecreasing)
+  std::vector<int64_t> starts;
+  starts.reserve(n_groups + 1);
+  int64_t prev = -1;
+  for (int64_t i = 0; i < n_elems; ++i) {
+    const int64_t g = group[i];
+    if (g != prev) {
+      if (g < 0 || g >= n_groups || g < prev) return -1;
+      starts.push_back(i);
+      prev = g;
     }
-    live.resize(m);
-    for (int64_t u = 0; u < m; ++u) live[u] = static_cast<int32_t>(u);
-    fit.assign(m, 0);
-    int iter = 0;
-    for (; iter < 64 && !live.empty(); ++iter) {
-      int64_t rmin = row_out[e0 + live[0]], rmax = rmin;
-      for (const int32_t u : live) {
-        const int64_t r = row_out[e0 + u];
-        if (r < rmin) rmin = r;
-        if (r > rmax) rmax = r;
-      }
-      const int64_t nk = (rmax - rmin + 1) * ndk;
-      counts.assign(nk + 1, 0);
-      for (const int32_t u : live)
-        ++counts[(row_out[e0 + u] - rmin) * ndk + nd[e0 + u] + 1];
-      for (int64_t k = 1; k <= nk; ++k) counts[k] += counts[k - 1];
-      sorted.resize(live.size());
-      for (const int32_t u : live)  // stable: live is in pos order
-        sorted[counts[(row_out[e0 + u] - rmin) * ndk + nd[e0 + u]]++] = u;
-      // rank within (row) runs of the (row, nd, pos) order; fits get
-      // the stride-scattered lane, the rest re-rank into fresh rows
-      int64_t prev_row = -1, rank = 0;
-      for (const int32_t u : sorted) {
-        const int64_t r = row_out[e0 + u];
-        if (r != prev_row) { prev_row = r; rank = 0; } else ++rank;
-        if (rank < 128) {
-          lane_out[e0 + u] =
-              static_cast<int32_t>((rank * 67 + (r + g) * 53) & 127);
-          if (r + 1 > group_rows[g]) group_rows[g] = r + 1;
-          fit[u] = 1;
-        } else {
-          fit[u] = 0;
-        }
-      }
-      for (int k = 0; k < 128; ++k) { last_sig[k] = -1; lane_cnt[k] = 0; }
-      const int64_t base = group_rows[g];
-      next_live.clear();
-      for (const int32_t u : live) {  // original (pos) order
-        if (fit[u]) continue;
-        const int64_t ln = lam[e0 + u], sg = sigma[e0 + u];
-        if (static_cast<int32_t>(sg) != last_sig[ln]) {
-          last_sig[ln] = static_cast<int32_t>(sg);
-          ++lane_cnt[ln];
-        }
-        row_out[e0 + u] = static_cast<int32_t>(base + lane_cnt[ln] - 1);
-        next_live.push_back(u);
-      }
-      live.swap(next_live);
-    }
-    if (!live.empty()) return -2;
-    if (group_rows[g] > max_rows) max_rows = group_rows[g];
   }
+  starts.push_back(n_elems);
+  const int64_t n_runs = static_cast<int64_t>(starts.size()) - 1;
+  int64_t max_rows = 0;
+  int err = 0;
+#pragma omp parallel
+  {
+    _PackScratch s;
+#pragma omp for schedule(dynamic, 64) reduction(max : max_rows)
+    for (int64_t k = 0; k < n_runs; ++k) {
+      const int64_t e0 = starts[k], e1 = starts[k + 1];
+      const int64_t g = group[e0];
+      const int64_t rows = _pack_one_group(e0, e1, g, wrows, ndk, sigma,
+                                           lam, nd, row_out, lane_out, s);
+      if (rows < 0) {
+#pragma omp atomic write
+        err = static_cast<int>(rows);
+        continue;
+      }
+      group_rows[g] = rows;
+      if (rows > max_rows) max_rows = rows;
+    }
+  }
+  if (err != 0) return err;
   return max_rows;
 }
 
@@ -434,39 +740,11 @@ int64_t smm_stream_pack_cf(int64_t n_elems, int64_t n_groups, int64_t wrows,
 // implementations as fallback and executable specification.
 // ---------------------------------------------------------------------------
 
-// Stable LSD radix-sort permutation of uint64 keys (11-bit digits).
+// Stable LSD radix-sort permutation of uint64 keys (parallel).
 // perm_out[i] = index of the i-th smallest key (ties in input order).
 void smm_sort_perm(int64_t n, const uint64_t* key, int key_bits,
                    int64_t* perm_out) {
-  if (n <= 0) return;
-  constexpr int kDigitBits = 11;
-  constexpr int kBuckets = 1 << kDigitBits;
-  std::vector<int64_t> tmp(static_cast<size_t>(n));
-  int64_t* cur = perm_out;
-  int64_t* nxt = tmp.data();
-  for (int64_t i = 0; i < n; ++i) cur[i] = i;
-  int64_t hist[kBuckets];
-  for (int shift = 0; shift < key_bits; shift += kDigitBits) {
-    const uint64_t mask = (shift + kDigitBits >= 64)
-                              ? (~0ull >> shift)
-                              : ((1ull << kDigitBits) - 1);
-    std::memset(hist, 0, sizeof hist);
-    for (int64_t i = 0; i < n; ++i)
-      ++hist[(key[cur[i]] >> shift) & mask];
-    int64_t run = 0;
-    for (int b = 0; b < kBuckets; ++b) {
-      const int64_t c = hist[b];
-      hist[b] = run;
-      run += c;
-    }
-    for (int64_t i = 0; i < n; ++i)
-      nxt[hist[(key[cur[i]] >> shift) & mask]++] = cur[i];
-    int64_t* t = cur;
-    cur = nxt;
-    nxt = t;
-  }
-  if (cur != perm_out)
-    std::memcpy(perm_out, cur, static_cast<size_t>(n) * sizeof(int64_t));
+  radix_sort_perm(n, key, key_bits, perm_out);
 }
 
 // Grouping pass for one stream level.  Inputs sorted by (bucket, pos);
@@ -496,6 +774,58 @@ int64_t smm_stream_group(int64_t n, int64_t wrows, const int64_t* bucket,
   return g + 1;
 }
 
+// Fused per-level reorder + grouping for the routed chain
+// (formats/rsell.py:routed_from_csr's loop body up to _pack_pass):
+//   1. prefix <- prefix*d + (leaf/wt)%d        (the level's bucket id)
+//   2. stable sort all carried arrays by (prefix, pos) — key packed as
+//      (prefix << pos_bits) | pos, key_bits total
+//   3. nd <- (leaf/wt_next)%d_next, or slab_in_leaf when wt_next < 0
+//   4. grouping as smm_stream_group
+// prefix/pos/order/leaf/slab_in_leaf are updated IN PLACE (sorted).
+// Returns n_groups, or -1 on bad input.
+int64_t smm_stream_level(int64_t n, int64_t wrows, int64_t d, int64_t wt,
+                         int64_t d_next, int64_t wt_next, int64_t pos_bits,
+                         int64_t key_bits, int64_t* prefix, int64_t* pos,
+                         int64_t* order, int64_t* leaf,
+                         int64_t* slab_in_leaf, int64_t* nd, int64_t* group,
+                         int64_t* sigma, int64_t* lam,
+                         int64_t* group_stack) {
+  if (n <= 0 || wrows <= 0 || d <= 0 || wt <= 0 || pos_bits <= 0 ||
+      key_bits <= pos_bits || key_bits > 64)
+    return -1;
+  std::vector<uint64_t> key(static_cast<size_t>(n));
+  const uint64_t pos_mask = (pos_bits >= 64) ? ~0ull
+                                             : ((1ull << pos_bits) - 1);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t p = static_cast<uint64_t>(prefix[i]) * d +
+                       (static_cast<uint64_t>(leaf[i]) / wt) % d;
+    key[i] = (p << pos_bits) | static_cast<uint64_t>(pos[i]);
+  }
+  std::vector<int64_t> perm(static_cast<size_t>(n));
+  radix_sort_perm(n, key.data(), static_cast<int>(key_bits), perm.data());
+  // sorted prefix/pos come straight out of the gathered keys; the other
+  // carried arrays permute through a scratch buffer
+  std::vector<int64_t> scratch(static_cast<size_t>(n));
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t k = key[perm[i]];
+    prefix[i] = static_cast<int64_t>(k >> pos_bits);
+    pos[i] = static_cast<int64_t>(k & pos_mask);
+  }
+  apply_perm_inplace(n, perm.data(), order, scratch.data());
+  apply_perm_inplace(n, perm.data(), leaf, scratch.data());
+  apply_perm_inplace(n, perm.data(), slab_in_leaf, scratch.data());
+  if (wt_next > 0) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) nd[i] = (leaf[i] / wt_next) % d_next;
+  } else {
+    std::memcpy(nd, slab_in_leaf, static_cast<size_t>(n) * sizeof(int64_t));
+  }
+  return smm_stream_group(n, wrows, prefix, pos, group, sigma, lam,
+                          group_stack);
+}
+
 // Plane emission for one stream level: scatter values/meta into the
 // (total_rows_padded x 128) planes and compute each element's new
 // position.  row_off = per-group padded row offsets (from Python's tiny
@@ -511,6 +841,10 @@ void smm_stream_emit(int64_t n, int64_t sw_bits, int dtype64,
                      int64_t* out_pos) {
   float* vf = static_cast<float*>(vals_plane);
   double* vd = static_cast<double*>(vals_plane);
+  // vals/out_pos slots are unique per element (one element per
+  // (row, out-lane)); the two meta fields can land in the same int32
+  // cell from two different elements, hence the atomic OR.
+#pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
     const int64_t rg = row_off[group[i]] + row_in_group[i];
     const int64_t slot = (rg << 7) | out_lane[i];
@@ -519,8 +853,11 @@ void smm_stream_emit(int64_t n, int64_t sw_bits, int dtype64,
       vd[slot] = 1.0;
     else
       vf[slot] = 1.0f;
-    meta_plane[slot] |= static_cast<int32_t>(lam[i]) << sw_bits;
-    meta_plane[(rg << 7) | lam[i]] |= static_cast<int32_t>(sigma[i]);
+    __atomic_fetch_or(&meta_plane[slot],
+                      static_cast<int32_t>(lam[i]) << sw_bits,
+                      __ATOMIC_RELAXED);
+    __atomic_fetch_or(&meta_plane[(rg << 7) | lam[i]],
+                      static_cast<int32_t>(sigma[i]), __ATOMIC_RELAXED);
   }
 }
 
