@@ -119,7 +119,8 @@ class SGSPreconditioner:
 
     @classmethod
     def from_matrix(
-        cls, a: CSRMatrix, *, method: str = "auto", sweeps="exact"
+        cls, a: CSRMatrix, *, method: str = "auto", sweeps="exact",
+        strict_layout: str = "auto",
     ) -> "SGSPreconditioner":
         diag, (ld, li, lr), (ud, ui, ur) = _host_split(a)
         if np.any(np.abs(diag) < _SGS_MIN_DIAG):
@@ -129,10 +130,12 @@ class SGSPreconditioner:
             )
         n = a.shape[0]
         fwd = _strict_to_triangular(
-            ld, li, lr, diag, n, lower=True, method=method, sweeps=sweeps
+            ld, li, lr, diag, n, lower=True, method=method, sweeps=sweeps,
+            strict_layout=strict_layout,
         )
         bwd = _strict_to_triangular(
-            ud, ui, ur, diag, n, lower=False, method=method, sweeps=sweeps
+            ud, ui, ur, diag, n, lower=False, method=method, sweeps=sweeps,
+            strict_layout=strict_layout,
         )
         return cls(fwd=fwd, bwd=bwd, diag=jnp.asarray(diag))
 
@@ -155,7 +158,8 @@ class ILU0Preconditioner:
 
     @classmethod
     def from_matrix(
-        cls, a: CSRMatrix, *, method: str = "auto", sweeps="exact"
+        cls, a: CSRMatrix, *, method: str = "auto", sweeps="exact",
+        strict_layout: str = "auto",
     ) -> "ILU0Preconditioner":
         data = np.asarray(a.data, dtype=np.float64)
         indices = np.asarray(a.indices, dtype=np.int64)
@@ -169,9 +173,11 @@ class ILU0Preconditioner:
         lower = _strict_to_triangular(
             ld, li, lr, np.ones(n, dtype=dtype), n,
             lower=True, method=method, sweeps=sweeps,
+            strict_layout=strict_layout,
         )
         upper = _strict_to_triangular(
-            ud, ui, ur, diag_f, n, lower=False, method=method, sweeps=sweeps
+            ud, ui, ur, diag_f, n, lower=False, method=method, sweeps=sweeps,
+            strict_layout=strict_layout,
         )
         return cls(lower=lower, upper=upper)
 
@@ -193,7 +199,8 @@ class IC0Preconditioner:
 
     @classmethod
     def from_matrix(
-        cls, a: CSRMatrix, *, method: str = "auto", sweeps="exact"
+        cls, a: CSRMatrix, *, method: str = "auto", sweeps="exact",
+        strict_layout: str = "auto",
     ) -> "IC0Preconditioner":
         data = np.asarray(a.data, dtype=np.float64)
         indices = np.asarray(a.indices, dtype=np.int64)
@@ -203,7 +210,8 @@ class IC0Preconditioner:
         lv = lv.astype(dtype)
         n = a.shape[0]
         lower = triangular_from_csr_arrays(
-            lv, lidx, lptr, lower=True, method=method, sweeps=sweeps
+            lv, lidx, lptr, lower=True, method=method, sweeps=sweeps,
+            strict_layout=strict_layout,
         )
         # transpose L -> upper CSR (host)
         row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(lptr))
@@ -213,7 +221,8 @@ class IC0Preconditioner:
         np.add.at(t_ptr[1:], t_rows, 1)
         np.cumsum(t_ptr, out=t_ptr)
         upper = triangular_from_csr_arrays(
-            t_vals, t_cols, t_ptr, lower=False, method=method, sweeps=sweeps
+            t_vals, t_cols, t_ptr, lower=False, method=method, sweeps=sweeps,
+            strict_layout=strict_layout,
         )
         return cls(lower=lower, upper=upper)
 
@@ -263,7 +272,8 @@ def _host_split(a: CSRMatrix):
 
 
 def _strict_to_triangular(
-    s_data, s_idx, s_row, diag, n, *, lower, method, sweeps
+    s_data, s_idx, s_row, diag, n, *, lower, method, sweeps,
+    strict_layout="auto",
 ) -> TriangularMatrix:
     """Assemble a TriangularMatrix from strict-part COO + separate diagonal."""
     counts = np.zeros(n, dtype=np.int64)
@@ -296,7 +306,8 @@ def _strict_to_triangular(
         out_val[dst] = sd
         out_idx[dst] = si
     return triangular_from_csr_arrays(
-        out_val, out_idx, indptr, lower=lower, method=method, sweeps=sweeps
+        out_val, out_idx, indptr, lower=lower, method=method, sweeps=sweeps,
+        strict_layout=strict_layout,
     )
 
 

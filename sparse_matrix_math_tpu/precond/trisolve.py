@@ -18,6 +18,15 @@ IC0 h:1802-1837) — inherently serial, the main TPU-design challenge
   solve used by GPU/TPU preconditioning.  Each sweep is one fully
   parallel SpMV — this is the scalable path.
 
+The per-sweep strict SpMV itself runs through the W-SELL Pallas layout
+(``strict_layout``) when the strict pattern packs under the slot-ratio
+cap — the same kernel hierarchy every solver uses — so SGS/IC0/ILU0
+applies reach production speed on ARBITRARY patterns, not just DIA
+stencils (the reference applies SGS to any CSR matrix,
+include/sparse_matrix_math.h:1672-1711; precond/padded_sgs.py is the
+stencil-only fused variant).  Patterns that do not pack fall back to
+the XLA take/segment-sum strict SpMV.
+
 The dependency depth is computed at build time (host side) via level
 scheduling, so ``sweeps="exact"`` is available without guessing.
 """
@@ -52,6 +61,10 @@ class TriangularMatrix:
     row_ids: jnp.ndarray   # (snnz,) int32
     diag: jnp.ndarray      # (n,)
     dense: Optional[jnp.ndarray]  # (n, n) materialised factor, or None
+    # strict part in the W-SELL Pallas layout (formats/wsell.py), or
+    # None — when present, every Jacobi sweep's strict SpMV runs the
+    # Pallas kernel instead of take/segment_sum
+    wsell: Optional[object]
     n: int = dataclasses.field(metadata=dict(static=True))
     lower: bool = dataclasses.field(metadata=dict(static=True))
     depth: int = dataclasses.field(metadata=dict(static=True))
@@ -59,6 +72,10 @@ class TriangularMatrix:
     sweeps: int = dataclasses.field(metadata=dict(static=True))
 
     def _strict_matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.wsell is not None:
+            from ..ops.spmv import rmult
+
+            return rmult(self.wsell, x)
         d = self.data[:, None] if x.ndim == 2 else self.data
         g = d * jnp.take(x, self.indices, axis=0)
         return jax.ops.segment_sum(
@@ -99,6 +116,7 @@ def triangular_from_csr_arrays(
     method: str = "auto",
     sweeps="exact",
     dense_threshold: int = 4096,
+    strict_layout: str = "auto",
 ) -> TriangularMatrix:
     """Build a :class:`TriangularMatrix` from host CSR arrays of a
     triangular matrix (diagonal entries may be present; they are split
@@ -106,6 +124,13 @@ def triangular_from_csr_arrays(
 
     ``method="auto"`` picks ``dense`` for n <= dense_threshold else
     ``jacobi``.  ``sweeps="exact"`` uses the level-scheduling depth.
+
+    ``strict_layout`` selects how Jacobi sweeps compute the strict SpMV:
+    ``"wsell"`` forces the W-SELL Pallas layout (falls back to
+    segment-sum when the pattern pads past the slot-ratio cap),
+    ``"csr"`` forces take/segment_sum, and ``"auto"`` uses W-SELL on the
+    TPU backend only (the CPU fallback would run the kernel in slow
+    interpret mode).
     """
     data = np.asarray(data)
     indices = np.asarray(indices, dtype=np.int64)
@@ -163,12 +188,36 @@ def triangular_from_csr_arrays(
         dmat[np.arange(n), np.arange(n)] = diag
         dense = jnp.asarray(dmat)
 
+    if strict_layout not in ("auto", "wsell", "csr"):
+        raise ValueError(f"unknown strict_layout {strict_layout!r}")
+    wsell = None
+    if (
+        method == "jacobi"
+        and s_data.size
+        and (
+            strict_layout == "wsell"
+            or (strict_layout == "auto" and jax.default_backend() == "tpu")
+        )
+    ):
+        from ..formats.wsell import _wsell_from_coo
+
+        for wf in (1, 8):  # narrow windows first; wide for scattered
+            try:
+                wsell = _wsell_from_coo(
+                    s_row, s_idx, s_data, (n, n), int(s_data.size),
+                    max_slot_ratio=8.0, window_f=wf,
+                )
+                break
+            except ValueError:
+                wsell = None  # pads past the cap — try wider / fall back
+
     return TriangularMatrix(
         data=jnp.asarray(s_data),
         indices=jnp.asarray(s_idx.astype(np.int32)),
         row_ids=jnp.asarray(s_row.astype(np.int32)),
         diag=jnp.asarray(diag),
         dense=dense,
+        wsell=wsell,
         n=int(n),
         lower=bool(lower),
         depth=int(depth),

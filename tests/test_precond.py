@@ -422,3 +422,57 @@ class TestPaddedTriPair:
         b = a @ jnp.ones(a.shape[0], jnp.float32)
         res = cg(a, b, epsilon=1e-5, preconditioner=pre)
         assert res.status_enum() == SolverStatus.SUCCESS
+
+
+class TestWSellStrictLayout:
+    """Jacobi-sweep triangular applies with the strict part in the
+    W-SELL Pallas layout (general-pattern production path) must match
+    the take/segment_sum strict SpMV bit-for-logic."""
+
+    @pytest.mark.parametrize("kind", ["sgs", "ic0", "ilu0"])
+    def test_apply_matches_csr_strict(self, kind):
+        # dense enough strict pattern that the W-SELL slot-ratio cap
+        # accepts it (poisson_2d 48x48 -> n=2304, ~2 strict nnz/row/side)
+        a = poisson_2d(48, dtype=np.float32)
+        pre_ws = get_preconditioner(
+            a, kind, method="jacobi", sweeps=4, strict_layout="wsell"
+        )
+        pre_cs = get_preconditioner(
+            a, kind, method="jacobi", sweeps=4, strict_layout="csr"
+        )
+        tri = pre_ws.fwd if kind == "sgs" else pre_ws.lower
+        assert tri.wsell is not None, "strict pattern should pack"
+        r = jnp.asarray(
+            np.random.default_rng(1).standard_normal(a.shape[0]).astype(
+                np.float32
+            )
+        )
+        np.testing.assert_allclose(
+            np.asarray(pre_ws.apply(r)), np.asarray(pre_cs.apply(r)),
+            rtol=2e-5, atol=2e-5,
+        )
+
+    def test_apply_matches_panel(self):
+        a = poisson_2d(48, dtype=np.float32)
+        pre = get_preconditioner(
+            a, "sgs", method="jacobi", sweeps=3, strict_layout="wsell"
+        )
+        r = jnp.asarray(
+            np.random.default_rng(2).standard_normal(
+                (a.shape[0], 3)
+            ).astype(np.float32)
+        )
+        cols = jnp.stack([pre.apply(r[:, j]) for j in range(3)], axis=1)
+        np.testing.assert_allclose(
+            np.asarray(pre.apply(r)), np.asarray(cols), rtol=2e-5, atol=2e-5
+        )
+
+    def test_pcg_sgs_wsell_converges(self):
+        a = poisson_2d(40, dtype=np.float32)
+        pre = get_preconditioner(
+            a, "sgs", method="jacobi", sweeps=6, strict_layout="wsell"
+        )
+        b = a @ jnp.ones(a.shape[0], jnp.float32)
+        res = cg(a, b, epsilon=1e-5, preconditioner=pre)
+        assert res.status_enum() == SolverStatus.SUCCESS
+        assert float(jnp.max(jnp.abs(res.x - 1.0))) < 1e-3
