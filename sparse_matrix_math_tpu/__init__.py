@@ -13,7 +13,9 @@ reference library vasil-pashov/sparse_matrix_math (see SURVEY.md):
 * Krylov solvers as jitted while_loops: ConjugateGradient (plain +
   preconditioned + pipelined + mixed-precision + deflated + multi-RHS),
   BiCGSymmetric, ConjugateGradientSquared, BiCGStab, restarted GMRES,
-  Chebyshev semi-iteration
+  Chebyshev semi-iteration; ``cg_df64`` runs the whole recurrence in
+  double-word f32 (ops/df32.py) for 1e-8-grade solves on hardware
+  without native f64 (pair with ``load_matrix_df``)
 * preconditioners: Identity, Jacobi, Symmetric Gauss-Seidel, ILU(0),
   IC(0) with TPU triangular-solve strategies (fused Pallas halo-sweep
   kernels on the padded stencil domain), Chebyshev polynomial;
@@ -39,7 +41,7 @@ from .formats.hyb import HYBMatrix, hyb_from_csr
 from .formats.triplet import COOArrays, TripletMatrix, coo_from_arrays
 from .formats.rsell import RoutedMatrix, routed_from_csr, try_routed_from_csr
 from .formats.wsell import WSellMatrix, try_wsell_from_csr, wsell_from_csr
-from .io.dispatch import load_matrix, load_matrix_csr
+from .io.dispatch import load_matrix, load_matrix_csr, load_matrix_df
 from .io.matrix_market import MatrixLoadStatus, MatrixMarketError, load_matrix_market
 from .io.smmdt import load_smmdt, save_dense_text
 from .ops.spmv import rmult, rmult_add, rmult_sub
@@ -62,6 +64,14 @@ from .solvers.cg import cg, conjugate_gradient
 from .solvers.cgs import cgs, conjugate_gradient_squared
 from .solvers.chebyshev import chebyshev, lanczos_extremal
 from .solvers.deflated import deflated_cg, lanczos_deflation_basis
+from .solvers.df64 import DfSolveResult, cg_df64
+from .ops.df32 import (
+    DfDiaMatrix,
+    DfEllMatrix,
+    df_from_host,
+    df_operator_from_host_csr,
+    df_to_host,
+)
 from .solvers.gmres import gmres
 from .solvers.implicit import cg_solve
 from .solvers.mixed import mixed_cg
@@ -87,7 +97,8 @@ __all__ = [
     "COOArrays", "TripletMatrix", "coo_from_arrays",
     "WSellMatrix", "wsell_from_csr", "try_wsell_from_csr",
     "RoutedMatrix", "routed_from_csr", "try_routed_from_csr",
-    "load_matrix", "load_matrix_csr", "load_matrix_market", "load_smmdt",
+    "load_matrix", "load_matrix_csr", "load_matrix_df", "load_matrix_market",
+    "load_smmdt",
     "save_dense_text", "MatrixLoadStatus", "MatrixMarketError",
     "rmult", "rmult_add", "rmult_sub",
     "axpy", "dot", "norm2", "norm2_squared",
@@ -98,6 +109,8 @@ __all__ = [
     "cgs", "conjugate_gradient_squared", "cg_solve",
     "chebyshev", "lanczos_extremal", "cg_pipelined", "mixed_cg",
     "deflated_cg", "lanczos_deflation_basis", "gmres",
+    "DfDiaMatrix", "DfEllMatrix", "DfSolveResult", "cg_df64",
+    "df_from_host", "df_to_host", "df_operator_from_host_csr",
     "cg_multi", "MultiSolveResult", "PoissonMultigrid", "best_format",
     "PerformanceWarning",
     "ReorderedMatrix", "rcm_permutation", "permute_csr", "reorder_to_wsell",

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["TripletMatrix", "COOArrays", "coo_from_arrays"]
+__all__ = ["TripletMatrix", "COOArrays", "coo_from_arrays", "host_coo_arrays"]
 
 
 @jax.tree_util.register_dataclass
@@ -62,7 +62,7 @@ class COOArrays:
         return dataclasses.replace(self, vals=self.vals * scalar)
 
 
-def coo_from_arrays(
+def host_coo_arrays(
     rows,
     cols,
     vals,
@@ -70,14 +70,13 @@ def coo_from_arrays(
     *,
     sum_duplicates: bool = True,
     dtype=None,
-) -> COOArrays:
-    """Build sorted, duplicate-summed :class:`COOArrays` from flat arrays.
+):
+    """Host-side sort/deduplicate of flat COO arrays.
 
-    The vectorised equivalent of repeated ``addEntry`` calls
-    (sparse_matrix_math.h:607-618): duplicates at the same (row, col)
-    accumulate.  Runs on host with NumPy (assembly is a host-side concern;
-    the result ships to device as a pytree).
-    """
+    Returns ``(rows_i32, cols_i32, vals, shape)`` as NumPy arrays sorted
+    row-major with duplicates summed — the precision-preserving core of
+    :func:`coo_from_arrays` (float64 values stay float64 here; shipping
+    to a device without f64 support is what rounds them)."""
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
     vals = np.asarray(vals, dtype=dtype if dtype is not None else None)
@@ -102,6 +101,29 @@ def coo_from_arrays(
         key, vals = uniq, summed
     out_rows = (key // n_cols).astype(np.int32)
     out_cols = (key % n_cols).astype(np.int32)
+    return out_rows, out_cols, vals, (int(n_rows), int(n_cols))
+
+
+def coo_from_arrays(
+    rows,
+    cols,
+    vals,
+    shape: Tuple[int, int],
+    *,
+    sum_duplicates: bool = True,
+    dtype=None,
+) -> COOArrays:
+    """Build sorted, duplicate-summed :class:`COOArrays` from flat arrays.
+
+    The vectorised equivalent of repeated ``addEntry`` calls
+    (sparse_matrix_math.h:607-618): duplicates at the same (row, col)
+    accumulate.  Runs on host with NumPy (assembly is a host-side concern;
+    the result ships to device as a pytree).
+    """
+    out_rows, out_cols, vals, shape = host_coo_arrays(
+        rows, cols, vals, shape, sum_duplicates=sum_duplicates, dtype=dtype
+    )
+    n_rows, n_cols = shape
     return COOArrays(
         rows=jnp.asarray(out_rows),
         cols=jnp.asarray(out_cols),
@@ -196,6 +218,17 @@ class TripletMatrix:
         return len(self._entries)
 
     # -- export --------------------------------------------------------------
+    def to_host_coo(self, dtype=None):
+        """Sorted host (rows, cols, vals) NumPy arrays — like
+        :meth:`to_coo` but never shipped to device, so float64 values
+        survive on backends without f64 (the ``load_matrix_df`` chain)."""
+        dtype = np.dtype(dtype) if dtype is not None else self.dtype
+        items = sorted(self._entries.items())
+        rows = np.fromiter((k[0] for k, _ in items), dtype=np.int32, count=len(items))
+        cols = np.fromiter((k[1] for k, _ in items), dtype=np.int32, count=len(items))
+        vals = np.fromiter((v for _, v in items), dtype=dtype, count=len(items))
+        return rows, cols, vals, self._shape
+
     def to_coo(self, dtype=None) -> COOArrays:
         dtype = np.dtype(dtype) if dtype is not None else self.dtype
         if not self._entries:
