@@ -297,6 +297,53 @@ def main() -> None:
 
         print(f"pcg_multigrid bench failed: {e!r}", file=_sys.stderr)
         mg_entry = None
+
+    # Double-word f32 CG (solvers/df64.py): the reference's f64 contract
+    # (test_common.h:30-38, eps=1e-8) ON the chip — plain f32 CG cannot
+    # reach 1e-8 at all at this scale.  Reported per-iteration next to
+    # plain f32 CG (docs/DESIGN.md §16 measured 1.35x on this system).
+    df64_entry = None
+    try:
+        from sparse_matrix_math_tpu import cg_df64
+        from sparse_matrix_math_tpu.ops.df32 import df_operator_from_host_csr
+
+        data64 = np.asarray(a.data, np.float64)
+        ind64 = np.asarray(a.indices, np.int64)
+        iptr64 = np.asarray(a.indptr, np.int64)
+        dfa = df_operator_from_host_csr(data64, ind64, iptr64, a.shape)
+        b64 = np.asarray(b, np.float64)
+        df_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df_res = cg_df64(dfa, b64, max_iterations=12000, epsilon=1e-8)
+            df_res.x_hi.block_until_ready()
+            df_times.append(time.perf_counter() - t0)
+        df_wall = sorted(df_times)[1]
+        df_time = _device_time(df_wall)
+        x64 = df_res.x_f64()
+        ax = np.add.reduceat(data64 * x64[ind64], iptr64[:-1])
+        df_true = float(np.linalg.norm(b64 - ax))
+        df_iters = max(int(df_res.iterations), 1)
+        f32_per_iter = cg_time / max(int(cg_res.iterations), 1)
+        df64_entry = {
+            "status": int(df_res.status),
+            "iterations": df_iters,
+            "epsilon": 1e-8,
+            "true_residual_f64": df_true,
+            "operator": type(dfa).__name__,
+            "wall_s": round(df_wall, 4),
+            "time_to_tol_s": round(df_time, 4),
+            "per_iter_ms": round(df_time / df_iters * 1e3, 4),
+            "per_iter_vs_f32_cg": round(
+                (df_time / df_iters) / f32_per_iter, 2
+            ),
+        }
+        del dfa
+    except Exception as e:
+        import sys as _sys
+
+        print(f"cg_df64 bench failed: {e!r}", file=_sys.stderr)
+        df64_entry = None
     # BiCGStab preconditioned with truncated-sweep SGS in the padded
     # domain (precond/padded_sgs.py) — unpreconditioned f32 BiCGStab is
     # unstable at this scale (the reference notes the same instability,
@@ -477,6 +524,7 @@ def main() -> None:
             "in_solver_gnnz": round(cg_gnnz, 3),
         },
         "cg_mixed_bf16": mixed_entry,
+        "cg_df64_1e8_on_chip": df64_entry,
         "bicgstab": {
             "status": int(bs_res.status),
             "iterations": int(bs_res.iterations),

@@ -156,6 +156,7 @@ class TestCGMultiPreconditioned:
         assert int(pre.iterations.max()) < int(plain.iterations.max())
         np.testing.assert_allclose(np.asarray(pre.x), 1.0, atol=1e-7)
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("trisolve_method", ["dense", "jacobi"])
     def test_panel_apply_equals_columnwise_apply(self, trisolve_method):
         """The panel-capable preconditioner applies must equal per-column

@@ -29,6 +29,7 @@ def _rand(n, seed):
 
 
 class TestVcycleParity:
+    @pytest.mark.slow
     @pytest.mark.parametrize("nx", [96, 90, 48])
     def test_2d_vcycle_matches_single_chip(self, mesh, nx):
         """One distributed V-cycle == one single-chip V-cycle: the padded
@@ -42,6 +43,7 @@ class TestVcycleParity:
         scale = np.abs(z_ref).max()
         np.testing.assert_allclose(z_dist, z_ref, atol=2e-5 * scale)
 
+    @pytest.mark.slow
     def test_3d_vcycle_matches_single_chip(self, mesh):
         mg = PoissonMultigrid.for_grid(24, 24, 24)
         dmg = distribute_multigrid(mg, mesh)
@@ -62,6 +64,7 @@ class TestVcycleParity:
 
 
 class TestDistMGSolve:
+    @pytest.mark.slow
     def test_pcg_matches_single_chip_iterations(self, mesh):
         """Distributed PCG+V-cycle reproduces the single-chip pairing:
         same status, same iteration count, same solution."""
@@ -109,6 +112,7 @@ class TestDistMGSolve:
             np.asarray(res.x), np.asarray(ref.x), atol=5e-4
         )
 
+    @pytest.mark.slow
     def test_3d_pcg(self, mesh):
         nx = 20
         a = poisson_3d(nx, dtype=np.float32)

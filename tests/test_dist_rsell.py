@@ -35,6 +35,7 @@ def system():
 
 
 class TestDistRoutedSpMV:
+    @pytest.mark.slow
     def test_matches_csr(self, mesh, system):
         a, x = system
         da = distribute_routed(a, mesh, max_slot_ratio=99.0)
@@ -62,6 +63,7 @@ class TestDistRoutedSpMV:
 
 
 class TestDistRoutedSolve:
+    @pytest.mark.slow
     def test_bicgstab_converges_to_oracle(self, mesh, system):
         a, _ = system
         b = np.asarray(rmult(a, jnp.ones(N, jnp.float32)))
@@ -78,6 +80,7 @@ def a_dist(mesh, a):
     return distribute_routed(a, mesh, max_slot_ratio=99.0)
 
 
+@pytest.mark.slow
 def test_gmres_over_routed(mesh, system):
     """GMRES (the minimal-residual nonsymmetric core) over the
     distributed routed chain — the natural pairing for zero-locality

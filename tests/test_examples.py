@@ -25,6 +25,7 @@ def test_poisson_solve_example(capsys):
     assert "PCG+IC0" in out
 
 
+@pytest.mark.slow
 def test_unstructured_solve_example(capsys):
     _load("unstructured_solve").main(16)
     out = capsys.readouterr().out
@@ -38,6 +39,7 @@ def test_multigrid_solve_example(capsys, monkeypatch):
     assert "iterations" in out or "status" in out
 
 
+@pytest.mark.slow
 def test_distributed_solve_example(capsys, monkeypatch):
     monkeypatch.setattr(
         sys, "argv", ["distributed_solve.py", "--cpu", "8"]

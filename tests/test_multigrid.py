@@ -44,6 +44,7 @@ class TestVCycleSolve:
 
 
 class TestMGPreconditionedCG:
+    @pytest.mark.slow
     @pytest.mark.parametrize("nx", [100, 250])
     def test_mesh_independent_iterations(self, nx):
         """PCG + V-cycle: O(10) iterations regardless of mesh size (plain

@@ -391,6 +391,7 @@ class TestDistWSell:
         assert int(res.status) == SolverStatus.SUCCESS
         np.testing.assert_allclose(collect(res.x, d), 1.0, atol=1e-6)
 
+    @pytest.mark.slow
     def test_rejects_long_range(self, mesh):
         from sparse_matrix_math_tpu.formats.csr import csr_from_dense
         from sparse_matrix_math_tpu.parallel import distribute_wsell

@@ -452,6 +452,7 @@ class TestWSellStrictLayout:
             rtol=2e-5, atol=2e-5,
         )
 
+    @pytest.mark.slow
     def test_apply_matches_panel(self):
         a = poisson_2d(48, dtype=np.float32)
         pre = get_preconditioner(

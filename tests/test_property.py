@@ -27,6 +27,7 @@ def sparse_dense_pair(draw, max_n=24):
     return dense
 
 
+@pytest.mark.slow
 @settings(max_examples=25, deadline=None)
 @given(sparse_dense_pair())
 def test_formats_roundtrip_and_spmv(dense):
@@ -68,6 +69,7 @@ def spd_system(draw, max_n=20):
     return dense, x_true
 
 
+@pytest.mark.slow
 @settings(max_examples=15, deadline=None)
 @given(spd_system())
 def test_solvers_recover_solution(sys_pair):
@@ -85,6 +87,7 @@ def test_solvers_recover_solution(sys_pair):
         )
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(spd_system(max_n=14))
 def test_preconditioners_preserve_solution(sys_pair):
@@ -117,6 +120,7 @@ def test_preconditioners_preserve_solution(sys_pair):
     st.integers(min_value=0, max_value=2 ** 31 - 1),
     st.floats(min_value=0.005, max_value=0.2),
 )
+@pytest.mark.slow
 def test_wsell_matches_csr_spmv(n_scale, seed, density):
     """W-SELL colouring + kernel must reproduce the CSR SpMV for random
     patterns of any density it accepts (refusals are allowed — that is

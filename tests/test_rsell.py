@@ -101,6 +101,7 @@ class TestRoutedParity:
         ra = routed_from_csr(a, window_f=window_f, max_slot_ratio=99.0)
         assert _relerr(ra.rmult(jnp.asarray(x)), ref) < 1e-5
 
+    @pytest.mark.slow
     def test_fuzz_small(self):
         rng = np.random.default_rng(0)
         for trial in range(6):
@@ -200,6 +201,7 @@ class TestNativePackerParity:
         )
 
 
+@pytest.mark.slow
 def test_hbm_streamed_table_parity():
     """stream_gather's HBM window-DMA variant must match the
     VMEM-resident path exactly on every pass of a routed chain."""

@@ -233,6 +233,7 @@ class TestNonsymmetricSolvers:
         assert int(pre.iterations) < int(plain.iterations)
         np.testing.assert_allclose(np.asarray(pre.x), 1.0, atol=1e-7)
 
+    @pytest.mark.slow
     def test_routed_bicgstab(self):
         """R-SELL is pattern-agnostic and exact — the nonsymmetric cores
         run over it unchanged."""
@@ -268,6 +269,7 @@ def test_best_format_selection():
     assert isinstance(best_format(sparse), CSRMatrix)
 
 
+@pytest.mark.slow
 def test_uniform_random_routes():
     """Zero-locality pattern (docs/BENCH_NOTES 'entropy wall'): W-SELL
     must refuse (tile density ~nnz/n^2, reorder-invariant); best_format
