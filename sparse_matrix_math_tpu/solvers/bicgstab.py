@@ -87,6 +87,15 @@ def _bicgstab_precond_loop(a, m, b, x0, eps, maxiter: int, record: bool):
     return bicgstab_core(matvec, m.apply, dot, b, x0, eps, maxiter, record)
 
 
+# Divergence cutoff: residual above this multiple of the best seen is an
+# explosion, not a BiCGStab transient.  Measured on the n=2M/SGS(4) f32
+# system: legitimate mid-run spikes reach 2.3e4x the running best and
+# recover (the global minimum comes 450 iterations after one); the
+# terminal blow-up passes 1e6x ~80 iterations past the minimum and never
+# recovers (docs/BENCH_NOTES.md round 3).
+_EXPLOSION_FACTOR = 1e6
+
+
 def bicgstab_core(matvec, precond, dotfn, b, x0, eps, maxiter: int, record: bool):
     """Algorithm core, parameterised over ``matvec``/``precond``/``dotfn``
     for reuse by the distributed layer (see solvers/cg.py:cg_core).
@@ -99,7 +108,16 @@ def bicgstab_core(matvec, precond, dotfn, b, x0, eps, maxiter: int, record: bool
     convergence); a refuted claim performs a full BiCGStab restart from
     the current x (r = r0 = p = true residual).  If a restart fails to
     shrink the true residual 2x the solve stops honestly with
-    MAX_ITERATIONS_REACHED, reporting the floor."""
+    MAX_ITERATIONS_REACHED, reporting the floor.
+
+    Best-iterate return: f32 BiCGStab can pass its precision floor and
+    then EXPLODE (measured at n=2M/SGS(4): minimum 3.9e-4 at iteration
+    832, +inf by 1653 — the reference's unguarded recursion does the
+    same, its breakdown checks are TODOs h:2260/2270).  The loop tracks
+    the best recurrence iterate, cuts off when the residual exceeds
+    ``_EXPLOSION_FACTOR`` x the best (DIVERGED), and on any non-SUCCESS
+    exit returns the BEST x with its verified true residual — a usable
+    floor instead of the exploded tail."""
     dot = dotfn
     tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
 
@@ -115,11 +133,12 @@ def bicgstab_core(matvec, precond, dotfn, b, x0, eps, maxiter: int, record: bool
     )
 
     def cond(carry):
-        _, _, _, _, _, _, _, k, status, _ = carry
+        _, _, _, _, _, _, _, _, _, k, status, _ = carry
         return (status == RUNNING) & (k < maxiter)
 
     def body(carry):
-        x, r, r0, p, rr0, res_norm, floor, k, status, trace = carry
+        (x, r, r0, p, rr0, res_norm, floor, best_x, best_norm, k, status,
+         trace) = carry
         ap = precond(matvec(p))
         denom = dot(ap, r0)
         bd1 = jnp.abs(denom) < tiny
@@ -151,6 +170,31 @@ def bicgstab_core(matvec, precond, dotfn, b, x0, eps, maxiter: int, record: bool
         stalled = refuted & (new_res_norm > floor * 0.5)
         floor = jnp.where(refuted, new_res_norm, floor)
 
+        # Best-iterate tracking by TRUE residual (see docstring): the
+        # recurrence minimum drifts from the truth (measured: recurrence
+        # 3.9e-4 at an x whose true residual is 0.39), so best-by-
+        # recurrence returns a useless iterate.  Sample the true residual
+        # every 64 iterations (~1.5% extra SpMV) and reuse the verify
+        # branch's value when it just ran (new_res_norm IS true there).
+        def _true_now(x):
+            r_t = precond(b - matvec(x))
+            return jnp.sqrt(dot(r_t, r_t))
+
+        # sample on the cap's final iteration too, so short MAX_ITER
+        # runs return their latest progress rather than a stale best
+        need = (((k % 64) == 63) | (k + 1 >= maxiter)) & ~rec_conv
+        true_now = jax.lax.cond(
+            need, _true_now, lambda _: jnp.asarray(jnp.inf, b.dtype), x
+        )
+        true_now = jnp.where(refuted, new_res_norm, true_now)
+        better = true_now < best_norm
+        best_x = jnp.where(better, x, best_x)
+        best_norm = jnp.where(better, true_now, best_norm)
+        # explosion cutoff: recurrence far past the best true residual
+        exploded = new_res_norm > best_norm * jnp.asarray(
+            _EXPLOSION_FACTOR, b.dtype
+        )
+
         new_rr0 = dot(r, r0)
         bd3 = (jnp.abs(rr0) < tiny) | (jnp.abs(omega) < tiny)
         beta = jnp.where(bd3, 0, (new_rr0 * alpha) / (rr0 * omega))
@@ -161,7 +205,9 @@ def bicgstab_core(matvec, precond, dotfn, b, x0, eps, maxiter: int, record: bool
         new_rr0 = jnp.where(refuted, dot(r, r), new_rr0)
         p = jnp.where(refuted, r, r + beta * (p - omega * ap))
         diverged = (
-            ((bd1 | bd2 | bd3) & ~refuted) | ~jnp.isfinite(new_res_norm)
+            ((bd1 | bd2 | bd3) & ~refuted)
+            | ~jnp.isfinite(new_res_norm)
+            | exploded
         ) & ~verified
         status = jnp.where(
             diverged,
@@ -174,25 +220,31 @@ def bicgstab_core(matvec, precond, dotfn, b, x0, eps, maxiter: int, record: bool
         ).astype(jnp.int32)
         if trace is not None:
             trace = trace.at[k + 1].set(new_res_norm)
-        return x, r, r0, p, new_rr0, new_res_norm, floor, k + 1, status, trace
+        return (
+            x, r, r0, p, new_rr0, new_res_norm, floor, best_x, best_norm,
+            k + 1, status, trace,
+        )
 
     inf = jnp.asarray(jnp.inf, res_norm.dtype)
     carry = (
-        x0, r, r0, r, rr0, res_norm, inf, jnp.int32(0), jnp.int32(RUNNING),
-        trace,
+        x0, r, r0, r, rr0, res_norm, inf, x0, res_norm, jnp.int32(0),
+        jnp.int32(RUNNING), trace,
     )
-    x, _, _, _, _, res_norm, _, k, status, trace = jax.lax.while_loop(
-        cond, body, carry
+    (x, _, _, _, _, res_norm, _, best_x, _, k, status, trace) = (
+        jax.lax.while_loop(cond, body, carry)
     )
     status = jnp.where(status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status)
+
+    # non-SUCCESS exits return the BEST iterate with its verified true
+    # residual (the exploded tail's x is useless)
+    success = status == SolverStatus.SUCCESS
+    x = jnp.where(success, x, best_x)
 
     def _true_norm():
         r_t = precond(b - matvec(x))
         return jnp.sqrt(dot(r_t, r_t))
 
-    res_norm = jax.lax.cond(
-        status == SolverStatus.SUCCESS, lambda: res_norm, _true_norm
-    )
+    res_norm = jax.lax.cond(success, lambda: res_norm, _true_norm)
     return SolveResult(
         x=x,
         status=status.astype(jnp.int32),

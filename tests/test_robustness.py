@@ -216,3 +216,21 @@ class TestVerifiedConvergence:
         assert int(res.status) == SolverStatus.MAX_ITERATIONS_REACHED
         true_norm = float(jnp.linalg.norm(b - mv(res.x)))
         assert float(res.residual_norm) == pytest.approx(true_norm, rel=1e-10)
+
+    def test_bicgstab_noncon_returns_best_iterate(self):
+        """Non-SUCCESS BiCGStab exits return the best TRUE-residual
+        iterate seen (sampled every 64 iterations + at the cap), with
+        residual_norm equal to that iterate's true residual — never the
+        recurrence value or an exploded tail (measured at n=2M/f32 the
+        unguarded tail reaches +inf; solvers/bicgstab.py docstring)."""
+        from sparse_matrix_math_tpu import bicgstab
+
+        a = poisson_2d(32, dtype=np.float64)
+        n = a.shape[0]
+        b = jnp.asarray(np.asarray(a.to_dense(), np.float64).sum(axis=1))
+        res = bicgstab(a, b, max_iterations=7, epsilon=1e-14)
+        assert int(res.status) == SolverStatus.MAX_ITERATIONS_REACHED
+        true_norm = float(jnp.linalg.norm(b - a @ res.x))
+        assert float(res.residual_norm) == pytest.approx(true_norm, rel=1e-9)
+        # the returned iterate improves on the zero initial guess
+        assert true_norm < float(jnp.linalg.norm(b))
