@@ -396,7 +396,9 @@ def main() -> None:
         ua = laplace_3d_jittered(
             113, dtype=np.float32, symmetric=True, shift=0.25
         )
-        ws = wsell_from_csr(ua)
+        # the solver-facing default layout (nway=4 bounded reduction —
+        # formats/wsell.py try_wsell_from_csr)
+        ws = wsell_from_csr(ua, nway=4)
         usec = _time_spmv_loop(ws, jnp.ones((ua.shape[1],), jnp.float32), 20)
         ub = rmult(ws, jnp.ones((ua.shape[0],), jnp.float32))
         ub = ub / jnp.linalg.norm(ub)
@@ -411,6 +413,7 @@ def main() -> None:
             "n": ua.shape[0],
             "nnz": ua.nnz,
             "slot_ratio": round(ws.slot_ratio, 2),
+            "nway": int(ws.nway),
             "gnnz": round(ua.nnz / usec / 1e9, 3),
             "vs_baseline_f32": round(
                 ua.nnz / usec / 1e9 / BASELINE_SPMV_GNNZ_F32, 2

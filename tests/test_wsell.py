@@ -304,3 +304,60 @@ def test_hbm_streamed_table_parity():
     y_vmem = np.asarray(wsell_spmv(ws, x, interpret=True))
     y_hbm = np.asarray(wsell_spmv(ws, x, interpret=True, force_hbm=True))
     np.testing.assert_array_equal(y_hbm, y_vmem)
+
+
+class TestBoundedReduction:
+    """nway > 1 layouts (round 3): per-slot SHIFT routing replaces the
+    static-target rule; slot_ratio drops toward the colouring bound
+    (measured 4.01 -> 2.62 on the 17.5M jittered Laplacian for +37%
+    SpMV throughput on hardware — docs/BENCH_NOTES.md)."""
+
+    @pytest.mark.parametrize("nway", [2, 4, 8])
+    def test_parity_scattered_pattern(self, nway):
+        from sparse_matrix_math_tpu.ops.pallas_wsell import wsell_spmv
+        from sparse_matrix_math_tpu.utils.generate import random_spd_csr
+
+        a = random_spd_csr(600, density=0.012, seed=5, dtype=np.float32)
+        w = wsell_from_csr(a, max_slot_ratio=64.0, nway=nway)
+        w1 = wsell_from_csr(a, max_slot_ratio=64.0, nway=1)
+        assert w.slot_ratio <= w1.slot_ratio + 1e-9
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal(a.shape[1]).astype(np.float32))
+        y = np.asarray(wsell_spmv(w, x, interpret=True))
+        y_ref = np.asarray(a.to_dense() @ x)
+        np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=2e-4)
+
+    def test_try_wsell_defaults_to_nway4(self):
+        from sparse_matrix_math_tpu.utils.generate import laplace_3d_jittered
+
+        b = laplace_3d_jittered(16, dtype=np.float32, symmetric=True,
+                                shift=0.25)
+        w4 = try_wsell_from_csr(b)
+        w1 = wsell_from_csr(b, nway=1)
+        assert w4.nway == 4
+        assert w4.slot_ratio < w1.slot_ratio
+
+    def test_auto_bail_keeps_shiftless_layout_cheap(self):
+        """When the placement can't cut >=10% of vregs the builder must
+        come back as nway=1 (no rotation cost for nothing)."""
+        # a fully dense slab x window tile: every bucket equally
+        # loaded -> K identical under any nway
+        rng = np.random.default_rng(0)
+        n = 1024
+        dense = np.zeros((n, n), np.float32)
+        dense[:, :128] = rng.standard_normal((n, 128))
+        a = csr_from_dense(dense)
+        w = wsell_from_csr(a, max_slot_ratio=64.0, nway=4)
+        assert w.nway == 1
+
+    def test_spmm_routes_nway(self):
+        from sparse_matrix_math_tpu.utils.generate import random_spd_csr
+        from sparse_matrix_math_tpu.ops.pallas_wsell import wsell_spmm
+
+        a = random_spd_csr(512, density=0.015, seed=7, dtype=np.float32)
+        w = wsell_from_csr(a, max_slot_ratio=64.0, nway=4)
+        rng = np.random.default_rng(3)
+        xs = jnp.asarray(rng.standard_normal((a.shape[1], 3)).astype(np.float32))
+        y = np.asarray(wsell_spmm(w, xs, interpret=True))
+        y_ref = np.asarray(a.to_dense() @ xs)
+        np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=2e-4)
