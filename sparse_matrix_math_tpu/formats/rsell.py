@@ -442,6 +442,12 @@ def routed_from_csr(
         r, pos[inv], v, (int(n_rows), int(table_len)), nnz,
         max_slot_ratio=1e9,
         window_f=window_f,
+        # bounded-reduction offered (formats/wsell.py); measured on the
+        # uniform-random 12M-nnz chain the builder auto-bails to nway=1
+        # (the routed stream fills buckets evenly — the chain is bound
+        # by its routing passes, not the final multiply), but leaf
+        # patterns with residual imbalance get the cut for free
+        nway=4,
     )
     total_slots += final.n_vregs * SLAB
     slot_ratio = float(total_slots / max(nnz, 1))
