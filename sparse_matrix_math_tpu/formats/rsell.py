@@ -338,6 +338,8 @@ def routed_from_csr(
     max_slot_ratio: float = 16.0,
     leaf_slabs: Optional[int] = None,
     _digits: Optional[Tuple[int, ...]] = None,
+    final_nway: int = 4,
+    _final_nway_min_gain: float = 0.1,
 ) -> RoutedMatrix:
     """Build the routed chain for an arbitrary-pattern CSR matrix.
 
@@ -446,8 +448,11 @@ def routed_from_csr(
         # uniform-random 12M-nnz chain the builder auto-bails to nway=1
         # (the routed stream fills buckets evenly — the chain is bound
         # by its routing passes, not the final multiply), but leaf
-        # patterns with residual imbalance get the cut for free
-        nway=4,
+        # patterns with residual imbalance get the cut for free.  The
+        # distributed builder pins a forced uniform value (min_gain=0)
+        # so every shard reconstructs with one static nway.
+        nway=final_nway,
+        nway_min_gain=_final_nway_min_gain,
     )
     total_slots += final.n_vregs * SLAB
     slot_ratio = float(total_slots / max(nnz, 1))

@@ -277,6 +277,7 @@ def wsell_from_csr(
     max_repair_rounds: int = 200,
     window_f: int = 1,
     nway: int = 1,
+    nway_min_gain: float = 0.1,
 ) -> WSellMatrix:
     """Host-side layout transform CSR -> W-SELL.
 
@@ -303,6 +304,7 @@ def wsell_from_csr(
         max_repair_rounds=max_repair_rounds,
         window_f=window_f,
         nway=nway,
+        nway_min_gain=nway_min_gain,
     )
 
 
@@ -317,10 +319,14 @@ def _wsell_from_coo(
     max_repair_rounds: int = 200,
     window_f: int = 1,
     nway: int = 1,
+    nway_min_gain: float = 0.1,
 ) -> WSellMatrix:
     """Core W-SELL layout builder over host COO arrays (row-sorted rows
     not required; ``wsell_from_csr`` and the routed-format builder both
-    feed this)."""
+    feed this).  ``nway_min_gain`` is the vreg-reduction fraction below
+    which an nway>1 request auto-bails to the rotation-free nway=1
+    layout; pass 0.0 to force the requested nway (the distributed
+    builder needs uniform nway across shards)."""
     if window_f < 1 or window_f > 16:
         raise ValueError(f"window_f must be in [1, 16], got {window_f}")
     if nway not in (1, 2, 4, 8):
@@ -431,9 +437,9 @@ def _wsell_from_coo(
         job_rows = np.maximum(job_rows, 8)
         # auto-bail when the imbalance win doesn't pay for the kernel's
         # (nway-1) rotations: ~5% per rotation measured, so demand at
-        # least a 10% vreg reduction before switching layouts
+        # least a 10% vreg reduction (nway_min_gain) before switching
         k1 = np.maximum(rt.max(axis=1), 1)
-        if job_rows.sum() > 0.9 * 8 * k1.sum():
+        if job_rows.sum() > (1.0 - nway_min_gain) * 8 * k1.sum():
             nway = 1
             job_rows = k1 * 8
         else:

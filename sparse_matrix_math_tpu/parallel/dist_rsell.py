@@ -79,6 +79,8 @@ class DistRouted:
     nnz: int = dataclasses.field(metadata=dict(static=True))
     slot_ratio: float = dataclasses.field(metadata=dict(static=True))
     axis: str = dataclasses.field(metadata=dict(static=True))
+    # forced-uniform final-pass bounded-reduction width (formats/wsell.py)
+    final_nway: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def n_shards(self) -> int:
@@ -142,6 +144,9 @@ def distribute_routed(
         locals_.append(routed_from_csr(
             local, window_f=window_f, max_slot_ratio=float("inf"),
             leaf_slabs=leaf_slabs, _digits=digits,
+            # one kernel compilation serves every shard: force a uniform
+            # final-pass nway (per-shard auto-bail would diverge)
+            final_nway=4, _final_nway_min_gain=0.0,
         ))
 
     k = len(locals_[0].passes)
@@ -215,6 +220,7 @@ def distribute_routed(
         nnz=csr.nnz,
         slot_ratio=float(global_ratio),
         axis=axis,
+        final_nway=4,
     )
 
 
@@ -222,6 +228,7 @@ def _local_routed_spmv(
     passes, fvals, fmeta, fbase, fslab, x_local, *,
     axis: str, block_rows: int, pass_x_rows, window_f: int,
     final_n_slabs: int, final_x_rows: int, ratio, interpret: bool,
+    final_nway: int = 1,
 ):
     """Per-shard body: all_gather x, run the chain, final W-SELL."""
     from ..ops.pallas_rsell import stream_gather
@@ -237,7 +244,7 @@ def _local_routed_spmv(
         vals=fvals, meta=fmeta, base=fbase, slab=fslab,
         shape=(block_rows, t.shape[0]),
         nnz=0, n_slabs=final_n_slabs, x_rows=final_x_rows,
-        slot_ratio=ratio, window_f=window_f,
+        slot_ratio=ratio, window_f=window_f, nway=final_nway,
     )
     return wsell_spmv(local, t, interpret=interpret)
 
@@ -247,6 +254,7 @@ def dist_routed_spmv(a: DistRouted, x: jnp.ndarray, mesh: jax.sharding.Mesh):
     fn = _dist_routed_spmv_jit(
         mesh, a.axis, a.block_rows, a.pass_x_rows, a.window_f,
         a.final_n_slabs, a.final_x_rows, a.slot_ratio, len(a.passes),
+        a.final_nway,
     )
     return fn(
         a.passes, a.final_vals, a.final_meta, a.final_base, a.final_slab, x
@@ -256,7 +264,7 @@ def dist_routed_spmv(a: DistRouted, x: jnp.ndarray, mesh: jax.sharding.Mesh):
 @lru_cache(maxsize=None)
 def _dist_routed_spmv_jit(
     mesh, axis, block_rows, pass_x_rows, window_f,
-    final_n_slabs, final_x_rows, ratio, n_passes: int,
+    final_n_slabs, final_x_rows, ratio, n_passes: int, final_nway: int = 1,
 ):
     interpret = _mesh_interpret(mesh)
 
@@ -267,6 +275,7 @@ def _dist_routed_spmv_jit(
             axis=axis, block_rows=block_rows, pass_x_rows=pass_x_rows,
             window_f=window_f, final_n_slabs=final_n_slabs,
             final_x_rows=final_x_rows, ratio=ratio, interpret=interpret,
+            final_nway=final_nway,
         )
 
     in_specs = (
@@ -319,7 +328,7 @@ def dist_routed_solve(
     fn = _dist_routed_solve_jit(
         mesh, a.axis, a.block_rows, a.pass_x_rows, a.window_f,
         a.final_n_slabs, a.final_x_rows, a.slot_ratio, len(a.passes),
-        solver, maxiter, bool(record_residuals), gmres_m,
+        solver, maxiter, bool(record_residuals), gmres_m, a.final_nway,
     )
     return fn(
         a.passes, a.final_vals, a.final_meta, a.final_base, a.final_slab,
@@ -332,6 +341,7 @@ def _dist_routed_solve_jit(
     mesh, axis, block_rows, pass_x_rows, window_f,
     final_n_slabs, final_x_rows, ratio, n_passes: int,
     solver: str, maxiter: int, record: bool, gmres_m: int = 32,
+    final_nway: int = 1,
 ):
     core = _CORES[solver]
     interpret = _mesh_interpret(mesh)
@@ -346,6 +356,7 @@ def _dist_routed_solve_jit(
                 axis=axis, block_rows=block_rows, pass_x_rows=pass_x_rows,
                 window_f=window_f, final_n_slabs=final_n_slabs,
                 final_x_rows=final_x_rows, ratio=ratio, interpret=interpret,
+                final_nway=final_nway,
             )
 
         dotfn = _psum_dot(axis)

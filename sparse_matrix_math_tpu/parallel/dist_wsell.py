@@ -57,6 +57,8 @@ class DistWSell:
     nnz: int = dataclasses.field(metadata=dict(static=True))
     slot_ratio: float = dataclasses.field(metadata=dict(static=True))
     axis: str = dataclasses.field(metadata=dict(static=True))
+    # uniform bounded-reduction width across shards (formats/wsell.py)
+    nway: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def n_shards(self) -> int:
@@ -111,8 +113,12 @@ def distribute_wsell(
         cl = c[sel] - (d - 1) * block  # window-local in [0, 3B)
         local = _csr_from_sorted_host(rl, cl, v[sel], (block, 3 * block))
         # per-shard caps are meaningless (boundary/empty shards hold few
-        # nnz by construction) — the padding cap applies GLOBALLY below
-        locals_.append(wsell_from_csr(local, max_slot_ratio=float("inf")))
+        # nnz by construction) — the padding cap applies GLOBALLY below.
+        # nway must be UNIFORM across shards (one kernel compilation), so
+        # the per-shard auto-bail is disabled (nway_min_gain=0)
+        locals_.append(wsell_from_csr(
+            local, max_slot_ratio=float("inf"), nway=4, nway_min_gain=0.0,
+        ))
 
     total_slots = sum(w.vals.shape[0] * 128 for w in locals_)
     global_ratio = total_slots / max(csr.nnz, 1)
@@ -157,6 +163,7 @@ def distribute_wsell(
         nnz=csr.nnz,
         slot_ratio=float(global_ratio),
         axis=axis,
+        nway=4,
     )
 
 
@@ -172,7 +179,7 @@ def _mesh_interpret(mesh: jax.sharding.Mesh) -> bool:
 def _local_wsell_spmv(
     vals, meta, base, slab, x_local, *,
     axis: str, block_rows: int, n_slabs: int, x_rows: int, shape, ratio,
-    interpret: bool,
+    interpret: bool, nway: int = 1,
 ):
     """Per-shard body: neighbor-window ppermute + local W-SELL kernel."""
     n_dev = jax.lax.axis_size(axis)
@@ -188,6 +195,7 @@ def _local_wsell_spmv(
         vals=vals, meta=meta, base=base, slab=slab,
         shape=(block_rows, 3 * block_rows),
         nnz=0, n_slabs=n_slabs, x_rows=x_rows, slot_ratio=ratio,
+        nway=nway,
     )
     # wsell_spmv returns exactly shape[0] == block_rows rows here
     return wsell_spmv(local, xg, interpret=interpret)
@@ -196,13 +204,15 @@ def _local_wsell_spmv(
 def dist_wsell_spmv(a: DistWSell, x: jnp.ndarray, mesh: jax.sharding.Mesh):
     """y = A @ x with row-sharded W-SELL A and padded sharded x."""
     fn = _dist_wsell_spmv_jit(
-        mesh, a.axis, a.block_rows, a.n_slabs, a.x_rows, a.shape, a.slot_ratio
+        mesh, a.axis, a.block_rows, a.n_slabs, a.x_rows, a.shape,
+        a.slot_ratio, a.nway,
     )
     return fn(a.vals, a.meta, a.base, a.slab, x)
 
 
 @lru_cache(maxsize=None)
-def _dist_wsell_spmv_jit(mesh, axis, block_rows, n_slabs, x_rows, shape, ratio):
+def _dist_wsell_spmv_jit(mesh, axis, block_rows, n_slabs, x_rows, shape,
+                         ratio, nway=1):
     interpret = _mesh_interpret(mesh)
 
     def inner(vals, meta, base, slab, x_local):
@@ -210,6 +220,7 @@ def _dist_wsell_spmv_jit(mesh, axis, block_rows, n_slabs, x_rows, shape, ratio):
             vals[0], meta[0], base[0], slab[0], x_local,
             axis=axis, block_rows=block_rows, n_slabs=n_slabs,
             x_rows=x_rows, shape=shape, ratio=ratio, interpret=interpret,
+            nway=nway,
         )
 
     # check_vma=False: the pallas_call inside the body produces outputs
@@ -262,6 +273,7 @@ def dist_wsell_solve(
     fn = _dist_wsell_solve_jit(
         mesh, a.axis, a.block_rows, a.n_slabs, a.x_rows, a.shape,
         a.slot_ratio, solver, maxiter, bool(record_residuals), gmres_m,
+        a.nway,
     )
     return fn(a.vals, a.meta, a.base, a.slab, b_arr, x0_arr, eps)
 
@@ -269,7 +281,7 @@ def dist_wsell_solve(
 @lru_cache(maxsize=None)
 def _dist_wsell_solve_jit(
     mesh, axis, block_rows, n_slabs, x_rows, shape, ratio,
-    solver: str, maxiter: int, record: bool, gmres_m: int = 32,
+    solver: str, maxiter: int, record: bool, gmres_m: int = 32, nway: int = 1,
 ):
     core = _CORES[solver]
     interpret = _mesh_interpret(mesh)
@@ -281,7 +293,7 @@ def _dist_wsell_solve_jit(
             return _local_wsell_spmv(
                 *arrs, v, axis=axis, block_rows=block_rows,
                 n_slabs=n_slabs, x_rows=x_rows, shape=shape, ratio=ratio,
-                interpret=interpret,
+                interpret=interpret, nway=nway,
             )
 
         dotfn = _psum_dot(axis)
