@@ -51,3 +51,12 @@ def test_distributed_solve_example(capsys, monkeypatch):
         assert not e.code
     out = capsys.readouterr().out
     assert out.strip()
+
+
+def test_df64_solve_example(capsys):
+    _load("df64_solve").main(24)
+    out = capsys.readouterr().out
+    assert "cg_df64: status=SUCCESS" in out
+    # the printed true residual must actually be at the 1e-10 bar
+    line = [l for l in out.splitlines() if "true residual" in l][0]
+    assert float(line.split(":")[1].strip()) < 1e-9
