@@ -64,7 +64,7 @@ from .solvers.cg import cg, conjugate_gradient
 from .solvers.cgs import cgs, conjugate_gradient_squared
 from .solvers.chebyshev import chebyshev, lanczos_extremal
 from .solvers.deflated import deflated_cg, lanczos_deflation_basis
-from .solvers.df64 import DfSolveResult, cg_df64
+from .solvers.df64 import DfSolveResult, bicgstab_df64, cg_df64
 from .ops.df32 import (
     DfDiaMatrix,
     DfEllMatrix,
@@ -109,7 +109,7 @@ __all__ = [
     "cgs", "conjugate_gradient_squared", "cg_solve",
     "chebyshev", "lanczos_extremal", "cg_pipelined", "mixed_cg",
     "deflated_cg", "lanczos_deflation_basis", "gmres",
-    "DfDiaMatrix", "DfEllMatrix", "DfSolveResult", "cg_df64",
+    "DfDiaMatrix", "DfEllMatrix", "DfSolveResult", "bicgstab_df64", "cg_df64",
     "df_from_host", "df_to_host", "df_operator_from_host_csr",
     "cg_multi", "MultiSolveResult", "PoissonMultigrid", "best_format",
     "PerformanceWarning",

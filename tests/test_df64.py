@@ -303,3 +303,64 @@ def test_cg_df64_status_paths():
 def test_cg_df64_rejects_bad_operator():
     with pytest.raises(TypeError):
         cg_df64(np.eye(4), np.ones(4))
+
+
+# ------------------------------------------------------------- bicgstab_df64
+
+
+def test_bicgstab_df64_poisson_1e10():
+    from sparse_matrix_math_tpu import bicgstab_df64
+
+    a, data, indices, indptr = _poisson_host(32)
+    n = a.shape[0]
+    x_true = np.random.default_rng(1).standard_normal(n)
+    b = np.add.reduceat(data * x_true[indices], indptr[:-1])
+    dfa = D.DfDiaMatrix.from_host_csr(data, indices, indptr, a.shape)
+    res = bicgstab_df64(dfa, b, epsilon=1e-10)
+    assert res.status_enum() == SolverStatus.SUCCESS, res
+    x = res.x_f64()
+    tr = b - np.add.reduceat(data * x[indices], indptr[:-1])
+    assert np.linalg.norm(tr) < 1e-9
+
+
+def test_bicgstab_df64_sherman1_reference_contract():
+    """The reference's nonsymmetric f64 case (test/cpp/bicgstab.cpp:
+    sherman1 at 1e-8, ~415 iterations in double) through the df chain."""
+    from sparse_matrix_math_tpu import bicgstab_df64
+    from conftest import SHERMAN1
+
+    path = asset_path(SHERMAN1)
+    dfa = load_matrix_df(path)
+    n = dfa.shape[0]
+    # all-ones oracle in exact f64 from the split planes
+    if isinstance(dfa, D.DfDiaMatrix):
+        hi = np.asarray(dfa.diags_hi, np.float64)
+        lo = np.asarray(dfa.diags_lo, np.float64)
+        b64 = np.zeros(n)
+        for d, off in enumerate(dfa.offsets):
+            rows = np.arange(n)
+            cols = rows + off
+            valid = (cols >= 0) & (cols < n)
+            b64[rows[valid]] += (hi + lo)[d, rows[valid]]
+    else:
+        b64 = (
+            np.asarray(dfa.vals_hi, np.float64).sum(axis=1)[:n]
+            + np.asarray(dfa.vals_lo, np.float64).sum(axis=1)[:n]
+        )
+    res = bicgstab_df64(dfa, b64, epsilon=1e-8)
+    assert res.status_enum() == SolverStatus.SUCCESS, res
+    x = res.x_f64()
+    assert np.max(np.abs(x - 1.0)) < 1e-5
+    assert float(res.residual_norm2) ** 0.5 <= 1e-8 * (1 + 1e-6)
+
+
+def test_bicgstab_df64_status_paths():
+    from sparse_matrix_math_tpu import bicgstab_df64
+
+    a, data, indices, indptr = _poisson_host(8)
+    n = a.shape[0]
+    res = bicgstab_df64(a, np.ones(n), max_iterations=1, epsilon=1e-14)
+    assert res.status_enum() == SolverStatus.MAX_ITERATIONS_REACHED
+    res0 = bicgstab_df64(a, np.zeros(n), epsilon=1e-12)
+    assert res0.status_enum() == SolverStatus.SUCCESS
+    assert int(res0.iterations) == 0

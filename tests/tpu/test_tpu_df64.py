@@ -94,3 +94,24 @@ def test_cg_df64_poisson_1e10_on_chip():
         tr[r] = b[r] - np.dot(data[s:e], x[indices[s:e]])
     assert np.linalg.norm(tr) < 1e-9, np.linalg.norm(tr)
     assert np.linalg.norm(x - x_true) / np.linalg.norm(x_true) < 1e-10
+
+
+def test_df_dia_fast_path_on_chip():
+    """DfDiaMatrix (gather-free shifted reads) vs host f64 oracle."""
+    import jax.numpy as jnp
+    from sparse_matrix_math_tpu.ops.df32 import (
+        DfDiaMatrix, df_from_host, df_to_host, df_operator_from_host_csr,
+    )
+    from sparse_matrix_math_tpu.utils import poisson_2d
+
+    a = poisson_2d(64, dtype=np.float32)
+    data = np.asarray(a.data, np.float64) * (1.0 + 1e-9)
+    indices = np.asarray(a.indices, np.int64)
+    indptr = np.asarray(a.indptr, np.int64)
+    op = df_operator_from_host_csr(data, indices, indptr, a.shape)
+    assert isinstance(op, DfDiaMatrix)
+    n = a.shape[0]
+    x64 = np.random.default_rng(3).standard_normal(n)
+    got = df_to_host(jax.jit(op.rmult_df)(df_from_host(x64)))
+    want = np.add.reduceat(data * x64[indices], indptr[:-1])
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-12

@@ -206,3 +206,22 @@ def test_hbm_window_dma_variants_on_hw(smm, jnp):
         t0 = stream_gather(p.base, p.meta, p.vals, t0, **kw)
         t1 = stream_gather(p.base, p.meta, p.vals, t1, force_hbm=True, **kw)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+
+def test_wsell_nway_routing_on_chip(smm, jnp):
+    """Bounded-reduction W-SELL (nway=4, the solver-facing default) must
+    match the rotation-free layout bit-for-tolerance on hardware."""
+    from sparse_matrix_math_tpu.formats.wsell import wsell_from_csr
+    from sparse_matrix_math_tpu.ops.pallas_wsell import wsell_spmv
+    from sparse_matrix_math_tpu.utils.generate import laplace_3d_jittered
+
+    a = laplace_3d_jittered(16, dtype=np.float32, symmetric=True, shift=0.25)
+    w1 = wsell_from_csr(a, nway=1)
+    w4 = wsell_from_csr(a, nway=4)
+    assert w4.nway == 4 and w4.slot_ratio < w1.slot_ratio
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(a.shape[0]).astype(np.float32)
+    )
+    y1 = np.asarray(wsell_spmv(w1, x))
+    y4 = np.asarray(wsell_spmv(w4, x))
+    np.testing.assert_allclose(y4, y1, rtol=1e-5, atol=1e-5)
