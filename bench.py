@@ -59,11 +59,11 @@ def _measure_sync_floor() -> float:
 
     f = jax.jit(lambda v: v + 1.0)
     x = jnp.zeros((8,), jnp.float32)
-    f(x).block_until_ready()
+    float(f(x)[0])  # scalar readback — every timed call below does one
     ts = []
     for _ in range(5):
         t0 = time.perf_counter()
-        f(x).block_until_ready()
+        float(f(x)[0])
         ts.append(time.perf_counter() - t0)
     _SYNC_FLOOR[0] = min(ts)
     return _SYNC_FLOOR[0]
@@ -106,11 +106,19 @@ def _time_spmv_loop(mat, x, iters: int, apply_fn=None) -> float:
     # readings by up to 10x).  Best-of-2 per point rejects stragglers.
     def timed(k):
         kj = jnp.int32(k)
-        jax.block_until_ready(loop(mat, x, kj))
+        # scalar host readback, not just block_until_ready: the tunneled
+        # runtime has been OBSERVED returning from block_until_ready
+        # before execution finishes (a 50-matmul loop "completed" in
+        # 0.2 ms vs its real 70 ms; two full bench runs recorded
+        # physically impossible sub-roofline-by-1000x times this way —
+        # docs/BENCH_NOTES.md round 3).  Reading one element back forces
+        # true completion; the cost is the per-call floor, which the
+        # marginal slope cancels.
+        float(jnp.sum(loop(mat, x, kj)[:1]))
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            jax.block_until_ready(loop(mat, x, kj))
+            float(jnp.sum(loop(mat, x, kj)[:1]))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -222,13 +230,15 @@ def main() -> None:
     b = rmult(op, x)
 
     def timed_solve(solver, **kw):
+        # scalar readback (not just block_until_ready) — see the
+        # early-return note in _time_spmv_loop.timed
         res = solver(op, b, max_iterations=6000, epsilon=1e-4, **kw)
-        res.x.block_until_ready()
+        float(res.residual_norm)
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             res = solver(op, b, max_iterations=6000, epsilon=1e-4, **kw)
-            res.x.block_until_ready()
+            float(res.residual_norm)
             times.append(time.perf_counter() - t0)
         wall = sorted(times)[1]  # median of 3
         return res, wall, _device_time(wall)
@@ -316,7 +326,7 @@ def main() -> None:
         for _ in range(3):
             t0 = time.perf_counter()
             df_res = cg_df64(dfa, b64, max_iterations=12000, epsilon=1e-8)
-            df_res.x_hi.block_until_ready()
+            float(df_res.residual_norm2)  # scalar readback (see above)
             df_times.append(time.perf_counter() - t0)
         df_wall = sorted(df_times)[1]
         df_time = _device_time(df_wall)
@@ -403,10 +413,10 @@ def main() -> None:
         ub = rmult(ws, jnp.ones((ua.shape[0],), jnp.float32))
         ub = ub / jnp.linalg.norm(ub)
         ures = cg(ws, ub, max_iterations=600, epsilon=1e-4)
-        ures.x.block_until_ready()
+        float(ures.residual_norm)  # scalar readback (see timed_solve note)
         t0 = time.perf_counter()
         ures = cg(ws, ub, max_iterations=600, epsilon=1e-4)
-        ures.x.block_until_ready()
+        float(ures.residual_norm)
         uwall = _device_time(time.perf_counter() - t0)
         unstructured = {
             "matrix": "laplace3d_jittered_113^3_sym_shift.25",

@@ -41,6 +41,10 @@ SOLVERS = {
     "gmres": gmres,
 }
 
+# emulated-f64 methods (solvers/df64.py): dispatched by a dedicated
+# branch in solve() — different operator/result types (DfSolveResult)
+_DF64_METHODS = ("cg_df64", "bicgstab_df64")
+
 # which solvers accept a preconditioner (mirrors the reference: CG has the
 # IC0 overload h:2414-2505, BiCGStab the preconditioned form h:2191-2283)
 _PRECONDITIONABLE = {"cg", "conjugate_gradient", "bicgstab", "gmres"}
@@ -154,9 +158,27 @@ def solve(
         config or overrides
     ) else SolverConfig()
     method = cfg.method.lower()
-    if method not in SOLVERS:
+    if method not in SOLVERS and method not in _DF64_METHODS:
         raise ValueError(
-            f"unknown method {cfg.method!r}; options: {sorted(set(SOLVERS))}"
+            f"unknown method {cfg.method!r}; options: "
+            f"{sorted(set(SOLVERS) | set(_DF64_METHODS))}"
+        )
+    if method in _DF64_METHODS:
+        # emulated f64 (double-word f32, solvers/df64.py): takes the CSR
+        # source directly (df_operator_from_host_csr picks DIA/ELL); the
+        # fast-format/preconditioner/trace machinery is f32-path only
+        from .df64 import bicgstab_df64, cg_df64
+
+        if cfg.preconditioner not in (None, "none"):
+            raise ValueError(
+                f"{method} does not take a preconditioner yet"
+            )
+        if cfg.record_residuals:
+            raise ValueError(f"{method} does not record residual traces")
+        fn = cg_df64 if method == "cg_df64" else bicgstab_df64
+        return fn(
+            a, b, x0,
+            max_iterations=cfg.max_iterations, epsilon=cfg.epsilon,
         )
     a_source = a  # preconditioners factor from the CSR source below
     if cfg.auto_format and isinstance(a, CSRMatrix):

@@ -28,6 +28,19 @@ import numpy as np
 __all__ = ["benchmark_op", "spmv_throughput", "SolveStats", "solve_with_stats", "trace"]
 
 
+def _sync(out):
+    """Force TRUE completion: block_until_ready plus a one-element host
+    readback.  On the tunneled TPU runtime block_until_ready alone has
+    been observed to return before execution finishes (measured: a 70 ms
+    loop "completing" in 0.2 ms — docs/BENCH_NOTES.md round 3); reading
+    a scalar back is the reliable barrier."""
+    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)
+    if leaf and hasattr(leaf[0], "ravel"):
+        np.asarray(leaf[0].ravel()[:1])
+    return out
+
+
 def benchmark_op(
     fn: Callable,
     *args,
@@ -39,11 +52,11 @@ def benchmark_op(
     out = None
     for _ in range(max(warmup, 1)):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -118,10 +131,10 @@ def solve_with_stats(
     resident solver loop.
     """
     if warm:
-        jax.block_until_ready(solver(a, b, *args, **kwargs).x)
+        _sync(solver(a, b, *args, **kwargs).x)
     t0 = time.perf_counter()
     res = solver(a, b, *args, **kwargs)
-    jax.block_until_ready(res.x)
+    _sync(res.x)
     wall = time.perf_counter() - t0
 
     iters = max(int(res.iterations), 1)

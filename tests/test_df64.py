@@ -364,3 +364,20 @@ def test_bicgstab_df64_status_paths():
     res0 = bicgstab_df64(a, np.zeros(n), epsilon=1e-12)
     assert res0.status_enum() == SolverStatus.SUCCESS
     assert int(res0.iterations) == 0
+
+
+def test_solve_front_door_df64():
+    """solve(method='cg_df64'/'bicgstab_df64') through the config API."""
+    from sparse_matrix_math_tpu import SolverConfig, solve
+
+    a, data, indices, indptr = _poisson_host(16)
+    n = a.shape[0]
+    b = np.add.reduceat(data * np.ones(n)[indices], indptr[:-1])
+    for method in ("cg_df64", "bicgstab_df64"):
+        res = solve(a, b, config=SolverConfig(method=method, epsilon=1e-10))
+        assert res.status_enum() == SolverStatus.SUCCESS, (method, res)
+        assert np.max(np.abs(res.x_f64() - 1.0)) < 1e-9
+    with pytest.raises(ValueError):
+        solve(a, b, method="cg_df64", preconditioner="jacobi")
+    with pytest.raises(ValueError):
+        solve(a, b, method="cg_df64", record_residuals=True)
