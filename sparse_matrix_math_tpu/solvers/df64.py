@@ -53,6 +53,9 @@ class DfSolveResult:
     status: jnp.ndarray          # int32 scalar: SolverStatus value
     iterations: jnp.ndarray      # int32 scalar
     residual_norm2: jnp.ndarray  # final ||r||^2 hi word (f32)
+    # refinement rounds when produced by cg_ir_df64 (each costs one
+    # double-word SpMV on top of ``iterations`` inner f32 steps)
+    outer_rounds: Optional[jnp.ndarray] = None
 
     @property
     def x(self) -> jnp.ndarray:

@@ -1,0 +1,335 @@
+"""Iterative refinement to the f64 contract at f32 iteration cost.
+
+``cg_df64`` (solvers/df64.py) reaches the reference's 1e-8/f64 accuracy
+bar (include/sparse_matrix_math.h:2316 templated over ``double``;
+test/include/test_common.h:30-38) by running the ENTIRE CG recurrence in
+double-word f32 — measured ~9.5x the per-iteration cost of plain f32 CG
+(docs/BENCH_NOTES.md).  This module gets to the same bar much cheaper
+with classical mixed-precision iterative refinement (Wilkinson; the
+modern analysis is Carson & Higham, SIAM J. Sci. Comput. 2018):
+
+* the OUTER loop keeps ``x`` as a double-word (hi, lo) pair and computes
+  the TRUE residual ``r = b - A x`` with the double-word operator
+  (~2^-47 unit roundoff — f64-quality residuals on hardware with no f64);
+* each round solves the correction system ``A d = r / ||r||`` with a
+  lean **f32** CG on the hi-rounded operator — the fast path the rest of
+  the package already optimises (padded Pallas DIA kernels, W-SELL, any
+  preconditioner) — to a fixed RELATIVE reduction ``inner_rho``;
+* ``x <- x (+df) ||r|| d``; convergence is judged ONLY on the
+  double-word true residual.
+
+Why this sidesteps the f32 floor: a single f32 solve stalls when its
+residual reaches ~u_f32 * ||A|| * ||x|| ABSOLUTE (measured 2.4e-4 at
+n=2M on the bench Poisson).  The refinement rounds each solve a
+freshly-scaled unit-norm system, so the inner solve only ever needs a
+modest relative reduction, which f32 delivers at any outer residual
+level; accumulation happens in the double-word ``x``.  Per-round
+contraction is ``max(inner_rho, O(u_f32 * kappa(A)))`` and the attainable
+residual is O(2^-47 * kappa) — comfortably past 1e-8 for the reference's
+problem class.  The stall guard below reports the floor honestly when
+``kappa`` is large enough to bite.
+
+The whole recursion — outer refinement AND inner CG — is one jitted
+nest of ``lax.while_loop``s: zero host syncs, TPU-idiomatic control
+flow.  On TPU with a stencil (DIA) operator the inner solve runs in the
+padded Pallas domain (ops/pallas_spmv.py), lifted/dropped once per
+round.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.dia import DIAMatrix
+from ..formats.ell import ELLMatrix
+from ..ops.df32 import (
+    DfDiaMatrix,
+    DfEllMatrix,
+    df_norm2,
+    df_scale_add,
+    df_sub,
+)
+from .df64 import DfSolveResult, _as_df_operator, _as_df_vector
+from .types import RUNNING, SolverStatus, resolve_max_iterations
+
+__all__ = ["cg_ir_df64", "hi_operator"]
+
+
+def hi_operator(a_df):
+    """The f32 (hi-plane) operator of a double-word matrix — the inner
+    correction solves run on this; its 2^-24 rounding is corrected by
+    the outer double-word residual."""
+    if isinstance(a_df, DfDiaMatrix):
+        return DIAMatrix(
+            diags=a_df.diags_hi, offsets=a_df.offsets, shape=a_df.shape,
+            nnz=a_df.nnz,
+        )
+    if isinstance(a_df, DfEllMatrix):
+        return ELLMatrix(
+            vals=a_df.vals_hi, cols=a_df.cols, shape=a_df.shape,
+            nnz=a_df.nnz,
+        )
+    raise TypeError(
+        f"no hi-plane operator for {type(a_df).__name__}; pass "
+        "inner_matrix= explicitly"
+    )
+
+
+def _inner_cg(matvec, apply_, bu, rho2, cap):
+    """Lean (P)CG: reduce ``||bu - A d||`` below ``sqrt(rho2)`` (``bu``
+    is unit-norm, so this is a relative reduction) or stop at ``cap``
+    iterations / breakdown.  Deliberately UNVERIFIED — the outer loop
+    judges convergence on the double-word true residual, so recurrence
+    drift here only costs an extra refinement round, never correctness.
+    Returns (d, iterations)."""
+    zero = jnp.zeros_like(bu)
+    r = bu
+    z = apply_(r) if apply_ is not None else r
+    rz = jnp.sum(r * z)
+    rr = jnp.sum(r * r)
+    alive0 = (rr > rho2) & (cap > 0)
+
+    def cond(s):
+        return s[6]
+
+    def body(s):
+        d, r, p, rz, rr, k, _ = s
+        ap = matvec(p)
+        pap = jnp.sum(p * ap)
+        alpha = rz / pap
+        d = d + alpha * p
+        r = r - alpha * ap
+        z = apply_(r) if apply_ is not None else r
+        rz_new = jnp.sum(r * z)
+        rr = jnp.sum(r * r)
+        p = z + (rz_new / rz) * p
+        k = k + 1
+        ok = jnp.isfinite(rr) & (pap > 0.0) & (rz_new != 0.0)
+        alive = ok & (rr > rho2) & (k < cap)
+        return d, r, p, rz_new, rr, k, alive
+
+    state = (zero, r, z, rz, rr, jnp.int32(0), alive0)
+    d, _, _, _, rr, k, _ = jax.lax.while_loop(cond, body, state)
+    return d, k
+
+
+@partial(
+    jax.jit,
+    static_argnames=("maxiter", "max_outer", "use_padded", "pre_kind",
+                     "interpret"),
+)
+def _ir_jit(
+    a_df, a_in, pdia, pre, b, x0, eps2, rho2,
+    maxiter: int, max_outer: int, use_padded: bool, pre_kind: str,
+    interpret: bool = False,
+):
+    if use_padded:
+        from ..ops.pallas_spmv import (
+            dia_spmv_padded,
+            dia_spmv_streamed,
+            fits_in_vmem,
+        )
+
+        if fits_in_vmem(pdia.n_total, b[0].dtype):
+            matvec = lambda v: dia_spmv_padded(pdia, v, interpret=interpret)  # noqa: E731
+        else:
+            matvec = lambda v: dia_spmv_streamed(pdia, v, interpret=interpret)  # noqa: E731
+        lift, drop = pdia.to_padded, pdia.from_padded
+    else:
+        from ..ops.spmv import matvec_fn
+
+        matvec = matvec_fn(a_in)
+        lift = drop = lambda v: v  # noqa: E731
+
+    if pre_kind == "jacobi":
+        invp = lift(pre)  # zero padding keeps z padding zero
+        apply_ = lambda r: r * invp  # noqa: E731
+    elif pre_kind == "obj":
+        apply_ = lambda r: pre.apply(r)  # noqa: E731
+    else:
+        apply_ = None
+
+    def true_residual(x):
+        r = df_sub(b, a_df.rmult_df(x))
+        return r, df_norm2(r)[0]
+
+    r0, rn2_0 = true_residual(x0)
+    status0 = jnp.where(
+        rn2_0 <= eps2,
+        SolverStatus.SUCCESS,
+        jnp.where(
+            maxiter == 0, SolverStatus.MAX_ITERATIONS_REACHED, RUNNING
+        ),
+    ).astype(jnp.int32)
+
+    def cond(s):
+        return s[7] == RUNNING
+
+    def body(s):
+        x_hi, x_lo, r_hi, _r_lo, rn2, total, outer, _ = s
+        rn = jnp.sqrt(rn2)
+        bu = lift(r_hi / rn)
+        d_l, k_in = _inner_cg(matvec, apply_, bu, rho2, maxiter - total)
+        d = drop(d_l)
+        x_hi, x_lo = df_scale_add(
+            (x_hi, x_lo), (rn, jnp.zeros_like(rn)),
+            (d, jnp.zeros_like(d)),
+        )
+        r, rn2_new = true_residual((x_hi, x_lo))
+        total = total + k_in
+        outer = outer + 1
+        # stall: a round that fails to shrink ||r||^2 by 4x (||r|| by 2x)
+        # means the refinement hit its precision floor — report the floor
+        # rather than looping (the same contract as cg_core's restart
+        # guard, solvers/cg.py)
+        status = jnp.where(
+            rn2_new <= eps2,
+            SolverStatus.SUCCESS,
+            jnp.where(
+                ~jnp.isfinite(rn2_new),
+                SolverStatus.DIVERGED,
+                jnp.where(
+                    (rn2_new > 0.25 * rn2)
+                    | (total >= maxiter)
+                    | (outer >= max_outer),
+                    SolverStatus.MAX_ITERATIONS_REACHED,
+                    RUNNING,
+                ),
+            ),
+        ).astype(jnp.int32)
+        return x_hi, x_lo, r[0], r[1], rn2_new, total, outer, status
+
+    state = (
+        x0[0], x0[1], r0[0], r0[1], rn2_0, jnp.int32(0), jnp.int32(0),
+        status0,
+    )
+    x_hi, x_lo, _, _, rn2, total, outer, status = jax.lax.while_loop(
+        cond, body, state
+    )
+    return x_hi, x_lo, rn2, total, outer, status
+
+
+def cg_ir_df64(
+    a,
+    b,
+    x0=None,
+    max_iterations: int = -1,
+    epsilon: float = 1e-8,
+    *,
+    preconditioner=None,
+    inner_rho: float = 1e-2,
+    max_outer: int = 60,
+    inner_matrix=None,
+) -> DfSolveResult:
+    """Solve ``a @ x = b`` (SPD ``a``) to f64 accuracy at ~f32 cost.
+
+    Same operator/vector conventions and accuracy bar as
+    :func:`~sparse_matrix_math_tpu.cg_df64` (the reference's templated-
+    double contract, include/sparse_matrix_math.h:2316 + 1e-8 tolerances
+    test/include/test_common.h:30-38), but the per-iteration work is a
+    plain f32 CG step: only the once-per-round true residual runs in
+    double-word arithmetic.  Measured on the 10M-nnz Poisson bench
+    system this is several times faster than ``cg_df64`` to the same
+    1e-8 true residual (docs/BENCH_NOTES.md, round 3).
+
+    Args:
+      a: ``DfDiaMatrix`` / ``DfEllMatrix`` (keeps the operator's f64
+        values — build via ``io.load_matrix_df`` or
+        ``df_operator_from_host_csr``) or a ``CSRMatrix`` (operator
+        rounded to f32; the refinement still runs double-word).
+      b: host float64 array (split exactly), an (hi, lo) pair, or any
+        array-like (zero lo word).
+      x0: optional initial guess, same conventions as ``b``.
+      max_iterations: cap on the TOTAL inner CG iterations; -1 means n
+        (reference convention, h:2345-2347).  The outer rounds add one
+        double-word SpMV each on top.
+      epsilon: L2 threshold on the double-word TRUE residual
+        ``||b - A x||``.
+      preconditioner: inner-solve preconditioner — a
+        ``JacobiPreconditioner`` (runs in the padded Pallas domain on
+        TPU) or any object with ``apply(r) -> z`` (e.g.
+        ``PoissonMultigrid``; generic domain).
+      inner_rho: relative residual reduction each inner solve targets
+        (default 1e-2).  Smaller = fewer outer rounds (fewer double-word
+        SpMVs), larger = fresher rescaling; anything in [1e-4, 0.5]
+        converges, the default is measured-good on the bench systems.
+      max_outer: cap on refinement rounds (a safety net; the stall guard
+        normally fires first).
+      inner_matrix: override the inner-solve operator (default: the hi
+        planes of ``a`` as a DIA/ELL matrix).  Pass a bf16-valued or
+        W-SELL operator to trade inner accuracy for speed — the outer
+        loop corrects any inner operator within O(1/kappa).
+    """
+    a_df = _as_df_operator(a)
+    b = _as_df_vector(b)
+    n = b[0].shape[0]
+    x0 = (
+        (jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32))
+        if x0 is None
+        else _as_df_vector(x0)
+    )
+    maxiter = resolve_max_iterations(max_iterations, n)
+    eps2 = jnp.float32(float(epsilon) ** 2)
+    if not float(epsilon) ** 2 > 0.0 or float(epsilon) < 2e-19:
+        raise ValueError(
+            "epsilon must satisfy eps^2 > f32 tiny (eps >= ~2e-19); "
+            f"got {epsilon!r}"
+        )
+    rho2 = jnp.float32(float(inner_rho) ** 2)
+
+    a_in = inner_matrix if inner_matrix is not None else hi_operator(a_df)
+
+    pre, pre_kind = None, "none"
+    if preconditioner is not None:
+        from ..precond.preconditioners import JacobiPreconditioner
+
+        if isinstance(preconditioner, JacobiPreconditioner):
+            pre, pre_kind = preconditioner.inv_diag, "jacobi"
+        elif hasattr(preconditioner, "apply"):
+            pre, pre_kind = preconditioner, "obj"
+        else:
+            raise TypeError(
+                "preconditioner must expose apply(r) -> z; got "
+                f"{type(preconditioner).__name__}"
+            )
+
+    pdia, use_padded = None, False
+    if (
+        jax.default_backend() == "tpu"
+        and isinstance(a_in, DIAMatrix)
+        and pre_kind in ("none", "jacobi")
+    ):
+        from ..ops.pallas_spmv import pad_dia
+
+        try:
+            pdia = pad_dia(a_in)
+            use_padded = True
+        except Exception:  # pragma: no cover - geometry refusals
+            pdia, use_padded = None, False
+
+    def run(use_padded_, pdia_):
+        return _ir_jit(
+            a_df, a_in, pdia_, pre, b, x0, eps2, rho2,
+            maxiter, int(max_outer), use_padded_, pre_kind,
+        )
+
+    if use_padded:
+        try:
+            out = run(True, pdia)
+        except Exception as e:  # Mosaic compile refusal -> generic path
+            from ..ops.spmv import _warn_pallas_fallback
+
+            _warn_pallas_fallback(e)
+            out = run(False, None)
+    else:
+        out = run(False, None)
+    x_hi, x_lo, rn2, total, outer, status = out
+    return DfSolveResult(
+        x_hi=x_hi, x_lo=x_lo, status=status,
+        iterations=total, residual_norm2=rn2, outer_rounds=outer,
+    )
