@@ -60,6 +60,23 @@ def main(nx: int = None) -> None:
     print(f"x error vs manufactured:  "
           f"{np.linalg.norm(x - x_true) / np.linalg.norm(x_true):.3e}")
 
+    # the fast path to the same bar: f32 inner CG + double-word
+    # true-residual refinement (docs/DESIGN.md §16b) — f32 iteration
+    # cost, optionally multigrid-preconditioned inner solves
+    from sparse_matrix_math_tpu.solvers.multigrid import PoissonMultigrid
+
+    mg = PoissonMultigrid.for_grid(nx)
+    ir = smm.cg_ir_df64(dfa, b, epsilon=1e-10, preconditioner=mg)
+    xi = ir.x_f64()
+    ir_res = np.linalg.norm(
+        b - np.add.reduceat(data * xi[indices], indptr[:-1])
+    )
+    print(
+        f"cg_ir_df64 (+mg inner): status={ir.status_enum().name} "
+        f"inner={int(ir.iterations)} outer={int(ir.outer_rounds)} "
+        f"true residual {ir_res:.3e}"
+    )
+
     # the same solve in plain f32 floors orders of magnitude higher
     a32 = poisson_2d(nx, dtype=np.float32)
     r32 = smm.cg(a32, b.astype(np.float32), epsilon=1e-10)

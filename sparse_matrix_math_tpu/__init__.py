@@ -13,9 +13,11 @@ reference library vasil-pashov/sparse_matrix_math (see SURVEY.md):
 * Krylov solvers as jitted while_loops: ConjugateGradient (plain +
   preconditioned + pipelined + mixed-precision + deflated + multi-RHS),
   BiCGSymmetric, ConjugateGradientSquared, BiCGStab, restarted GMRES,
-  Chebyshev semi-iteration; ``cg_df64`` runs the whole recurrence in
-  double-word f32 (ops/df32.py) for 1e-8-grade solves on hardware
-  without native f64 (pair with ``load_matrix_df``)
+  Chebyshev semi-iteration; ``cg_df64``/``bicgstab_df64`` run the whole
+  recurrence in double-word f32 (ops/df32.py) for 1e-8-grade solves on
+  hardware without native f64 (pair with ``load_matrix_df``), and
+  ``cg_ir_df64`` reaches the same bar at plain-f32 iteration cost via
+  true-residual iterative refinement (solvers/ir_df64.py)
 * preconditioners: Identity, Jacobi, Symmetric Gauss-Seidel, ILU(0),
   IC(0) with TPU triangular-solve strategies (fused Pallas halo-sweep
   kernels on the padded stencil domain), Chebyshev polynomial;
