@@ -67,7 +67,7 @@ from .solvers.cgs import cgs, conjugate_gradient_squared
 from .solvers.chebyshev import chebyshev, lanczos_extremal
 from .solvers.deflated import deflated_cg, lanczos_deflation_basis
 from .solvers.df64 import DfSolveResult, bicgstab_df64, cg_df64
-from .solvers.ir_df64 import cg_ir_df64
+from .solvers.ir_df64 import bicgstab_ir_df64, cg_ir_df64
 from .ops.df32 import (
     DfDiaMatrix,
     DfEllMatrix,
@@ -113,7 +113,7 @@ __all__ = [
     "chebyshev", "lanczos_extremal", "cg_pipelined", "mixed_cg",
     "deflated_cg", "lanczos_deflation_basis", "gmres",
     "DfDiaMatrix", "DfEllMatrix", "DfSolveResult", "bicgstab_df64", "cg_df64",
-    "cg_ir_df64",
+    "bicgstab_ir_df64", "cg_ir_df64",
     "df_from_host", "df_to_host", "df_operator_from_host_csr",
     "cg_multi", "MultiSolveResult", "PoissonMultigrid", "best_format",
     "PerformanceWarning",

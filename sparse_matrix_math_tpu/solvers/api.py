@@ -44,7 +44,9 @@ SOLVERS = {
 # emulated-f64 methods (solvers/df64.py, solvers/ir_df64.py): dispatched
 # by a dedicated branch in solve() — different operator/result types
 # (DfSolveResult)
-_DF64_METHODS = ("cg_df64", "bicgstab_df64", "cg_ir_df64")
+_DF64_METHODS = (
+    "cg_df64", "bicgstab_df64", "cg_ir_df64", "bicgstab_ir_df64"
+)
 
 # which solvers accept a preconditioner (mirrors the reference: CG has the
 # IC0 overload h:2414-2505, BiCGStab the preconditioned form h:2191-2283)
@@ -169,11 +171,11 @@ def solve(
         # source directly (df_operator_from_host_csr picks DIA/ELL); the
         # fast-format/preconditioner/trace machinery is f32-path only
         from .df64 import bicgstab_df64, cg_df64
-        from .ir_df64 import cg_ir_df64
+        from .ir_df64 import bicgstab_ir_df64, cg_ir_df64
 
         if cfg.record_residuals:
             raise ValueError(f"{method} does not record residual traces")
-        if method == "cg_ir_df64":
+        if method in ("cg_ir_df64", "bicgstab_ir_df64"):
             # the refinement's inner f32 solve takes a preconditioner:
             # pass an OBJECT with apply(r) -> z (e.g. JacobiPreconditioner
             # or PoissonMultigrid); string factories need the f32-path
@@ -183,11 +185,14 @@ def solve(
                 pre = None
             elif isinstance(pre, str):
                 raise ValueError(
-                    "cg_ir_df64 via solve() takes a preconditioner "
+                    f"{method} via solve() takes a preconditioner "
                     "OBJECT (apply(r) -> z), not a string factory name; "
-                    "call cg_ir_df64() directly or pass the object"
+                    f"call {method}() directly or pass the object"
                 )
-            return cg_ir_df64(
+            ir_fn = (
+                cg_ir_df64 if method == "cg_ir_df64" else bicgstab_ir_df64
+            )
+            return ir_fn(
                 a, b, x0,
                 max_iterations=cfg.max_iterations, epsilon=cfg.epsilon,
                 preconditioner=pre,

@@ -57,7 +57,7 @@ from ..ops.df32 import (
 from .df64 import DfSolveResult, _as_df_operator, _as_df_vector
 from .types import RUNNING, SolverStatus, resolve_max_iterations
 
-__all__ = ["cg_ir_df64", "hi_operator"]
+__all__ = ["bicgstab_ir_df64", "cg_ir_df64", "hi_operator"]
 
 
 def hi_operator(a_df):
@@ -118,14 +118,77 @@ def _inner_cg(matvec, apply_, bu, rho2, cap):
     return d, k
 
 
+def _inner_bicgstab(matvec, apply_, bu, rho2, cap):
+    """Lean BiCGStab for the nonsymmetric correction solves: reduce
+    ``||bu - A d||`` below ``sqrt(rho2)`` or stop at ``cap`` /
+    breakdown.  Preconditioning follows the reference's residual form
+    (h:2233-2257): every matvec result passes through M^{-1}, and the
+    reduction target is measured in the M^{-1} norm.  Unverified and
+    unpolished on purpose — the outer double-word residual judges the
+    result; a best-iterate (by recurrence) is kept so a late f32
+    explosion inside a round cannot hand the outer loop garbage.
+    Returns (d, iterations)."""
+    pre = apply_ if apply_ is not None else (lambda v: v)
+    tiny = jnp.asarray(jnp.finfo(bu.dtype).tiny, bu.dtype)
+    zero = jnp.zeros_like(bu)
+    r = pre(bu)
+    r0 = r
+    rr0 = jnp.sum(r * r0)
+    rr = jnp.sum(r * r)
+    rho2s = rho2 * rr  # relative to the M^{-1}-normed rhs
+    alive0 = (rr > rho2s) & (cap > 0)
+
+    def cond(s):
+        return s[9]
+
+    def body(s):
+        d, r, p, rr0, rr, best_d, best_rr, k, _rho2s, _ = s
+        ap = pre(matvec(p))
+        denom = jnp.sum(ap * r0)
+        bd1 = jnp.abs(denom) < tiny
+        alpha = jnp.where(bd1, 0.0, rr0 / denom)
+        sv = r - alpha * ap
+        asv = pre(matvec(sv))
+        asas = jnp.sum(asv * asv)
+        bd2 = jnp.abs(asas) < tiny
+        omega = jnp.where(bd2, 0.0, jnp.sum(asv * sv) / asas)
+        d = d + alpha * p + omega * sv
+        r = sv - omega * asv
+        rr_new = jnp.sum(r * r)
+        new_rr0 = jnp.sum(r * r0)
+        bd3 = (jnp.abs(rr0) < tiny) | (jnp.abs(omega) < tiny)
+        beta = jnp.where(
+            bd3, 0.0, (new_rr0 * alpha) / (rr0 * omega)
+        )
+        p = r + beta * (p - omega * ap)
+        k = k + 1
+        better = rr_new < best_rr
+        best_d = jnp.where(better, d, best_d)
+        best_rr = jnp.where(better, rr_new, best_rr)
+        ok = jnp.isfinite(rr_new) & ~(bd1 | bd2 | bd3)
+        alive = ok & (rr_new > _rho2s) & (k < cap)
+        return d, r, p, new_rr0, rr_new, best_d, best_rr, k, _rho2s, alive
+
+    state = (
+        zero, r, r, rr0, rr, zero, rr, jnp.int32(0), rho2s, alive0
+    )
+    out = jax.lax.while_loop(cond, body, state)
+    _, _, _, _, _, best_d, _, k, _, _ = out
+    return best_d, k
+
+
+_INNER = {"cg": _inner_cg, "bicgstab": _inner_bicgstab}
+
+
 @partial(
     jax.jit,
     static_argnames=("maxiter", "max_outer", "use_padded", "pre_kind",
-                     "interpret"),
+                     "inner_kind", "interpret"),
 )
 def _ir_jit(
     a_df, a_in, pdia, pre, b, x0, eps2, rho2,
     maxiter: int, max_outer: int, use_padded: bool, pre_kind: str,
+    inner_kind: str = "cg",
     interpret: bool = False,
 ):
     if use_padded:
@@ -150,7 +213,10 @@ def _ir_jit(
         invp = lift(pre)  # zero padding keeps z padding zero
         apply_ = lambda r: r * invp  # noqa: E731
     elif pre_kind == "obj":
-        apply_ = lambda r: pre.apply(r)  # noqa: E731
+        # pin the apply output to the inner f32 domain: preconditioner
+        # objects built from f64 host data promote on the x64 CPU
+        # backend, which would widen the inner while_loop carry
+        apply_ = lambda r: pre.apply(r).astype(r.dtype)  # noqa: E731
     else:
         apply_ = None
 
@@ -174,7 +240,9 @@ def _ir_jit(
         x_hi, x_lo, r_hi, _r_lo, rn2, total, outer, _ = s
         rn = jnp.sqrt(rn2)
         bu = lift(r_hi / rn)
-        d_l, k_in = _inner_cg(matvec, apply_, bu, rho2, maxiter - total)
+        d_l, k_in = _INNER[inner_kind](
+            matvec, apply_, bu, rho2, maxiter - total
+        )
         d = drop(d_l)
         x_hi, x_lo = df_scale_add(
             (x_hi, x_lo), (rn, jnp.zeros_like(rn)),
@@ -212,6 +280,82 @@ def _ir_jit(
         cond, body, state
     )
     return x_hi, x_lo, rn2, total, outer, status
+
+
+def _ir_front(
+    inner_kind, a, b, x0, max_iterations, epsilon,
+    preconditioner, inner_rho, max_outer, inner_matrix,
+) -> DfSolveResult:
+    """Shared refinement front door (see cg_ir_df64 for the parameter
+    contract); ``inner_kind`` picks the correction solver."""
+    a_df = _as_df_operator(a)
+    b = _as_df_vector(b)
+    n = b[0].shape[0]
+    x0 = (
+        (jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32))
+        if x0 is None
+        else _as_df_vector(x0)
+    )
+    maxiter = resolve_max_iterations(max_iterations, n)
+    eps2 = jnp.float32(float(epsilon) ** 2)
+    if not float(epsilon) ** 2 > 0.0 or float(epsilon) < 2e-19:
+        raise ValueError(
+            "epsilon must satisfy eps^2 > f32 tiny (eps >= ~2e-19); "
+            f"got {epsilon!r}"
+        )
+    rho2 = jnp.float32(float(inner_rho) ** 2)
+
+    a_in = inner_matrix if inner_matrix is not None else hi_operator(a_df)
+
+    pre, pre_kind = None, "none"
+    if preconditioner is not None:
+        from ..precond.preconditioners import JacobiPreconditioner
+
+        if isinstance(preconditioner, JacobiPreconditioner):
+            pre, pre_kind = preconditioner.inv_diag, "jacobi"
+        elif hasattr(preconditioner, "apply"):
+            pre, pre_kind = preconditioner, "obj"
+        else:
+            raise TypeError(
+                "preconditioner must expose apply(r) -> z; got "
+                f"{type(preconditioner).__name__}"
+            )
+
+    pdia, use_padded = None, False
+    if (
+        jax.default_backend() == "tpu"
+        and isinstance(a_in, DIAMatrix)
+        and pre_kind in ("none", "jacobi")
+    ):
+        from ..ops.pallas_spmv import pad_dia
+
+        try:
+            pdia = pad_dia(a_in)
+            use_padded = True
+        except Exception:  # pragma: no cover - geometry refusals
+            pdia, use_padded = None, False
+
+    def run(use_padded_, pdia_):
+        return _ir_jit(
+            a_df, a_in, pdia_, pre, b, x0, eps2, rho2,
+            maxiter, int(max_outer), use_padded_, pre_kind, inner_kind,
+        )
+
+    if use_padded:
+        try:
+            out = run(True, pdia)
+        except Exception as e:  # Mosaic compile refusal -> generic path
+            from ..ops.spmv import _warn_pallas_fallback
+
+            _warn_pallas_fallback(e)
+            out = run(False, None)
+    else:
+        out = run(False, None)
+    x_hi, x_lo, rn2, total, outer, status = out
+    return DfSolveResult(
+        x_hi=x_hi, x_lo=x_lo, status=status,
+        iterations=total, residual_norm2=rn2, outer_rounds=outer,
+    )
 
 
 def cg_ir_df64(
@@ -265,71 +409,41 @@ def cg_ir_df64(
         W-SELL operator to trade inner accuracy for speed — the outer
         loop corrects any inner operator within O(1/kappa).
     """
-    a_df = _as_df_operator(a)
-    b = _as_df_vector(b)
-    n = b[0].shape[0]
-    x0 = (
-        (jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32))
-        if x0 is None
-        else _as_df_vector(x0)
+    return _ir_front(
+        "cg", a, b, x0, max_iterations, epsilon,
+        preconditioner, inner_rho, max_outer, inner_matrix,
     )
-    maxiter = resolve_max_iterations(max_iterations, n)
-    eps2 = jnp.float32(float(epsilon) ** 2)
-    if not float(epsilon) ** 2 > 0.0 or float(epsilon) < 2e-19:
-        raise ValueError(
-            "epsilon must satisfy eps^2 > f32 tiny (eps >= ~2e-19); "
-            f"got {epsilon!r}"
-        )
-    rho2 = jnp.float32(float(inner_rho) ** 2)
 
-    a_in = inner_matrix if inner_matrix is not None else hi_operator(a_df)
 
-    pre, pre_kind = None, "none"
-    if preconditioner is not None:
-        from ..precond.preconditioners import JacobiPreconditioner
+def bicgstab_ir_df64(
+    a,
+    b,
+    x0=None,
+    max_iterations: int = -1,
+    epsilon: float = 1e-8,
+    *,
+    preconditioner=None,
+    inner_rho: float = 1e-2,
+    max_outer: int = 60,
+    inner_matrix=None,
+) -> DfSolveResult:
+    """Solve ``a @ x = b`` (general square ``a``) to f64 accuracy at
+    ~f32 cost: the nonsymmetric counterpart of :func:`cg_ir_df64`,
+    refining f32 BiCGStab correction solves with the double-word true
+    residual.  Same parameters and contract as :func:`cg_ir_df64`;
+    matches the reference's double-templated BiCGStab at 1e-8
+    (include/sparse_matrix_math.h:2191-2303 + test tolerances
+    test_common.h:30-38) much cheaper than :func:`bicgstab_df64`.
 
-        if isinstance(preconditioner, JacobiPreconditioner):
-            pre, pre_kind = preconditioner.inv_diag, "jacobi"
-        elif hasattr(preconditioner, "apply"):
-            pre, pre_kind = preconditioner, "obj"
-        else:
-            raise TypeError(
-                "preconditioner must expose apply(r) -> z; got "
-                f"{type(preconditioner).__name__}"
-            )
-
-    pdia, use_padded = None, False
-    if (
-        jax.default_backend() == "tpu"
-        and isinstance(a_in, DIAMatrix)
-        and pre_kind in ("none", "jacobi")
-    ):
-        from ..ops.pallas_spmv import pad_dia
-
-        try:
-            pdia = pad_dia(a_in)
-            use_padded = True
-        except Exception:  # pragma: no cover - geometry refusals
-            pdia, use_padded = None, False
-
-    def run(use_padded_, pdia_):
-        return _ir_jit(
-            a_df, a_in, pdia_, pre, b, x0, eps2, rho2,
-            maxiter, int(max_outer), use_padded_, pre_kind,
-        )
-
-    if use_padded:
-        try:
-            out = run(True, pdia)
-        except Exception as e:  # Mosaic compile refusal -> generic path
-            from ..ops.spmv import _warn_pallas_fallback
-
-            _warn_pallas_fallback(e)
-            out = run(False, None)
-    else:
-        out = run(False, None)
-    x_hi, x_lo, rn2, total, outer, status = out
-    return DfSolveResult(
-        x_hi=x_hi, x_lo=x_lo, status=status,
-        iterations=total, residual_norm2=rn2, outer_rounds=outer,
+    The inner BiCGStab applies ``preconditioner`` in the reference's
+    residual form (M^{-1} after every matvec, h:2233-2257) and keeps a
+    best-iterate so a late f32 breakdown inside a round degrades to a
+    shorter round, not a corrupted update.  Unpreconditioned f32
+    BiCGStab is unstable on hard systems (the reference records the
+    same on sherman1, test/cpp/bicgstab.cpp:68) — pair with SGS there,
+    as the reference does.
+    """
+    return _ir_front(
+        "bicgstab", a, b, x0, max_iterations, epsilon,
+        preconditioner, inner_rho, max_outer, inner_matrix,
     )

@@ -203,3 +203,87 @@ def test_cg_ir_df64_via_solve_front_door():
     assert res.status_enum() == SolverStatus.SUCCESS
     with pytest.raises(ValueError):
         solve(a, b, method="cg_ir_df64", preconditioner="jacobi")
+
+
+# -------------------------------------------------------------- bicgstab IR
+
+
+def _nonsym_host(nx, drift=0.3):
+    """Poisson + a one-sided convection term: nonsymmetric, well posed."""
+    a = poisson_2d(nx, dtype=np.float64)
+    data = np.asarray(a.data, np.float64).copy()
+    indices = np.asarray(a.indices, np.int64)
+    indptr = np.asarray(a.indptr, np.int64)
+    rows = np.repeat(np.arange(a.shape[0]), np.diff(indptr))
+    data[indices == rows + 1] += drift  # upwind bias on the +1 diagonal
+    return data, indices, indptr, a.shape
+
+
+def test_bicgstab_ir_df64_convection_1e10():
+    data, indices, indptr, shape = _nonsym_host(32)
+    n = shape[0]
+    x_true = np.random.default_rng(2).standard_normal(n)
+    b = np.add.reduceat(data * x_true[indices], indptr[:-1])
+    dfa = D.df_operator_from_host_csr(data, indices, indptr, shape)
+    from sparse_matrix_math_tpu import bicgstab_ir_df64
+
+    res = bicgstab_ir_df64(dfa, b, epsilon=1e-10)
+    assert res.status_enum() == SolverStatus.SUCCESS, res
+    x = res.x_f64()
+    tr = b - np.add.reduceat(data * x[indices], indptr[:-1])
+    assert np.linalg.norm(tr) < 1e-9
+    assert int(res.outer_rounds) >= 2
+
+
+def test_bicgstab_ir_df64_sherman1_sgs_reference_contract():
+    """sherman1 at 1e-8 — the reference's hard nonsymmetric case.  The
+    inner f32 BiCGStab needs SGS there (the reference records the same
+    instability unpreconditioned, test/cpp/bicgstab.cpp:68)."""
+    from sparse_matrix_math_tpu import (
+        bicgstab_ir_df64,
+        get_preconditioner,
+        load_matrix_csr,
+    )
+    from conftest import SHERMAN1
+
+    path = asset_path(SHERMAN1)
+    dfa = load_matrix_df(path)
+    n = dfa.shape[0]
+    if isinstance(dfa, D.DfDiaMatrix):
+        hi = np.asarray(dfa.diags_hi, np.float64)
+        lo = np.asarray(dfa.diags_lo, np.float64)
+        b64 = np.zeros(n)
+        for d, off in enumerate(dfa.offsets):
+            rows = np.arange(n)
+            cols = rows + off
+            valid = (cols >= 0) & (cols < n)
+            b64[rows[valid]] += (hi + lo)[d, rows[valid]]
+    else:
+        b64 = (
+            np.asarray(dfa.vals_hi, np.float64).sum(axis=1)[:n]
+            + np.asarray(dfa.vals_lo, np.float64).sum(axis=1)[:n]
+        )
+    a32 = load_matrix_csr(path)
+    sgs = get_preconditioner(a32, "sgs")
+    res = bicgstab_ir_df64(dfa, b64, epsilon=1e-8, preconditioner=sgs)
+    assert res.status_enum() == SolverStatus.SUCCESS, res
+    x = res.x_f64()
+    assert np.max(np.abs(x - 1.0)) < 1e-5
+    assert float(res.residual_norm2) ** 0.5 <= 1e-8 * (1 + 1e-6)
+
+
+def test_bicgstab_ir_df64_status_and_front_door():
+    data, indices, indptr, shape = _nonsym_host(8)
+    n = shape[0]
+    dfa = D.df_operator_from_host_csr(data, indices, indptr, shape)
+    from sparse_matrix_math_tpu import bicgstab_ir_df64
+
+    res = bicgstab_ir_df64(dfa, np.ones(n), max_iterations=0)
+    assert res.status_enum() == SolverStatus.MAX_ITERATIONS_REACHED
+    res0 = bicgstab_ir_df64(dfa, np.zeros(n), epsilon=1e-12)
+    assert res0.status_enum() == SolverStatus.SUCCESS
+    assert int(res0.iterations) == 0
+    a = poisson_2d(12, dtype=np.float64)
+    b = np.random.default_rng(13).standard_normal(a.shape[0])
+    res = solve(a, b, method="bicgstab_ir_df64", epsilon=1e-9)
+    assert res.status_enum() == SolverStatus.SUCCESS
