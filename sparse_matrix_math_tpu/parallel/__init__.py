@@ -1,6 +1,13 @@
 """Multi-chip distribution: 1-D row-partitioned mesh (SURVEY §2.3, §7)."""
 
 from .dist_dia import DistDIA, dist_dia_solve, dist_dia_spmv, distribute_dia
+from .dist_df64 import (
+    DistDfDia,
+    dist_bicgstab_ir_df64,
+    dist_cg_ir_df64,
+    dist_df_dia_spmv,
+    distribute_df_dia,
+)
 from .dist_multigrid import (
     DistPoissonMG,
     dist_mg_solve,
@@ -57,6 +64,11 @@ __all__ = [
     "dist_dia_solve",
     "dist_dia_spmv",
     "distribute_dia",
+    "DistDfDia",
+    "dist_bicgstab_ir_df64",
+    "dist_cg_ir_df64",
+    "dist_df_dia_spmv",
+    "distribute_df_dia",
     "DistPreconditioner",
     "collect",
     "dist_solve",

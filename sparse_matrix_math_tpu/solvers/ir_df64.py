@@ -80,18 +80,19 @@ def hi_operator(a_df):
     )
 
 
-def _inner_cg(matvec, apply_, bu, rho2, cap):
+def _inner_cg(matvec, apply_, dotfn, bu, rho2, cap):
     """Lean (P)CG: reduce ``||bu - A d||`` below ``sqrt(rho2)`` (``bu``
     is unit-norm, so this is a relative reduction) or stop at ``cap``
     iterations / breakdown.  Deliberately UNVERIFIED — the outer loop
     judges convergence on the double-word true residual, so recurrence
     drift here only costs an extra refinement round, never correctness.
+    ``dotfn`` is psum-reducing in the distributed layer.
     Returns (d, iterations)."""
     zero = jnp.zeros_like(bu)
     r = bu
     z = apply_(r) if apply_ is not None else r
-    rz = jnp.sum(r * z)
-    rr = jnp.sum(r * r)
+    rz = dotfn(r, z)
+    rr = dotfn(r, r)
     alive0 = (rr > rho2) & (cap > 0)
 
     def cond(s):
@@ -100,13 +101,13 @@ def _inner_cg(matvec, apply_, bu, rho2, cap):
     def body(s):
         d, r, p, rz, rr, k, _ = s
         ap = matvec(p)
-        pap = jnp.sum(p * ap)
+        pap = dotfn(p, ap)
         alpha = rz / pap
         d = d + alpha * p
         r = r - alpha * ap
         z = apply_(r) if apply_ is not None else r
-        rz_new = jnp.sum(r * z)
-        rr = jnp.sum(r * r)
+        rz_new = dotfn(r, z)
+        rr = dotfn(r, r)
         p = z + (rz_new / rz) * p
         k = k + 1
         ok = jnp.isfinite(rr) & (pap > 0.0) & (rz_new != 0.0)
@@ -118,7 +119,7 @@ def _inner_cg(matvec, apply_, bu, rho2, cap):
     return d, k
 
 
-def _inner_bicgstab(matvec, apply_, bu, rho2, cap):
+def _inner_bicgstab(matvec, apply_, dotfn, bu, rho2, cap):
     """Lean BiCGStab for the nonsymmetric correction solves: reduce
     ``||bu - A d||`` below ``sqrt(rho2)`` or stop at ``cap`` /
     breakdown.  Preconditioning follows the reference's residual form
@@ -133,8 +134,8 @@ def _inner_bicgstab(matvec, apply_, bu, rho2, cap):
     zero = jnp.zeros_like(bu)
     r = pre(bu)
     r0 = r
-    rr0 = jnp.sum(r * r0)
-    rr = jnp.sum(r * r)
+    rr0 = dotfn(r, r0)
+    rr = dotfn(r, r)
     rho2s = rho2 * rr  # relative to the M^{-1}-normed rhs
     alive0 = (rr > rho2s) & (cap > 0)
 
@@ -144,18 +145,18 @@ def _inner_bicgstab(matvec, apply_, bu, rho2, cap):
     def body(s):
         d, r, p, rr0, rr, best_d, best_rr, k, _rho2s, _ = s
         ap = pre(matvec(p))
-        denom = jnp.sum(ap * r0)
+        denom = dotfn(ap, r0)
         bd1 = jnp.abs(denom) < tiny
         alpha = jnp.where(bd1, 0.0, rr0 / denom)
         sv = r - alpha * ap
         asv = pre(matvec(sv))
-        asas = jnp.sum(asv * asv)
+        asas = dotfn(asv, asv)
         bd2 = jnp.abs(asas) < tiny
-        omega = jnp.where(bd2, 0.0, jnp.sum(asv * sv) / asas)
+        omega = jnp.where(bd2, 0.0, dotfn(asv, sv) / asas)
         d = d + alpha * p + omega * sv
         r = sv - omega * asv
-        rr_new = jnp.sum(r * r)
-        new_rr0 = jnp.sum(r * r0)
+        rr_new = dotfn(r, r)
+        new_rr0 = dotfn(r, r0)
         bd3 = (jnp.abs(rr0) < tiny) | (jnp.abs(omega) < tiny)
         beta = jnp.where(
             bd3, 0.0, (new_rr0 * alpha) / (rr0 * omega)
@@ -224,6 +225,25 @@ def _ir_jit(
         r = df_sub(b, a_df.rmult_df(x))
         return r, df_norm2(r)[0]
 
+    return ir_df_core(
+        true_residual, matvec, apply_, lambda u, v: jnp.sum(u * v),
+        lift, drop, b, x0, eps2, rho2, maxiter, max_outer, inner_kind,
+    )
+
+
+def ir_df_core(
+    true_residual, matvec, apply_, dotfn, lift, drop,
+    b, x0, eps2, rho2, maxiter: int, max_outer: int, inner_kind: str,
+):
+    """Refinement outer loop, parameterised over the closures so the
+    distributed layer (parallel/dist_df64.py) runs the identical loop
+    inside ``shard_map``: ``true_residual(x_df) -> (r_df, ||r||^2 hi)``
+    with a double-word (halo-exchanged, tree-combined) SpMV/norm,
+    ``matvec``/``apply_``/``dotfn`` the f32 inner machinery (psum dots
+    when sharded), ``lift``/``drop`` the inner-domain layout hops
+    (padded Pallas domain single-chip, identity sharded).
+
+    Returns (x_hi, x_lo, rn2, total_inner, outer_rounds, status)."""
     r0, rn2_0 = true_residual(x0)
     status0 = jnp.where(
         rn2_0 <= eps2,
@@ -241,7 +261,7 @@ def _ir_jit(
         rn = jnp.sqrt(rn2)
         bu = lift(r_hi / rn)
         d_l, k_in = _INNER[inner_kind](
-            matvec, apply_, bu, rho2, maxiter - total
+            matvec, apply_, dotfn, bu, rho2, maxiter - total
         )
         d = drop(d_l)
         x_hi, x_lo = df_scale_add(
