@@ -381,12 +381,36 @@ class DfDiaMatrix:
         )
 
     def rmult_df(self, x: Tuple) -> Tuple:
-        """y = A @ x, double-word in and out, gather-free."""
+        """y = A @ x, double-word in and out, gather-free.
+
+        On TPU with both x words VMEM-resident this runs as the padded
+        Pallas kernel (ops/pallas_spmv.py:dia_spmv_padded_df) — the XLA
+        formulation below pays a cross-lane relayout per unaligned
+        offset (measured 1.9x, docs/DESIGN.md §16), the kernel's
+        sublane-slice + lane-rotation window reads do not."""
         n_rows, n_cols = self.shape
         x_hi, x_lo = x
         if not self.offsets:
             z = jnp.zeros(n_rows, jnp.float32)
             return z, z
+        if jax.default_backend() == "tpu" and n_rows == n_cols:
+            from .pallas_spmv import (
+                _DF_RESIDENT_X_BYTES,
+                dia_spmv_padded_df,
+                dia_spmv_streamed_df,
+                pad_dia_df,
+            )
+
+            p = pad_dia_df(self)
+            # resident when BOTH x planes fit the scoped-vmem budget
+            # next to the diagonal blocks; windowed HBM DMA otherwise
+            spmv = (
+                dia_spmv_padded_df
+                if 8 * p.n_total <= _DF_RESIDENT_X_BYTES
+                else dia_spmv_streamed_df
+            )
+            yh, yl = spmv(p, p.to_padded(x_hi), p.to_padded(x_lo))
+            return p.from_padded(yh), p.from_padded(yl)
         lpad = max(-min(self.offsets), 0)
         rpad = max(max(self.offsets) + n_rows - n_cols, 0)
         xh = jnp.pad(x_hi, (lpad, rpad))

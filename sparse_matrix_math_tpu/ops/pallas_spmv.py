@@ -425,3 +425,248 @@ def ell_spmv(a: ELLMatrix, x: jnp.ndarray, *, interpret: bool = False) -> jnp.nd
     return _ell_spmv_call(
         a.vals, a.cols, x, shape=a.shape, interpret=interpret
     )
+
+
+# -- double-word (emulated f64) padded DIA path -------------------------------
+#
+# DfDiaMatrix's XLA SpMV (ops/df32.py) reads every diagonal as a shifted
+# slice; XLA pays a cross-lane relayout per unaligned offset (measured
+# 1.9x on the bench stencil — docs/DESIGN.md §16 scaling note).  This
+# kernel is the f32 padded kernel with double-word arithmetic: the same
+# sublane-slice + lane-rotation window reads for BOTH (hi, lo) x planes,
+# Dekker two_prod of the hi parts + f32 cross terms, double-word
+# accumulation across diagonals.  The error-free transforms are exact
+# under Mosaic on TPU (probed: 65536/65536 products bit-exact vs f64 —
+# same guarantee as XLA:TPU, docs/DESIGN.md §16).
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PaddedDfDia:
+    """Double-word DIA pre-laid-out for the padded Pallas kernel (the
+    (hi, lo)-plane twin of :class:`PaddedDIA`; same layout geometry)."""
+
+    diags3_hi: jnp.ndarray  # (ndiags, total_rows, 128)
+    diags3_lo: jnp.ndarray
+    offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    n_total: int = dataclasses.field(metadata=dict(static=True))
+    lblk: int = dataclasses.field(metadata=dict(static=True))
+    nblk: int = dataclasses.field(metadata=dict(static=True))
+    rows_blk: int = dataclasses.field(metadata=dict(static=True))
+
+    def to_padded(self, x: jnp.ndarray) -> jnp.ndarray:
+        lead = self.lblk * self.rows_blk * _LANE
+        out = jnp.zeros((self.n_total,), x.dtype)
+        out = jax.lax.dynamic_update_slice(out, x, (lead,))
+        return out.reshape(-1, _LANE)
+
+    def from_padded(self, xp: jnp.ndarray) -> jnp.ndarray:
+        lead = self.lblk * self.rows_blk * _LANE
+        return jax.lax.slice(xp.reshape(-1), (lead,), (lead + self.shape[0],))
+
+
+def pad_dia_df(dfa, rows_blk: int = 512) -> PaddedDfDia:
+    """One-time layout transform DfDiaMatrix -> PaddedDfDia."""
+    n_rows, _ = dfa.shape
+    lblk, nblk, rblk, total = _dia_layout_params(
+        dfa.offsets, dfa.shape, rows_blk
+    )
+    lead = lblk * rows_blk * _LANE
+
+    def lay(d):
+        d = jnp.pad(d, ((0, 0), (lead, total - lead - n_rows)))
+        return d.reshape(d.shape[0], -1, _LANE)
+
+    return PaddedDfDia(
+        diags3_hi=lay(dfa.diags_hi),
+        diags3_lo=lay(dfa.diags_lo),
+        offsets=dfa.offsets,
+        shape=dfa.shape,
+        nnz=dfa.nnz,
+        n_total=total,
+        lblk=lblk,
+        nblk=nblk,
+        rows_blk=rows_blk,
+    )
+
+
+def _dia_padded_df_kernel(
+    xh_ref, xl_ref, dhi_ref, dlo_ref, yh_ref, yl_ref,
+    *, shifts, rows_blk, lblk,
+):
+    from .df32 import _fast_two_sum, df_add, two_prod
+
+    j = pl.program_id(0)
+    xrows = xh_ref.shape[0]
+
+    def compute():
+        acc = (
+            jnp.zeros((rows_blk, _LANE), jnp.float32),
+            jnp.zeros((rows_blk, _LANE), jnp.float32),
+        )
+        for d, (s8, r) in enumerate(shifts):
+            base = jnp.clip(j * rows_blk + s8, 0, xrows - rows_blk - 1)
+            wh = _lane_shifted(xh_ref[pl.ds(base, rows_blk + 1), :], r, rows_blk)
+            wl = _lane_shifted(xl_ref[pl.ds(base, rows_blk + 1), :], r, rows_blk)
+            a_hi = dhi_ref[d, :, :]
+            a_lo = dlo_ref[d, :, :]
+            p, e = two_prod(a_hi, wh)
+            e = e + (a_hi * wl + a_lo * wh)
+            acc = df_add(acc, _fast_two_sum(p, e))
+        return acc
+
+    if lblk > 0:
+        h, low = compute()
+        keep = j >= lblk
+        yh_ref[:, :] = jnp.where(keep, h, 0.0)
+        yl_ref[:, :] = jnp.where(keep, low, 0.0)
+    else:
+        h, low = compute()
+        yh_ref[:, :] = h
+        yl_ref[:, :] = low
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dia_spmv_padded_df(
+    a: PaddedDfDia, xhp: jnp.ndarray, xlp: jnp.ndarray,
+    *, interpret: bool = False,
+):
+    """(yh, yl) = A @ (xh, xl) entirely in the padded 2-D layout."""
+    rows_blk = a.rows_blk
+    grid = a.n_total // (rows_blk * _LANE)
+    shifts = tuple((off // _LANE, off % _LANE) for off in a.offsets)
+    nd = a.diags3_hi.shape[0]
+
+    return pl.pallas_call(
+        functools.partial(
+            _dia_padded_df_kernel,
+            shifts=shifts, rows_blk=rows_blk, lblk=a.lblk,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(xhp.shape, jnp.float32),
+            jax.ShapeDtypeStruct(xhp.shape, jnp.float32),
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(xhp.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(xlp.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nd, rows_blk, _LANE), lambda j: (0, j, 0)),
+            pl.BlockSpec((nd, rows_blk, _LANE), lambda j: (0, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows_blk, _LANE), lambda j: (j, 0)),
+            pl.BlockSpec((rows_blk, _LANE), lambda j: (j, 0)),
+        ),
+        interpret=interpret,
+    )(xhp, xlp, a.diags3_hi, a.diags3_lo)
+
+
+def _dia_streamed_df_kernel(
+    xh_hbm, xl_hbm, dhi_ref, dlo_ref, yh_ref, yl_ref, sh, sl, sems,
+    *, rel_shifts, rows_blk, win_rows, min_s8, n_grid,
+):
+    """Streaming double-word variant: both x planes stay in HBM; each
+    grid step DMAs its window pair into double-buffered VMEM scratch
+    (prefetching the next while computing), so residency never exceeds
+    two window pairs regardless of n — the same pipeline as
+    _dia_streamed_kernel with double-word accumulation."""
+    from .df32 import _fast_two_sum, df_add, two_prod
+
+    j = pl.program_id(0)
+    xrows = xh_hbm.shape[0]
+
+    def copies(slot, jj):
+        base = jnp.clip(jj * rows_blk + min_s8, 0, xrows - win_rows)
+        return (
+            pltpu.make_async_copy(
+                xh_hbm.at[pl.ds(base, win_rows), :], sh.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                xl_hbm.at[pl.ds(base, win_rows), :], sl.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    @pl.when(j == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(j + 1 < n_grid)
+    def _():
+        for c in copies((j + 1) % 2, j + 1):
+            c.start()
+
+    for c in copies(j % 2, j):
+        c.wait()
+    slot = j % 2
+
+    acc = (
+        jnp.zeros((rows_blk, _LANE), jnp.float32),
+        jnp.zeros((rows_blk, _LANE), jnp.float32),
+    )
+    for d, (rs8, r) in enumerate(rel_shifts):
+        wh = _lane_shifted(sh[slot, pl.ds(rs8, rows_blk + 1), :], r, rows_blk)
+        wl = _lane_shifted(sl[slot, pl.ds(rs8, rows_blk + 1), :], r, rows_blk)
+        a_hi = dhi_ref[d, :, :]
+        a_lo = dlo_ref[d, :, :]
+        p, e = two_prod(a_hi, wh)
+        e = e + (a_hi * wl + a_lo * wh)
+        acc = df_add(acc, _fast_two_sum(p, e))
+    yh_ref[:, :] = acc[0]
+    yl_ref[:, :] = acc[1]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dia_spmv_streamed_df(
+    a: PaddedDfDia, xhp: jnp.ndarray, xlp: jnp.ndarray,
+    *, interpret: bool = False,
+):
+    """(yh, yl) = A @ (xh, xl), padded layout, HBM-resident x (any n)."""
+    rows_blk = a.rows_blk
+    total_blocks = a.n_total // (rows_blk * _LANE)
+    shifts = tuple((off // _LANE, off % _LANE) for off in a.offsets)
+    min_s8 = min(s8 for s8, _ in shifts)
+    max_s8 = max(s8 for s8, _ in shifts)
+    rel_shifts = tuple((s8 - min_s8, r) for s8, r in shifts)
+    win_rows = rows_blk + (max_s8 - min_s8) + 1
+    nd = a.diags3_hi.shape[0]
+
+    return pl.pallas_call(
+        functools.partial(
+            _dia_streamed_df_kernel,
+            rel_shifts=rel_shifts, rows_blk=rows_blk, win_rows=win_rows,
+            min_s8=min_s8, n_grid=total_blocks,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(xhp.shape, jnp.float32),
+            jax.ShapeDtypeStruct(xhp.shape, jnp.float32),
+        ),
+        grid=(total_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((nd, rows_blk, _LANE), lambda j: (0, j, 0)),
+            pl.BlockSpec((nd, rows_blk, _LANE), lambda j: (0, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows_blk, _LANE), lambda j: (j, 0)),
+            pl.BlockSpec((rows_blk, _LANE), lambda j: (j, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, win_rows, _LANE), jnp.float32),
+            pltpu.VMEM((2, win_rows, _LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(xhp, xlp, a.diags3_hi, a.diags3_lo)
+
+
+# resident-mode budget for the double-word kernel: BOTH x planes live in
+# VMEM next to the diagonal blocks and outputs; the scoped-vmem limit is
+# 16M, the measured non-x working set ~5M (the n=2M attempt OOMed at
+# 23M/16M) — stream past this
+_DF_RESIDENT_X_BYTES = 10 * 1024 * 1024

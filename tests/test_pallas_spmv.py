@@ -139,3 +139,94 @@ class TestEllKernel:
             np.asarray(dense @ np.asarray(x)),
             atol=1e-5 if dtype == np.float32 else 1e-12,
         )
+
+
+class TestDfPaddedDiaKernel:
+    """Double-word padded DIA kernel (interpret mode; the hardware run
+    incl. the EFT-exactness guarantee is tests/tpu/test_tpu_df64.py)."""
+
+    def _df_poisson(self, nx):
+        from sparse_matrix_math_tpu.ops.df32 import DfDiaMatrix
+
+        a = poisson_2d(nx, dtype=np.float64)
+        data = np.asarray(a.data, np.float64) * (
+            1.0 + 1e-9 * np.arange(a.nnz)  # non-trivial lo planes
+        )
+        indices = np.asarray(a.indices, np.int64)
+        indptr = np.asarray(a.indptr, np.int64)
+        dfa = DfDiaMatrix.from_host_csr(data, indices, indptr, a.shape)
+        return dfa, data, indices, indptr
+
+    @pytest.mark.parametrize("nx", [7, 48])
+    def test_matches_host_f64(self, nx):
+        from sparse_matrix_math_tpu.ops.pallas_spmv import (
+            dia_spmv_padded_df,
+            pad_dia_df,
+        )
+
+        dfa, data, indices, indptr = self._df_poisson(nx)
+        n = dfa.shape[0]
+        x64 = np.random.default_rng(3).standard_normal(n)
+        hi = x64.astype(np.float32)
+        lo = (x64 - hi.astype(np.float64)).astype(np.float32)
+        p = pad_dia_df(dfa)
+        yh, yl = dia_spmv_padded_df(
+            p, p.to_padded(jnp.asarray(hi)), p.to_padded(jnp.asarray(lo)),
+            interpret=True,
+        )
+        got = (
+            np.asarray(p.from_padded(yh), np.float64)
+            + np.asarray(p.from_padded(yl), np.float64)
+        )
+        x48 = hi.astype(np.float64) + lo.astype(np.float64)
+        want = np.add.reduceat(data * x48[indices], indptr[:-1])
+        rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+        assert rel < 1e-12, rel
+
+    def test_matches_xla_df_path(self, ):
+        from sparse_matrix_math_tpu.ops.pallas_spmv import (
+            dia_spmv_padded_df,
+            pad_dia_df,
+        )
+
+        dfa, *_ = self._df_poisson(24)
+        n = dfa.shape[0]
+        x64 = np.random.default_rng(4).standard_normal(n)
+        from sparse_matrix_math_tpu.ops.df32 import df_from_host, df_to_host
+
+        x = df_from_host(x64)
+        want = df_to_host(dfa.rmult_df(x))  # XLA formulation (CPU here)
+        p = pad_dia_df(dfa)
+        yh, yl = dia_spmv_padded_df(
+            p, p.to_padded(x[0]), p.to_padded(x[1]), interpret=True
+        )
+        got = (
+            np.asarray(p.from_padded(yh), np.float64)
+            + np.asarray(p.from_padded(yl), np.float64)
+        )
+        rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+        assert rel < 1e-12, rel
+
+    def test_streamed_matches_resident(self):
+        from sparse_matrix_math_tpu.ops.pallas_spmv import (
+            dia_spmv_padded_df,
+            dia_spmv_streamed_df,
+            pad_dia_df,
+        )
+
+        dfa, data, indices, indptr = self._df_poisson(32)
+        n = dfa.shape[0]
+        x64 = np.random.default_rng(5).standard_normal(n)
+        hi = jnp.asarray(x64.astype(np.float32))
+        lo = jnp.asarray(
+            (x64 - np.asarray(hi, np.float64)).astype(np.float32)
+        )
+        p = pad_dia_df(dfa)
+        rh, rl = dia_spmv_padded_df(
+            p, p.to_padded(hi), p.to_padded(lo), interpret=True
+        )
+        sh, sl = dia_spmv_streamed_df(
+            p, p.to_padded(hi), p.to_padded(lo), interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(rh), np.asarray(sh))
+        np.testing.assert_array_equal(np.asarray(rl), np.asarray(sl))
