@@ -72,6 +72,7 @@ __all__ = [
     "df_to_host",
     "DfEllMatrix",
     "DfDiaMatrix",
+    "df_matvec_fn",
     "df_operator_from_host_csr",
 ]
 
@@ -387,30 +388,31 @@ class DfDiaMatrix:
         Pallas kernel (ops/pallas_spmv.py:dia_spmv_padded_df) — the XLA
         formulation below pays a cross-lane relayout per unaligned
         offset (measured 1.9x, docs/DESIGN.md §16), the kernel's
-        sublane-slice + lane-rotation window reads do not."""
+        sublane-slice + lane-rotation window reads do not.
+
+        One-shot convenience: the padded layout is rebuilt per call.
+        Solver loops must hoist it via :func:`df_matvec_fn` (one layout
+        per solve, and a working XLA fallback when Mosaic refuses the
+        geometry)."""
+        n_rows, n_cols = self.shape
+        if not self.offsets:
+            z = jnp.zeros(n_rows, jnp.float32)
+            return z, z
+        if jax.default_backend() == "tpu" and n_rows == n_cols:
+            from .pallas_spmv import pad_dia_df
+
+            return _df_dia_pallas_mv(pad_dia_df(self))(x)
+        return self._rmult_df_xla(x)
+
+    def _rmult_df_xla(self, x: Tuple) -> Tuple:
+        """Pure-XLA shifted-slice formulation (every backend, every
+        geometry) — the fallback when Mosaic refuses the Pallas layout
+        and the only path on CPU."""
         n_rows, n_cols = self.shape
         x_hi, x_lo = x
         if not self.offsets:
             z = jnp.zeros(n_rows, jnp.float32)
             return z, z
-        if jax.default_backend() == "tpu" and n_rows == n_cols:
-            from .pallas_spmv import (
-                _DF_RESIDENT_X_BYTES,
-                dia_spmv_padded_df,
-                dia_spmv_streamed_df,
-                pad_dia_df,
-            )
-
-            p = pad_dia_df(self)
-            # resident when BOTH x planes fit the scoped-vmem budget
-            # next to the diagonal blocks; windowed HBM DMA otherwise
-            spmv = (
-                dia_spmv_padded_df
-                if 8 * p.n_total <= _DF_RESIDENT_X_BYTES
-                else dia_spmv_streamed_df
-            )
-            yh, yl = spmv(p, p.to_padded(x_hi), p.to_padded(x_lo))
-            return p.from_padded(yh), p.from_padded(yl)
         lpad = max(-min(self.offsets), 0)
         rpad = max(max(self.offsets) + n_rows - n_cols, 0)
         xh = jnp.pad(x_hi, (lpad, rpad))
@@ -425,6 +427,59 @@ class DfDiaMatrix:
             e = e + (a_hi * wl + a_lo * wh)
             y = df_add(y, _fast_two_sum(p, e))
         return y
+
+
+def _df_dia_pallas_mv(p):
+    """Matvec closure over a prebuilt PaddedDfDia layout."""
+    from .pallas_spmv import (
+        _DF_RESIDENT_X_BYTES,
+        dia_spmv_padded_df,
+        dia_spmv_streamed_df,
+    )
+
+    # resident when BOTH x planes fit the scoped-vmem budget next to the
+    # diagonal blocks; windowed HBM DMA otherwise
+    spmv = (
+        dia_spmv_padded_df
+        if 8 * p.n_total <= _DF_RESIDENT_X_BYTES
+        else dia_spmv_streamed_df
+    )
+
+    def mv(x):
+        yh, yl = spmv(p, p.to_padded(x[0]), p.to_padded(x[1]))
+        return p.from_padded(yh), p.from_padded(yl)
+
+    return mv
+
+
+def df_matvec_fn(a, use_pallas: bool = True):
+    """Hoisted double-word matvec: ``df_matvec_fn(a)(x_df) -> y_df``.
+
+    Call this ONCE per solve (outside any ``while_loop`` body) — for a
+    ``DfDiaMatrix`` on TPU it builds the padded Pallas layout a single
+    time, instead of re-laying the diagonals inside every loop-body
+    matvec and hoping XLA LICM hoists it.  ``use_pallas=False`` forces
+    the XLA shifted-slice formulation — the retry path solver front
+    doors take when Mosaic refuses a geometry (mirroring
+    ops/spmv.py:_warn_pallas_fallback), which would otherwise hard-fail
+    every df64 solve on that pattern.
+    """
+    if isinstance(a, DfDiaMatrix):
+        n_rows, n_cols = a.shape
+        if (
+            use_pallas
+            and a.offsets
+            and jax.default_backend() == "tpu"
+            and n_rows == n_cols
+        ):
+            from .pallas_spmv import pad_dia_df
+
+            try:
+                return _df_dia_pallas_mv(pad_dia_df(a))
+            except Exception:  # geometry refusal at layout build time
+                pass
+        return a._rmult_df_xla
+    return a.rmult_df
 
 
 # Diagonal-count budget for auto-selecting DfDiaMatrix: mirrors the f32

@@ -472,6 +472,9 @@ def _dist_mg_solve_jit(
         iterations=P(),
         residual_norm=P(),
         residual_trace=P() if (record and solver != "mg") else None,
+        # cg_core/pcg_core report the precision-floor latch; the mg
+        # stationary loop does not
+        floor_hit=P() if solver != "mg" else None,
     )
     mapped = jax.shard_map(
         inner,

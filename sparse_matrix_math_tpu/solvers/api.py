@@ -137,6 +137,15 @@ class SolverConfig:
     # knob.  Off by default: format builds cost host time (minutes for
     # R-SELL at 10M+ nnz) that only amortises over real solver runs.
     auto_format: bool = False
+    # when an f32 solve stops at its PRECISION FLOOR (floor_hit — a
+    # verified-convergence restart could not shrink the true residual)
+    # above ``epsilon``, re-route through the double-word refinement
+    # (cg_ir_df64 / bicgstab_ir_df64) warm-started from the floored
+    # iterate, delivering the reference's f64-default accuracy contract
+    # (test/include/test_common.h:30-38) on hardware without f64.  The
+    # escalated call returns a DfSolveResult.  Opt out to get the bare
+    # floored SolveResult back.
+    auto_escalate: bool = True
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)
@@ -273,4 +282,98 @@ def solve(
         kwargs["preconditioner"] = _build_preconditioner_for(
             a, a_source, cfg.preconditioner, cfg.preconditioner_options
         )
-    return SOLVERS[method](a, b, x0, **kwargs)
+    if cfg.auto_escalate and method in _ESCALATION:
+        # pre-route: epsilon below what the working dtype can even
+        # represent relative to b (||r|| < eps_mach * ||b|| is not a
+        # reachable f32 state) — skip the doomed n-iteration f32 pass
+        # entirely instead of waiting for its floor_hit
+        bdt = jnp.asarray(b).dtype
+        if jnp.issubdtype(bdt, jnp.floating) and jnp.finfo(bdt).eps > 1e-10:
+            floor_est = float(jnp.finfo(bdt).eps) * float(
+                jnp.linalg.norm(jnp.asarray(b))
+            )
+            if cfg.epsilon < floor_est:
+                esc = _escalated_solve(a_source, b, x0, cfg, method, kwargs)
+                if esc is not None:
+                    return esc
+    res = SOLVERS[method](a, b, x0, **kwargs)
+    if cfg.auto_escalate:
+        esc = _maybe_escalate(res, a_source, b, cfg, method, kwargs)
+        if esc is not None:
+            return esc
+    return res
+
+
+# floor_hit-aware methods and their double-word refinement counterparts
+_ESCALATION = {
+    "cg": "cg",
+    "conjugate_gradient": "cg",
+    "bicgstab": "bicgstab",
+}
+
+
+def _escalated_solve(a_source, b, x0, cfg, method, kwargs):
+    """Run the double-word refinement directly (pre-routed or after a
+    floored f32 pass).  Returns None when the operator has no df twin —
+    the caller then keeps/returns the plain f32 behavior."""
+    dfa = _df_operator_for(a_source)
+    if dfa is None:
+        return None
+    from .ir_df64 import bicgstab_ir_df64, cg_ir_df64
+
+    ir_fn = (
+        cg_ir_df64 if _ESCALATION[method] == "cg" else bicgstab_ir_df64
+    )
+    pre = kwargs.get("preconditioner")
+    if pre is not None and not hasattr(pre, "apply"):
+        pre = None
+    return ir_fn(
+        dfa, b, x0=x0,
+        max_iterations=cfg.max_iterations, epsilon=cfg.epsilon,
+        preconditioner=pre,
+    )
+
+
+def _maybe_escalate(res, a_source, b, cfg, method, kwargs):
+    """Escalate a precision-floored f32 solve to the double-word
+    refinement path (VERDICT r3 #3/#6): the solver itself measured that
+    more iterations cannot help (``floor_hit``), and the floor sits
+    above the requested ``epsilon`` — the request is only satisfiable
+    with more precision, which ``*_ir_df64`` delivers at ~f32 cost
+    (solvers/ir_df64.py).  Returns None when escalation doesn't apply.
+    """
+    from .types import SolveResult
+
+    if method not in _ESCALATION or not isinstance(res, SolveResult):
+        return None
+    if res.floor_hit is None or not bool(res.floor_hit):
+        return None
+    if not float(res.residual_norm) > float(cfg.epsilon):
+        return None
+    # warm start from the floored iterate
+    return _escalated_solve(a_source, b, res.x, cfg, method, kwargs)
+
+
+def _df_operator_for(a):
+    """Double-word operator from the solve's source matrix, or None when
+    the format has no df twin.  f32 device values mean zero lo planes —
+    the refinement then solves the f32-rounded operator to ``epsilon``,
+    which is exactly what the caller handed us."""
+    from ..formats.dia import DIAMatrix
+    from ..ops.df32 import DfDiaMatrix, DfEllMatrix  # noqa: F401
+
+    if isinstance(a, CSRMatrix):
+        from .df64 import _as_df_operator
+
+        return _as_df_operator(a)
+    if isinstance(a, DIAMatrix):
+        return DfDiaMatrix(
+            diags_hi=a.diags,
+            diags_lo=jnp.zeros_like(a.diags),
+            offsets=a.offsets,
+            shape=a.shape,
+            nnz=a.nnz,
+        )
+    if isinstance(a, (DfDiaMatrix, DfEllMatrix)):
+        return a
+    return None

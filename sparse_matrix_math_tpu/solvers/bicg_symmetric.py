@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..ops.spmv import as_operator, matvec_fn
 from ..ops.vector import dot
-from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
+from .types import harmonize_dtypes, RUNNING, SolveResult, SolverStatus, resolve_max_iterations
 from ..formats.reorder import reorder_hoisted
 
 __all__ = ["bicg_symmetric", "bicg_symmetric_core"]
@@ -49,6 +49,7 @@ def bicg_symmetric(
     guess in the reference; here it's a separate input)."""
     a = as_operator(a)
     n = b.shape[0]
+    b, x0 = harmonize_dtypes(a, b, x0)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from ..ops.spmv import as_operator, matvec_fn
 from ..ops.vector import dot
-from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
+from .types import harmonize_dtypes, RUNNING, SolveResult, SolverStatus, resolve_max_iterations
 from ..formats.reorder import reorder_hoisted
 
 __all__ = ["bicgstab", "bicgstab_core"]
@@ -55,6 +55,7 @@ def bicgstab(
     """Solve ``a @ x = b`` (a may be non-symmetric / indefinite)."""
     a = as_operator(a)
     n = b.shape[0]
+    b, x0 = harmonize_dtypes(a, b, x0)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)
@@ -120,135 +121,151 @@ def bicgstab_core(matvec, precond, dotfn, b, x0, eps, maxiter: int, record: bool
     floor instead of the exploded tail."""
     dot = dotfn
     tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
+    inf = jnp.asarray(jnp.inf, b.dtype)
 
     # r <- M^{-1}(b - A x0) (h:2215-2227); identity precond when plain.
-    r = precond(b - matvec(x0))
-    r0 = r
-    rr0 = dot(r, r0)
-    res_norm = jnp.sqrt(dot(r, r))
-    trace = (
-        jnp.full((maxiter + 1,), jnp.nan, b.dtype).at[0].set(res_norm)
+    r_init = precond(b - matvec(x0))
+    res_norm0 = jnp.sqrt(dot(r_init, r_init))
+    trace0 = (
+        jnp.full((maxiter + 1,), jnp.nan, b.dtype).at[0].set(res_norm0)
         if record
         else None
     )
 
-    def cond(carry):
-        _, _, _, _, _, _, _, _, _, k, status, _ = carry
-        return (status == RUNNING) & (k < maxiter)
+    # Nested structure (round 4, see cg_core): the INNER while_loop is
+    # the pure BiCGStab recurrence — the shape of reference h:2232-2277
+    # with only scalar breakdown guards — and exits at a claimed
+    # convergence, a breakdown, an explosion, or a 64-iteration chunk
+    # boundary.  The OUTER loop does the per-exit work that round 3 ran
+    # as per-iteration `lax.cond`s (true-residual verify h:2277-parity,
+    # best-iterate sampling, restart/floor logic): those conds cost
+    # ~60 us/iter at n=2M on TPU v5e by breaking the VMEM residency of
+    # the carries (benchmarks/profile_cg_iter2.py).  The every-64
+    # true-residual sampling cadence is unchanged — it is now simply the
+    # outer round boundary.
+    def inner(x, r, r0, p, rr0, k_start, explode_at, trace):
+        chunk_end = jnp.minimum(k_start + 64, maxiter)
 
-    def body(carry):
-        (x, r, r0, p, rr0, res_norm, floor, best_x, best_norm, k, status,
-         trace) = carry
-        ap = precond(matvec(p))
-        denom = dot(ap, r0)
-        bd1 = jnp.abs(denom) < tiny
-        alpha = jnp.where(bd1, 0, rr0 / denom)
-        s = r - alpha * ap
-        as_ = precond(matvec(s))
-        asas = dot(as_, as_)
-        bd2 = jnp.abs(asas) < tiny
-        omega = jnp.where(bd2, 0, dot(as_, s) / asas)
-        x = x + alpha * p + omega * s
-        r = s - omega * as_
-        new_res_norm = jnp.sqrt(dot(r, r))
-        rec_conv = new_res_norm <= eps
+        def cond(c):
+            _, _, _, _, res_norm, k, bd, _ = c
+            return (
+                (res_norm > eps)
+                & (k < chunk_end)
+                & ~bd
+                & (res_norm < explode_at)
+            )
 
-        def verify(args):
-            x, r, new_res_norm = args
-            r_t = precond(b - matvec(x))
-            t_norm = jnp.sqrt(dot(r_t, r_t))
-            return r_t, t_norm, t_norm <= eps
+        def body(c):
+            x, r, p, rr0, _, k, _, trace = c
+            ap = precond(matvec(p))
+            denom = dot(ap, r0)
+            bd1 = jnp.abs(denom) < tiny
+            alpha = jnp.where(bd1, 0, rr0 / denom)
+            s = r - alpha * ap
+            as_ = precond(matvec(s))
+            asas = dot(as_, as_)
+            bd2 = jnp.abs(asas) < tiny
+            omega = jnp.where(bd2, 0, dot(as_, s) / asas)
+            x = x + alpha * p + omega * s
+            r = s - omega * as_
+            new_res_norm = jnp.sqrt(dot(r, r))
+            new_rr0 = dot(r, r0)
+            bd3 = (jnp.abs(rr0) < tiny) | (jnp.abs(omega) < tiny)
+            beta = jnp.where(bd3, 0, (new_rr0 * alpha) / (rr0 * omega))
+            p = r + beta * (p - omega * ap)
+            bd = bd1 | bd2 | bd3 | ~jnp.isfinite(new_res_norm)
+            if trace is not None:
+                trace = trace.at[k + 1].set(new_res_norm)
+            return x, r, p, new_rr0, new_res_norm, k + 1, bd, trace
 
-        def skip(args):
-            _, r, new_res_norm = args
-            return r, new_res_norm, jnp.bool_(False)
-
-        r, new_res_norm, verified = jax.lax.cond(
-            rec_conv, verify, skip, (x, r, new_res_norm)
+        # the do-while shape of the reference (at least one iteration
+        # runs, h:2232) is preserved by the caller checking res_norm>eps
+        # before entering
+        return jax.lax.while_loop(
+            cond, body,
+            (x, r, p, rr0, jnp.sqrt(dot(r, r)), k_start, jnp.bool_(False),
+             trace),
         )
-        refuted = rec_conv & ~verified
-        stalled = refuted & (new_res_norm > floor * 0.5)
-        floor = jnp.where(refuted, new_res_norm, floor)
 
-        # Best-iterate tracking by TRUE residual (see docstring): the
-        # recurrence minimum drifts from the truth (measured: recurrence
-        # 3.9e-4 at an x whose true residual is 0.39), so best-by-
-        # recurrence returns a useless iterate.  Sample the true residual
-        # every 64 iterations (~1.5% extra SpMV) and reuse the verify
-        # branch's value when it just ran (new_res_norm IS true there).
-        def _true_now(x):
-            r_t = precond(b - matvec(x))
-            return jnp.sqrt(dot(r_t, r_t))
+    def outer_cond(c):
+        return c[10] == RUNNING
 
-        # sample on the cap's final iteration too, so short MAX_ITER
-        # runs return their latest progress rather than a stale best
-        need = (((k % 64) == 63) | (k + 1 >= maxiter)) & ~rec_conv
-        true_now = jax.lax.cond(
-            need, _true_now, lambda _: jnp.asarray(jnp.inf, b.dtype), x
+    def outer_body(c):
+        (x, r, r0, p, rr0, k, floor, hit, best_x, best_norm, _,
+         trace) = c
+        explode_at = best_norm * jnp.asarray(_EXPLOSION_FACTOR, b.dtype)
+        x, r, p, rr0, res_norm, k, bd, trace = inner(
+            x, r, r0, p, rr0, k, explode_at, trace
         )
-        true_now = jnp.where(refuted, new_res_norm, true_now)
-        better = true_now < best_norm
+        claimed = res_norm <= eps
+
+        # ONE true-residual evaluation per round serves the verify, the
+        # best-iterate sample, and the honest residual_norm
+        r_t = precond(b - matvec(x))
+        t_norm = jnp.sqrt(dot(r_t, r_t))
+        verified = claimed & (t_norm <= eps)
+        refuted = claimed & ~verified
+        stalled = refuted & (t_norm > floor * 0.5)
+        hit = hit | stalled  # latch: this exit is a precision floor
+        floor = jnp.where(refuted, t_norm, floor)
+
+        better = t_norm < best_norm
         best_x = jnp.where(better, x, best_x)
-        best_norm = jnp.where(better, true_now, best_norm)
-        # explosion cutoff: recurrence far past the best true residual
-        exploded = new_res_norm > best_norm * jnp.asarray(
-            _EXPLOSION_FACTOR, b.dtype
-        )
+        best_norm = jnp.where(better, t_norm, best_norm)
+        exploded = res_norm >= explode_at
 
-        new_rr0 = dot(r, r0)
-        bd3 = (jnp.abs(rr0) < tiny) | (jnp.abs(omega) < tiny)
-        beta = jnp.where(bd3, 0, (new_rr0 * alpha) / (rr0 * omega))
-        # full restart on refutation: shadow vector and direction reset
-        # to the true residual (breakdown flags don't apply to the
-        # restarted recursion)
-        r0 = jnp.where(refuted, r, r0)
-        new_rr0 = jnp.where(refuted, dot(r, r), new_rr0)
-        p = jnp.where(refuted, r, r + beta * (p - omega * ap))
-        diverged = (
-            ((bd1 | bd2 | bd3) & ~refuted)
-            | ~jnp.isfinite(new_res_norm)
-            | exploded
-        ) & ~verified
+        # a verified exit is SUCCESS even when the final recurrence step
+        # also tripped a breakdown guard (e.g. an exact solve makes
+        # s = 0 -> omega breakdown in the same iteration that converged)
         status = jnp.where(
-            diverged,
+            ((bd & ~refuted) | ~jnp.isfinite(res_norm) | exploded)
+            & ~verified,
             SolverStatus.DIVERGED,
             jnp.where(
                 verified,
                 SolverStatus.SUCCESS,
-                jnp.where(stalled, SolverStatus.MAX_ITERATIONS_REACHED, RUNNING),
+                jnp.where(
+                    stalled | (k >= maxiter),
+                    SolverStatus.MAX_ITERATIONS_REACHED,
+                    RUNNING,
+                ),
             ),
         ).astype(jnp.int32)
-        if trace is not None:
-            trace = trace.at[k + 1].set(new_res_norm)
+        # full restart on refutation: shadow vector and direction reset
+        # to the true residual (h:2221-2227 shape); otherwise continue
+        # the recursion state across the chunk boundary
+        t_rr = dot(r_t, r_t)
+        r = jnp.where(refuted, r_t, r)
+        r0 = jnp.where(refuted, r_t, r0)
+        p = jnp.where(refuted, r_t, p)
+        rr0 = jnp.where(refuted, t_rr, rr0)
         return (
-            x, r, r0, p, new_rr0, new_res_norm, floor, best_x, best_norm,
-            k + 1, status, trace,
+            x, r, r0, p, rr0, k, floor, hit, best_x, best_norm, status,
+            trace,
         )
 
-    inf = jnp.asarray(jnp.inf, res_norm.dtype)
+    init_status = jnp.where(
+        res_norm0 <= eps, SolverStatus.SUCCESS, RUNNING
+    ).astype(jnp.int32)
+    rr0_init = dot(r_init, r_init)
     carry = (
-        x0, r, r0, r, rr0, res_norm, inf, x0, res_norm, jnp.int32(0),
-        jnp.int32(RUNNING), trace,
+        x0, r_init, r_init, r_init, rr0_init, jnp.int32(0), inf,
+        jnp.bool_(False), x0, res_norm0, init_status, trace0,
     )
-    (x, _, _, _, _, res_norm, _, best_x, _, k, status, trace) = (
-        jax.lax.while_loop(cond, body, carry)
+    (x, _, _, _, _, k, _, hit, best_x, best_norm, status, trace) = (
+        jax.lax.while_loop(outer_cond, outer_body, carry)
     )
-    status = jnp.where(status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status)
 
-    # non-SUCCESS exits return the BEST iterate with its verified true
-    # residual (the exploded tail's x is useless)
-    success = status == SolverStatus.SUCCESS
-    x = jnp.where(success, x, best_x)
-
-    def _true_norm():
-        r_t = precond(b - matvec(x))
-        return jnp.sqrt(dot(r_t, r_t))
-
-    res_norm = jax.lax.cond(success, lambda: res_norm, _true_norm)
+    # ALWAYS return the best iterate with its verified true residual:
+    # on SUCCESS the final x was folded into best_x by the same round
+    # that verified it (t_norm <= eps < previous best), and on failure
+    # exits (explosion/breakdown/floor) the exploded tail's x is
+    # useless — the best is the honest answer.  No extra SpMV needed.
     return SolveResult(
-        x=x,
+        x=best_x,
         status=status.astype(jnp.int32),
         iterations=k,
-        residual_norm=res_norm,
+        residual_norm=best_norm,
         residual_trace=trace,
+        floor_hit=hit & (status == SolverStatus.MAX_ITERATIONS_REACHED),
     )

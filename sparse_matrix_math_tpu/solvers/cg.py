@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from ..ops.spmv import as_operator, matvec_fn
 from ..ops.vector import dot
-from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
+from .types import harmonize_dtypes, RUNNING, SolveResult, SolverStatus, resolve_max_iterations
 from ..formats.reorder import reorder_hoisted
 
 __all__ = ["conjugate_gradient", "cg", "cg_core", "pcg_core"]
@@ -66,6 +66,7 @@ def conjugate_gradient(
     """
     a = as_operator(a)
     n = b.shape[0]
+    b, x0 = harmonize_dtypes(a, b, x0)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)
@@ -100,97 +101,119 @@ def cg_core(matvec, dotfn, b, x0, eps, maxiter: int, record: bool) -> SolveResul
     Verified convergence: the recurrence residual drifts from the true
     residual ``b - A x`` in finite precision (at n=2M/f32 the drift is
     >50x eps by iteration ~2000 — BENCH_NOTES).  SUCCESS here means the
-    TRUE residual passed: when the recurrence claims convergence the loop
-    recomputes ``b - matvec(x)`` (one extra SpMV, only at claimed
+    TRUE residual passed: when the recurrence claims convergence the
+    solve recomputes ``b - matvec(x)`` (one extra SpMV, only at claimed
     convergence), and either confirms SUCCESS or restarts from the true
     residual.  If a restart fails to shrink the true residual by 2x the
     solve has hit its precision floor and stops with
-    MAX_ITERATIONS_REACHED, reporting the floor in ``residual_norm`` —
-    this matches the contract of the reference tests
+    MAX_ITERATIONS_REACHED + ``floor_hit`` set, reporting the floor in
+    ``residual_norm`` — this matches the contract of the reference tests
     (test/include/test_common.h:30-51), which measure the actual error.
+
+    Structure (round 4): NESTED loops.  The inner ``while_loop`` is the
+    pure textbook recurrence (1 SpMV, 2 dots, 3 axpys — the shape of
+    reference h:2352-2396) with zero branch machinery; the outer loop
+    performs the verify/restart/floor logic once per CLAIMED
+    convergence.  Round 3 ran the verify as a per-iteration
+    ``lax.cond``, which cost ~60 us/iter at n=2M on TPU v5e even when
+    the branch never executed (the cond's operand/result copies break
+    XLA's VMEM-resident fusion of the carries); measured on the 10M-nnz
+    bench system this restructure takes an iteration from 107.6 us to
+    46.7 us — vs 61.6 us for a bare SpMV loop, i.e. the dots and axpys
+    now ride VMEM residency for ~free (benchmarks/profile_cg_iter2.py).
     """
     dot = dotfn
     eps2 = eps * eps
 
-    r = b - matvec(x0)
-    rr = dot(r, r)
-    trace = (
-        jnp.full((maxiter + 1,), jnp.nan, b.dtype).at[0].set(jnp.sqrt(rr))
+    r0 = b - matvec(x0)
+    rr0 = dot(r0, r0)
+    trace0 = (
+        jnp.full((maxiter + 1,), jnp.nan, b.dtype).at[0].set(jnp.sqrt(rr0))
         if record
         else None
     )
 
-    def cond(carry):
-        _, _, _, rr, _, k, status, _ = carry
-        return (status == RUNNING) & (k < maxiter)
+    def inner(x, r, p, rr, k_start, trace):
+        """Pure CG recurrence from iteration ``k_start``; runs until the
+        RECURRENCE claims ``rr < eps2``, diverges, or hits maxiter."""
 
-    def body(carry):
-        x, r, p, rr, floor_rr, k, status, trace = carry
-        ap = matvec(p)
-        pap = dot(ap, p)
-        alpha = rr / pap
-        x = x + alpha * p
-        r = r - alpha * ap
-        new_rr = dot(r, r)
-        rec_conv = new_rr < eps2
+        def cond(c):
+            _, _, _, rr, k, _ = c
+            return (rr >= eps2) & (k < maxiter) & jnp.isfinite(rr)
 
-        def verify(args):
-            x, r, new_rr = args
-            r_t = b - matvec(x)
-            t_rr = dot(r_t, r_t)
-            return r_t, t_rr, t_rr < eps2
+        def body(c):
+            x, r, p, rr, k, trace = c
+            ap = matvec(p)
+            pap = dot(ap, p)
+            alpha = rr / pap
+            x = x + alpha * p
+            r = r - alpha * ap
+            new_rr = dot(r, r)
+            beta = new_rr / rr
+            p = r + beta * p
+            if trace is not None:
+                trace = trace.at[k + 1].set(jnp.sqrt(new_rr))
+            return x, r, p, new_rr, k + 1, trace
 
-        def skip(args):
-            _, r, new_rr = args
-            return r, new_rr, jnp.bool_(False)
+        return jax.lax.while_loop(cond, body, (x, r, p, rr, k_start, trace))
 
-        # true-residual check runs ONLY when the recurrence claims
-        # convergence; r/rr are replaced with the true values either way
-        # the verify branch runs (confirmed -> exit with true residual in
-        # the carry; refuted -> restart from the true residual)
-        r, new_rr, verified = jax.lax.cond(
-            rec_conv, verify, skip, (x, r, new_rr)
-        )
-        refuted = rec_conv & ~verified
-        stalled = refuted & (new_rr > floor_rr * 0.25)
-        floor_rr = jnp.where(refuted, new_rr, floor_rr)
+    def outer_cond(c):
+        return c[5] == RUNNING
 
-        diverged = ~jnp.isfinite(new_rr)
+    def outer_body(c):
+        x, r, rr, k, floor_rr, _, hit, trace = c
+        x, r, p, rr, k, trace = inner(x, r, r, rr, k, trace)
+        claimed = rr < eps2
+
+        # verify every claim against the TRUE residual; also runs on the
+        # cap/divergence exits, where it supplies the honest
+        # ||b - A x|| for residual_norm (round 3 did this after the
+        # loop; here it is the same single SpMV per outer round)
+        r_t = b - matvec(x)
+        t_rr = dot(r_t, r_t)
+        verified = claimed & (t_rr < eps2)
+        refuted = claimed & ~verified
+        stalled = refuted & (t_rr > floor_rr * 0.25)
+        hit = hit | stalled  # latch: this exit is a precision floor
+        floor_rr = jnp.where(refuted, t_rr, floor_rr)
+
         status = jnp.where(
-            diverged,
+            ~jnp.isfinite(rr),
             SolverStatus.DIVERGED,
             jnp.where(
                 verified,
                 SolverStatus.SUCCESS,
-                jnp.where(stalled, SolverStatus.MAX_ITERATIONS_REACHED, RUNNING),
+                jnp.where(
+                    stalled | (k >= maxiter),
+                    SolverStatus.MAX_ITERATIONS_REACHED,
+                    RUNNING,
+                ),
             ),
         ).astype(jnp.int32)
-        beta = new_rr / rr
-        # restart on refutation: conjugacy history is noise at this point
-        p = jnp.where(refuted, r, r + beta * p)
-        if trace is not None:
-            trace = trace.at[k + 1].set(jnp.sqrt(new_rr))
-        return x, r, p, new_rr, floor_rr, k + 1, status, trace
+        # restart from the true residual: conjugacy history is noise at
+        # this point (p reset happens on the next round's inner() entry)
+        return x, r_t, t_rr, k, floor_rr, status, hit, trace
 
-    init_status = jnp.where(rr < eps2, SolverStatus.SUCCESS, RUNNING).astype(jnp.int32)
-    inf = jnp.asarray(jnp.inf, rr.dtype)
-    carry = (x0, r, r, rr, inf, jnp.int32(0), init_status, trace)
-    x, r, _, rr, _, k, status, trace = jax.lax.while_loop(cond, body, carry)
-    status = jnp.where(status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status)
-    # on non-SUCCESS exits rr is the recurrence value — report the true
-    # residual so residual_norm always means ||b - A x|| (one extra SpMV,
-    # skipped on the SUCCESS path where the carry already holds it)
-    def _true_rr():
-        r_t = b - matvec(x)
-        return dot(r_t, r_t)
-
-    rr = jax.lax.cond(status == SolverStatus.SUCCESS, lambda: rr, _true_rr)
+    init_status = jnp.where(
+        rr0 < eps2, SolverStatus.SUCCESS, RUNNING
+    ).astype(jnp.int32)
+    inf = jnp.asarray(jnp.inf, rr0.dtype)
+    carry = (
+        x0, r0, rr0, jnp.int32(0), inf, init_status, jnp.bool_(False),
+        trace0,
+    )
+    x, _, rr, k, _, status, hit, trace = jax.lax.while_loop(
+        outer_cond, outer_body, carry
+    )
+    # rr here is ALWAYS the true ||b - A x||^2 (each outer round
+    # recomputes it), so residual_norm keeps its round-3 meaning
     return SolveResult(
         x=x,
         status=status.astype(jnp.int32),
         iterations=k,
         residual_norm=jnp.sqrt(rr),
         residual_trace=trace,
+        floor_hit=hit & (status == SolverStatus.MAX_ITERATIONS_REACHED),
     )
 
 
@@ -206,85 +229,97 @@ def pcg_core(matvec, precond_apply, dotfn, b, x0, eps, maxiter: int, record: boo
 
     Convergence is verified against the TRUE residual ``b - A x`` exactly
     as in :func:`cg_core`; a refuted claim restarts the recursion from
-    the true residual (``z = M^{-1} r_true``, ``p = z``).
+    the true residual (``z = M^{-1} r_true``, ``p = z``).  Same nested
+    inner-pure / outer-verify structure as :func:`cg_core` (round 4) —
+    the inner loop is the textbook PCG recurrence (reference pseudocode
+    h:2424-2434) with zero branch machinery.
     """
     dot = dotfn
     eps2 = eps * eps
 
-    r = b - matvec(x0)
-    z = precond_apply(r)
-    rz = dot(r, z)
-    rr = dot(r, r)
-    trace = (
-        jnp.full((maxiter + 1,), jnp.nan, b.dtype).at[0].set(jnp.sqrt(rr))
+    r0 = b - matvec(x0)
+    rr0 = dot(r0, r0)
+    trace0 = (
+        jnp.full((maxiter + 1,), jnp.nan, b.dtype).at[0].set(jnp.sqrt(rr0))
         if record
         else None
     )
 
-    def cond(carry):
-        _, _, _, _, _, _, _, k, status, _ = carry
-        return (status == RUNNING) & (k < maxiter)
-
-    def body(carry):
-        x, r, z, p, rz, rr, floor_rr, k, status, trace = carry
-        ap = matvec(p)
-        pap = dot(ap, p)
-        alpha = rz / pap
-        x = x + alpha * p
-        r = r - alpha * ap
-        new_rr = dot(r, r)
-        rec_conv = new_rr < eps2
-
-        def verify(args):
-            x, r, new_rr = args
-            r_t = b - matvec(x)
-            t_rr = dot(r_t, r_t)
-            return r_t, t_rr, t_rr < eps2
-
-        def skip(args):
-            _, r, new_rr = args
-            return r, new_rr, jnp.bool_(False)
-
-        r, new_rr, verified = jax.lax.cond(
-            rec_conv, verify, skip, (x, r, new_rr)
-        )
-        refuted = rec_conv & ~verified
-        stalled = refuted & (new_rr > floor_rr * 0.25)
-        floor_rr = jnp.where(refuted, new_rr, floor_rr)
-
+    def inner(x, r, rr, k_start, trace):
         z = precond_apply(r)
-        new_rz = dot(r, z)
-        diverged = ~jnp.isfinite(new_rr)
+        rz = dot(r, z)
+
+        def cond(c):
+            _, _, _, _, rr, k, _ = c
+            return (rr >= eps2) & (k < maxiter) & jnp.isfinite(rr)
+
+        def body(c):
+            x, r, p, rz, rr, k, trace = c
+            ap = matvec(p)
+            pap = dot(ap, p)
+            alpha = rz / pap
+            x = x + alpha * p
+            r = r - alpha * ap
+            new_rr = dot(r, r)
+            z = precond_apply(r)
+            new_rz = dot(r, z)
+            beta = new_rz / rz
+            p = z + beta * p
+            if trace is not None:
+                trace = trace.at[k + 1].set(jnp.sqrt(new_rr))
+            return x, r, p, new_rz, new_rr, k + 1, trace
+
+        return jax.lax.while_loop(
+            cond, body, (x, r, z, rz, rr, k_start, trace)
+        )
+
+    def outer_cond(c):
+        return c[5] == RUNNING
+
+    def outer_body(c):
+        x, r, rr, k, floor_rr, _, hit, trace = c
+        x, r, _, _, rr, k, trace = inner(x, r, rr, k, trace)
+        claimed = rr < eps2
+
+        r_t = b - matvec(x)
+        t_rr = dot(r_t, r_t)
+        verified = claimed & (t_rr < eps2)
+        refuted = claimed & ~verified
+        stalled = refuted & (t_rr > floor_rr * 0.25)
+        hit = hit | stalled  # latch: this exit is a precision floor
+        floor_rr = jnp.where(refuted, t_rr, floor_rr)
+
         status = jnp.where(
-            diverged,
+            ~jnp.isfinite(rr),
             SolverStatus.DIVERGED,
             jnp.where(
                 verified,
                 SolverStatus.SUCCESS,
-                jnp.where(stalled, SolverStatus.MAX_ITERATIONS_REACHED, RUNNING),
+                jnp.where(
+                    stalled | (k >= maxiter),
+                    SolverStatus.MAX_ITERATIONS_REACHED,
+                    RUNNING,
+                ),
             ),
         ).astype(jnp.int32)
-        beta = new_rz / rz
-        p = jnp.where(refuted, z, z + beta * p)
-        if trace is not None:
-            trace = trace.at[k + 1].set(jnp.sqrt(new_rr))
-        return x, r, z, p, new_rz, new_rr, floor_rr, k + 1, status, trace
+        return x, r_t, t_rr, k, floor_rr, status, hit, trace
 
-    init_status = jnp.where(rr < eps2, SolverStatus.SUCCESS, RUNNING).astype(jnp.int32)
-    inf = jnp.asarray(jnp.inf, rr.dtype)
-    carry = (x0, r, z, z, rz, rr, inf, jnp.int32(0), init_status, trace)
-    x, r, _, _, _, rr, _, k, status, trace = jax.lax.while_loop(cond, body, carry)
-    status = jnp.where(status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status)
-
-    def _true_rr():
-        r_t = b - matvec(x)
-        return dot(r_t, r_t)
-
-    rr = jax.lax.cond(status == SolverStatus.SUCCESS, lambda: rr, _true_rr)
+    init_status = jnp.where(
+        rr0 < eps2, SolverStatus.SUCCESS, RUNNING
+    ).astype(jnp.int32)
+    inf = jnp.asarray(jnp.inf, rr0.dtype)
+    carry = (
+        x0, r0, rr0, jnp.int32(0), inf, init_status, jnp.bool_(False),
+        trace0,
+    )
+    x, _, rr, k, _, status, hit, trace = jax.lax.while_loop(
+        outer_cond, outer_body, carry
+    )
     return SolveResult(
         x=x,
         status=status.astype(jnp.int32),
         iterations=k,
         residual_norm=jnp.sqrt(rr),
         residual_trace=trace,
+        floor_hit=hit & (status == SolverStatus.MAX_ITERATIONS_REACHED),
     )

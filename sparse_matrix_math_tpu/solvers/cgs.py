@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..ops.spmv import as_operator, matvec_fn
 from ..ops.vector import dot
-from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
+from .types import harmonize_dtypes, RUNNING, SolveResult, SolverStatus, resolve_max_iterations
 from ..formats.reorder import reorder_hoisted
 
 __all__ = ["conjugate_gradient_squared", "cgs", "cgs_core"]
@@ -56,6 +56,7 @@ def conjugate_gradient_squared(
     """Solve ``a @ x = b`` (a need not be symmetric)."""
     a = as_operator(a)
     n = b.shape[0]
+    b, x0 = harmonize_dtypes(a, b, x0)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)

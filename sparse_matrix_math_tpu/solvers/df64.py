@@ -117,13 +117,15 @@ def _as_df_vector(b) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return b, jnp.zeros_like(b)
 
 
-@partial(jax.jit, static_argnames=("maxiter",))
-def _cg_df_core(a: DfEllMatrix, b, x0, maxiter: int, eps2):
+@partial(jax.jit, static_argnames=("maxiter", "use_pallas"))
+def _cg_df_core(a: DfEllMatrix, b, x0, maxiter: int, eps2,
+                use_pallas: bool = True):
     """Double-word CG while_loop (same recurrence structure as
     solvers/cg.py:cg_core, every quantity an (hi, lo) pair)."""
-    from ..ops.df32 import df_dot
+    from ..ops.df32 import df_dot, df_matvec_fn
 
-    r = df_sub(b, a.rmult_df(x0))
+    mv = df_matvec_fn(a, use_pallas)  # layout hoisted out of the loop
+    r = df_sub(b, mv(x0))
     rr = df_norm2(r)
     p = r
 
@@ -132,7 +134,7 @@ def _cg_df_core(a: DfEllMatrix, b, x0, maxiter: int, eps2):
 
     def body(s):
         x, r, p, rr, _, k, _ = s
-        ap = a.rmult_df(p)
+        ap = mv(p)
         pap = df_dot(p, ap)
         alpha = df_div(rr, pap)
         x = df_scale_add(x, alpha, p)
@@ -168,8 +170,9 @@ def _cg_df_core(a: DfEllMatrix, b, x0, maxiter: int, eps2):
     return x, rr, k, status
 
 
-@partial(jax.jit, static_argnames=("maxiter",))
-def _bicgstab_df_core(a, b, x0, maxiter: int, eps2):
+@partial(jax.jit, static_argnames=("maxiter", "use_pallas"))
+def _bicgstab_df_core(a, b, x0, maxiter: int, eps2,
+                      use_pallas: bool = True):
     """Double-word BiCGStab while_loop (same recurrence structure as
     solvers/bicgstab.py:bicgstab_core, unpreconditioned, every quantity
     an (hi, lo) pair).
@@ -180,11 +183,12 @@ def _bicgstab_df_core(a, b, x0, maxiter: int, eps2):
     recomputes the true residual once (one extra SpMV) and the reported
     norm/status are based on it — the same contract as the f32 cores.
     """
-    from ..ops.df32 import df_dot
+    from ..ops.df32 import df_dot, df_matvec_fn
 
+    mv = df_matvec_fn(a, use_pallas)  # layout hoisted out of the loop
     tiny = jnp.float32(np.finfo(np.float32).tiny)
 
-    r = df_sub(b, a.rmult_df(x0))
+    r = df_sub(b, mv(x0))
     r0 = r
     rr0 = df_dot(r, r0)
     rr = df_norm2(r)
@@ -194,12 +198,12 @@ def _bicgstab_df_core(a, b, x0, maxiter: int, eps2):
 
     def body(s):
         x, r, p, rr0, _, _, k = s
-        ap = a.rmult_df(p)
+        ap = mv(p)
         denom = df_dot(ap, r0)
         bd1 = jnp.abs(denom[0]) < tiny
         alpha = df_div(rr0, denom)
         sv = df_scale_add(r, (-alpha[0], -alpha[1]), ap)
-        asv = a.rmult_df(sv)
+        asv = mv(sv)
         asas = df_norm2(asv)
         bd2 = jnp.abs(asas[0]) < tiny
         omega = df_div(df_dot(asv, sv), asas)
@@ -237,7 +241,7 @@ def _bicgstab_df_core(a, b, x0, maxiter: int, eps2):
     x, r, p, _, rr, status, k = jax.lax.while_loop(cond, body, state)
     # exit-time true residual (one SpMV): reported norm and SUCCESS are
     # based on b - A x, not the recurrence
-    r_true = df_sub(b, a.rmult_df(x))
+    r_true = df_sub(b, mv(x))
     rr_true = df_norm2(r_true)
     status = jnp.where(
         (status == SolverStatus.SUCCESS) & (rr_true[0] > eps2),
@@ -273,7 +277,15 @@ def bicgstab_df64(
     )
     maxiter = resolve_max_iterations(max_iterations, n)
     eps2 = jnp.float32(float(epsilon) ** 2)
-    x, rr, k, status = _bicgstab_df_core(a, b, x0, maxiter, eps2)
+    try:
+        x, rr, k, status = _bicgstab_df_core(a, b, x0, maxiter, eps2)
+    except Exception as e:  # Mosaic compile refusal -> XLA formulation
+        from ..ops.spmv import _warn_pallas_fallback
+
+        _warn_pallas_fallback(e)
+        x, rr, k, status = _bicgstab_df_core(
+            a, b, x0, maxiter, eps2, use_pallas=False
+        )
     return DfSolveResult(
         x_hi=x[0], x_lo=x[1], status=status, iterations=k,
         residual_norm2=rr[0],
@@ -311,7 +323,15 @@ def cg_df64(
     )
     maxiter = resolve_max_iterations(max_iterations, n)
     eps2 = jnp.float32(float(epsilon) ** 2)
-    x, rr, k, status = _cg_df_core(a, b, x0, maxiter, eps2)
+    try:
+        x, rr, k, status = _cg_df_core(a, b, x0, maxiter, eps2)
+    except Exception as e:  # Mosaic compile refusal -> XLA formulation
+        from ..ops.spmv import _warn_pallas_fallback
+
+        _warn_pallas_fallback(e)
+        x, rr, k, status = _cg_df_core(
+            a, b, x0, maxiter, eps2, use_pallas=False
+        )
     return DfSolveResult(
         x_hi=x[0], x_lo=x[1], status=status, iterations=k,
         residual_norm2=rr[0],

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..ops.spmv import as_operator, matvec_fn
 from ..formats.reorder import reorder_hoisted
-from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
+from .types import harmonize_dtypes, RUNNING, SolveResult, SolverStatus, resolve_max_iterations
 
 __all__ = ["gmres", "gmres_core"]
 
@@ -60,6 +60,7 @@ def gmres(
     """
     a = as_operator(a)
     n = b.shape[0]
+    b, x0 = harmonize_dtypes(a, b, x0)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     m = int(restart)

@@ -102,7 +102,11 @@ def _inner_cg(matvec, apply_, dotfn, bu, rho2, cap):
         d, r, p, rz, rr, k, _ = s
         ap = matvec(p)
         pap = dotfn(p, ap)
-        alpha = rz / pap
+        # breakdown guard BEFORE the division: pap <= 0 (non-SPD drift or
+        # f32 rounding on the last step) would fold inf/NaN into d before
+        # the alive check below could fire — a zero step leaves d at the
+        # last good iterate and the `pap > 0` term exits the loop
+        alpha = jnp.where(pap > 0.0, rz / pap, 0.0)
         d = d + alpha * p
         r = r - alpha * ap
         z = apply_(r) if apply_ is not None else r
@@ -184,14 +188,21 @@ _INNER = {"cg": _inner_cg, "bicgstab": _inner_bicgstab}
 @partial(
     jax.jit,
     static_argnames=("maxiter", "max_outer", "use_padded", "pre_kind",
-                     "inner_kind", "interpret"),
+                     "inner_kind", "use_df_pallas", "interpret"),
 )
 def _ir_jit(
     a_df, a_in, pdia, pre, b, x0, eps2, rho2,
     maxiter: int, max_outer: int, use_padded: bool, pre_kind: str,
     inner_kind: str = "cg",
+    use_df_pallas: bool = True,
     interpret: bool = False,
 ):
+    from ..ops.df32 import df_matvec_fn
+
+    # hoisted once per solve; use_df_pallas=False is the retry path when
+    # Mosaic refuses the df kernels (the old retry still re-entered the
+    # same kernel through rmult_df and could never succeed)
+    df_mv = df_matvec_fn(a_df, use_df_pallas)
     if use_padded:
         from ..ops.pallas_spmv import (
             dia_spmv_padded,
@@ -222,7 +233,7 @@ def _ir_jit(
         apply_ = None
 
     def true_residual(x):
-        r = df_sub(b, a_df.rmult_df(x))
+        r = df_sub(b, df_mv(x))
         return r, df_norm2(r)[0]
 
     return ir_df_core(
@@ -355,22 +366,20 @@ def _ir_front(
         except Exception:  # pragma: no cover - geometry refusals
             pdia, use_padded = None, False
 
-    def run(use_padded_, pdia_):
+    def run(use_padded_, pdia_, use_df_pallas_=True):
         return _ir_jit(
             a_df, a_in, pdia_, pre, b, x0, eps2, rho2,
             maxiter, int(max_outer), use_padded_, pre_kind, inner_kind,
+            use_df_pallas_,
         )
 
-    if use_padded:
-        try:
-            out = run(True, pdia)
-        except Exception as e:  # Mosaic compile refusal -> generic path
-            from ..ops.spmv import _warn_pallas_fallback
+    try:
+        out = run(use_padded, pdia if use_padded else None)
+    except Exception as e:  # Mosaic compile refusal -> XLA everywhere
+        from ..ops.spmv import _warn_pallas_fallback
 
-            _warn_pallas_fallback(e)
-            out = run(False, None)
-    else:
-        out = run(False, None)
+        _warn_pallas_fallback(e)
+        out = run(False, None, use_df_pallas_=False)
     x_hi, x_lo, rn2, total, outer, status = out
     return DfSolveResult(
         x_hi=x_hi, x_lo=x_lo, status=status,

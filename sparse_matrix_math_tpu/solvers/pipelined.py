@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.spmv import as_operator, matvec_fn
-from .types import RUNNING, SolveResult, SolverStatus, resolve_max_iterations
+from .types import harmonize_dtypes, RUNNING, SolveResult, SolverStatus, resolve_max_iterations
 from ..formats.reorder import reorder_hoisted
 
 __all__ = ["cg_pipelined", "cg_pipelined_core"]
@@ -70,6 +70,7 @@ def cg_pipelined(
     true-residual replacement period (0 disables)."""
     a = as_operator(a)
     n = b.shape[0]
+    b, x0 = harmonize_dtypes(a, b, x0)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)

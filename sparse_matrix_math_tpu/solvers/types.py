@@ -46,9 +46,22 @@ class SolveResult:
     iterations: jnp.ndarray      # int32 scalar
     residual_norm: jnp.ndarray   # final ||r||_2 (same dtype as x)
     residual_trace: Optional[jnp.ndarray] = None  # (max_iter+1,) or None
+    # True when a MAX_ITERATIONS_REACHED exit was actually a PRECISION
+    # FLOOR: a verified-convergence restart failed to shrink the true
+    # residual (cg_core/bicgstab_core stall guards), so more iterations
+    # cannot help — escalate precision (cg_ir_df64) instead of raising
+    # the cap.  None for solvers that don't measure it; the 3-value
+    # ``status`` stays reference parity (sparse_matrix_math.h:2010-2014).
+    floor_hit: Optional[jnp.ndarray] = None  # bool scalar
 
     def status_enum(self) -> SolverStatus:
         return SolverStatus(int(self.status))
+
+    @property
+    def hit_precision_floor(self) -> bool:
+        """Host-side convenience: did the solve stop at its precision
+        floor (as opposed to a genuine iteration cap)?"""
+        return self.floor_hit is not None and bool(self.floor_hit)
 
     @property
     def success(self) -> bool:
@@ -66,6 +79,25 @@ class SolveResult:
                 f"SolveResult(status={self.status!r}, iterations={self.iterations!r},"
                 f" residual_norm={self.residual_norm!r})"
             )
+
+
+def harmonize_dtypes(a, b, x0):
+    """Promote ``b``/``x0`` to the solve dtype when the operator's value
+    dtype differs (e.g. an f64-loaded matrix with an f32 rhs).  The
+    reference is templated on ONE scalar type throughout (h:2316
+    ``ConjugateGradient<T>``); mixed inputs would otherwise promote
+    mid-recurrence and break the while_loop carry typing."""
+    dt = getattr(a, "dtype", None)
+    if (
+        dt is not None
+        and jnp.issubdtype(dt, jnp.floating)
+        and b.dtype != dt
+    ):
+        out = jnp.promote_types(dt, b.dtype)
+        b = b.astype(out)
+        if x0 is not None:
+            x0 = x0.astype(out)
+    return b, x0
 
 
 def resolve_max_iterations(max_iterations, n: int) -> int:

