@@ -396,8 +396,12 @@ def routed_from_csr(
             d_next, wt_next = 1, -1
         prefix_card *= d
         # fused native level driver: prefix update + stable (prefix, pos)
-        # sort of all carried arrays + nd + grouping in one call
-        pos_bits = 38
+        # sort of all carried arrays + nd + grouping in one call.
+        # TIGHT key width: pos < table_len, so the radix sort runs
+        # ceil(key_bits/11) passes — the old fixed pos_bits=38 forced
+        # 4-5 passes where 3 suffice (measured ~1.8 s/level at 12M nnz,
+        # the largest single cost of the routed build)
+        pos_bits = max(int(table_len - 1).bit_length(), 1)
         key_bits = pos_bits + max(int(prefix_card - 1).bit_length(), 1)
         fused = None
         if nnz and key_bits <= 64:

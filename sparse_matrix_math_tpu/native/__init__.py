@@ -332,11 +332,11 @@ def stream_pack_cf_native(group, sigma, lam, nd, wrows: int):
         raise ValueError("R-SELL packer did not converge (duplicate flood)")
     if rc < 0:
         return None
-    return (
-        row.astype(np.int64),
-        lane.astype(np.int64),
-        group_rows[:n_groups],
-    )
+    # int32 as produced: the consumer (smm_stream_emit) takes int32 row
+    # and lane planes, so widening here just paid two 12M-element
+    # astypes per level for nothing (NumPy promotes the mixed arithmetic
+    # in the fallback emit path fine)
+    return row, lane, group_rows[:n_groups]
 
 
 class _MtxNativeError(ValueError):
