@@ -132,3 +132,18 @@ class TestNativeFactorize:
         res = smm.cg(a, b, epsilon=1e-4 if dtype == np.float32 else 1e-8,
                      preconditioner=pre)
         assert int(res.iterations) <= 9  # reference: 8 (BASELINE.md)
+
+
+def test_native_library_compiles_when_toolchain_present():
+    """CI guard (VERDICT r3 hygiene): the native C++ runtime must COMPILE
+    wherever a toolchain exists — a silent NumPy fallback would let the
+    native paths (IC0/ILU0 factorization, MM parser, W-SELL/R-SELL
+    builders) rot unexercised while every test "passes"."""
+    import shutil
+
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain on this host")
+    assert native.available(), (
+        "g++ is present but the native library failed to compile/load — "
+        "see sparse_matrix_math_tpu/native/__init__.py:_compile stderr"
+    )
