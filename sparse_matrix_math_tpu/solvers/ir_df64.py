@@ -188,13 +188,15 @@ _INNER = {"cg": _inner_cg, "bicgstab": _inner_bicgstab}
 @partial(
     jax.jit,
     static_argnames=("maxiter", "max_outer", "use_padded", "pre_kind",
-                     "inner_kind", "use_df_pallas", "interpret"),
+                     "inner_kind", "use_df_pallas", "round_cap",
+                     "interpret"),
 )
 def _ir_jit(
     a_df, a_in, pdia, pre, b, x0, eps2, rho2,
     maxiter: int, max_outer: int, use_padded: bool, pre_kind: str,
     inner_kind: str = "cg",
     use_df_pallas: bool = True,
+    round_cap: int = 0,
     interpret: bool = False,
 ):
     from ..ops.df32 import df_matvec_fn
@@ -224,6 +226,17 @@ def _ir_jit(
     if pre_kind == "jacobi":
         invp = lift(pre)  # zero padding keeps z padding zero
         apply_ = lambda r: r * invp  # noqa: E731
+    elif pre_kind == "sgs":
+        # PaddedSGS with geometry matching pdia: the truncated-sweep
+        # apply runs entirely in the padded domain (one fused Pallas
+        # call per apply — the same path solvers/_padded.py uses), so
+        # the inner BiCGStab/CG keeps its fast layout.  This is what
+        # makes the refinement usable on nonsymmetric stencil systems:
+        # unpreconditioned f32 BiCGStab cannot deliver even the 1e-2
+        # per-round reduction at n=2M (measured, BENCH_NOTES round 4).
+        from ..ops.pallas_trisweep import sgs_apply_fused
+
+        apply_ = lambda r: sgs_apply_fused(pre, r, interpret=interpret)  # noqa: E731
     elif pre_kind == "obj":
         # pin the apply output to the inner f32 domain: preconditioner
         # objects built from f64 host data promote on the x64 CPU
@@ -239,12 +252,14 @@ def _ir_jit(
     return ir_df_core(
         true_residual, matvec, apply_, lambda u, v: jnp.sum(u * v),
         lift, drop, b, x0, eps2, rho2, maxiter, max_outer, inner_kind,
+        round_cap,
     )
 
 
 def ir_df_core(
     true_residual, matvec, apply_, dotfn, lift, drop,
     b, x0, eps2, rho2, maxiter: int, max_outer: int, inner_kind: str,
+    round_cap: int = 0,
 ):
     """Refinement outer loop, parameterised over the closures so the
     distributed layer (parallel/dist_df64.py) runs the identical loop
@@ -254,7 +269,16 @@ def ir_df_core(
     when sharded), ``lift``/``drop`` the inner-domain layout hops
     (padded Pallas domain single-chip, identity sharded).
 
+    ``round_cap`` (0 = no cap) bounds the inner iterations per
+    refinement round: frequent true-residual corrections bound how far
+    an f32 inner recurrence can drift before it is checked — at n=2M an
+    UNCAPPED inner BiCGStab explodes to a 1e15 recurrence inside one
+    round on the convection-diffusion bench system (round 4); capped at
+    256 the same solve converges.  Costs one double-word SpMV per cap
+    hit (~3 f32 SpMVs, ~1% at cap 256).
+
     Returns (x_hi, x_lo, rn2, total_inner, outer_rounds, status)."""
+    cap = jnp.int32(round_cap if round_cap and round_cap > 0 else maxiter)
     r0, rn2_0 = true_residual(x0)
     status0 = jnp.where(
         rn2_0 <= eps2,
@@ -272,20 +296,34 @@ def ir_df_core(
         rn = jnp.sqrt(rn2)
         bu = lift(r_hi / rn)
         d_l, k_in = _INNER[inner_kind](
-            matvec, apply_, dotfn, bu, rho2, maxiter - total
+            matvec, apply_, dotfn, bu, rho2,
+            jnp.minimum(maxiter - total, cap),
         )
         d = drop(d_l)
-        x_hi, x_lo = df_scale_add(
+        nx_hi, nx_lo = df_scale_add(
             (x_hi, x_lo), (rn, jnp.zeros_like(rn)),
             (d, jnp.zeros_like(d)),
         )
-        r, rn2_new = true_residual((x_hi, x_lo))
+        r, rn2_new = true_residual((nx_hi, nx_lo))
         total = total + k_in
         outer = outer + 1
+        # a round that made the TRUE residual worse (an f32 inner
+        # breakdown slipping past its own recurrence guards) is
+        # REVERTED: the returned iterate is always the best seen, never
+        # a corrupted tail (round 4 — an exploded inner round used to
+        # hand back x with ||b-Ax|| ~ 1e15)
+        worse = ~(rn2_new <= rn2) | ~jnp.isfinite(rn2_new)
+        x_hi = jnp.where(worse, x_hi, nx_hi)
+        x_lo = jnp.where(worse, x_lo, nx_lo)
+        r_hi = jnp.where(worse, r_hi, r[0])
+        r_lo = jnp.where(worse, _r_lo, r[1])
+        rn2_new = jnp.where(worse, rn2, rn2_new)
         # stall: a round that fails to shrink ||r||^2 by 4x (||r|| by 2x)
         # means the refinement hit its precision floor — report the floor
         # rather than looping (the same contract as cg_core's restart
-        # guard, solvers/cg.py)
+        # guard, solvers/cg.py).  Rounds cut short by the round cap are
+        # exempt: they did not get their full budget.
+        capped_round = k_in >= cap
         status = jnp.where(
             rn2_new <= eps2,
             SolverStatus.SUCCESS,
@@ -293,7 +331,8 @@ def ir_df_core(
                 ~jnp.isfinite(rn2_new),
                 SolverStatus.DIVERGED,
                 jnp.where(
-                    (rn2_new > 0.25 * rn2)
+                    worse
+                    | ((rn2_new > 0.25 * rn2) & ~capped_round)
                     | (total >= maxiter)
                     | (outer >= max_outer),
                     SolverStatus.MAX_ITERATIONS_REACHED,
@@ -301,7 +340,7 @@ def ir_df_core(
                 ),
             ),
         ).astype(jnp.int32)
-        return x_hi, x_lo, r[0], r[1], rn2_new, total, outer, status
+        return x_hi, x_lo, r_hi, r_lo, rn2_new, total, outer, status
 
     state = (
         x0[0], x0[1], r0[0], r0[1], rn2_0, jnp.int32(0), jnp.int32(0),
@@ -316,6 +355,7 @@ def ir_df_core(
 def _ir_front(
     inner_kind, a, b, x0, max_iterations, epsilon,
     preconditioner, inner_rho, max_outer, inner_matrix,
+    round_cap=None,
 ) -> DfSolveResult:
     """Shared refinement front door (see cg_ir_df64 for the parameter
     contract); ``inner_kind`` picks the correction solver."""
@@ -338,12 +378,16 @@ def _ir_front(
 
     a_in = inner_matrix if inner_matrix is not None else hi_operator(a_df)
 
+    from ..precond.padded_sgs import PaddedSGS
+
     pre, pre_kind = None, "none"
     if preconditioner is not None:
         from ..precond.preconditioners import JacobiPreconditioner
 
         if isinstance(preconditioner, JacobiPreconditioner):
             pre, pre_kind = preconditioner.inv_diag, "jacobi"
+        elif isinstance(preconditioner, PaddedSGS):
+            pre, pre_kind = preconditioner, "sgs"
         elif hasattr(preconditioner, "apply"):
             pre, pre_kind = preconditioner, "obj"
         else:
@@ -356,21 +400,39 @@ def _ir_front(
     if (
         jax.default_backend() == "tpu"
         and isinstance(a_in, DIAMatrix)
-        and pre_kind in ("none", "jacobi")
+        and pre_kind in ("none", "jacobi", "sgs")
     ):
         from ..ops.pallas_spmv import pad_dia
 
         try:
-            pdia = pad_dia(a_in)
+            rb = pre.rows_blk if pre_kind == "sgs" else 512
+            pdia = pad_dia(a_in, rows_blk=rb)
             use_padded = True
         except Exception:  # pragma: no cover - geometry refusals
             pdia, use_padded = None, False
+    if pre_kind == "sgs" and (
+        not use_padded
+        or pre.shape != a_in.shape
+        or pre.lead != pdia.lblk * pdia.rows_blk * 128
+    ):
+        # layout mismatch (or no padded path): PaddedSGS still works
+        # through its generic pad/apply/unpad entry point — but that
+        # entry takes UNPADDED vectors, so the inner solve must run in
+        # the generic domain too
+        pre_kind = "obj"
+        pdia, use_padded = None, False
+
+    # per-round inner budget: uncapped for CG (its recurrence is stable
+    # at bench scale); 256 for BiCGStab, whose f32 recurrence can
+    # explode inside a long round (see ir_df_core)
+    if round_cap is None:
+        round_cap = 0 if inner_kind == "cg" else 256
 
     def run(use_padded_, pdia_, use_df_pallas_=True):
         return _ir_jit(
             a_df, a_in, pdia_, pre, b, x0, eps2, rho2,
             maxiter, int(max_outer), use_padded_, pre_kind, inner_kind,
-            use_df_pallas_,
+            use_df_pallas_, int(round_cap),
         )
 
     try:
@@ -398,6 +460,7 @@ def cg_ir_df64(
     inner_rho: float = 1e-2,
     max_outer: int = 60,
     inner_matrix=None,
+    round_cap: int = None,
 ) -> DfSolveResult:
     """Solve ``a @ x = b`` (SPD ``a``) to f64 accuracy at ~f32 cost.
 
@@ -440,7 +503,7 @@ def cg_ir_df64(
     """
     return _ir_front(
         "cg", a, b, x0, max_iterations, epsilon,
-        preconditioner, inner_rho, max_outer, inner_matrix,
+        preconditioner, inner_rho, max_outer, inner_matrix, round_cap,
     )
 
 
@@ -455,6 +518,7 @@ def bicgstab_ir_df64(
     inner_rho: float = 1e-2,
     max_outer: int = 60,
     inner_matrix=None,
+    round_cap: int = None,
 ) -> DfSolveResult:
     """Solve ``a @ x = b`` (general square ``a``) to f64 accuracy at
     ~f32 cost: the nonsymmetric counterpart of :func:`cg_ir_df64`,
@@ -474,5 +538,5 @@ def bicgstab_ir_df64(
     """
     return _ir_front(
         "bicgstab", a, b, x0, max_iterations, epsilon,
-        preconditioner, inner_rho, max_outer, inner_matrix,
+        preconditioner, inner_rho, max_outer, inner_matrix, round_cap,
     )
