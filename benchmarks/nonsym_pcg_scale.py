@@ -3,9 +3,10 @@
 The round-3 W-SELL strict-sweep apply was proven for SGS on SPD systems;
 this measures ILU(0) through the same strict W-SELL layouts on a >=1M-row
 UNSTRUCTURED NONSYMMETRIC system — sherman1_tiled (block-diagonal
-sherman1 copies with column jitter, utils/generate.py), the "oil
-reservoir at benchmark scale" class the reference's own nonsymmetric
-coverage (sherman1, test/cpp/bicgstab.cpp) comes from.
+sherman1 copies, utils/generate.py; jitter=False keeps values consistent
+with the pattern so ILU0 factorizes — see the generator docstring), the
+"oil reservoir at benchmark scale" class the reference's own
+nonsymmetric coverage (sherman1, test/cpp/bicgstab.cpp) comes from.
 
 Measured: plain vs ILU0-preconditioned BiCGStab and GMRES(32), f32, on
 the W-SELL operator; results recorded in docs/BENCH_NOTES.md.
@@ -44,7 +45,7 @@ def timed(solver, op, b, eps, pre=None, maxiter=4000, reps=2):
 
 def main():
     t0 = time.time()
-    a = sherman1_tiled(COPIES, dtype=np.float32)
+    a = sherman1_tiled(COPIES, dtype=np.float32, jitter=False)
     print(f"matrix: n={a.shape[0]} nnz={a.nnz} build={time.time()-t0:.1f}s",
           flush=True)
     t0 = time.time()
@@ -56,34 +57,37 @@ def main():
     x1 = jnp.ones((a.shape[0],), jnp.float32)
     b = rmult(op, x1)
     nb = float(jnp.linalg.norm(b))
-    eps = 1e-4 * nb  # relative 1e-4: the reference's f32 tolerance class
-    print(f"||b||={nb:.3e} eps={eps:.3e}", flush=True)
 
     t0 = time.time()
     ilu = ILU0Preconditioner.from_matrix(a, sweeps=3)
     print(f"ilu0: factor+layout build={time.time()-t0:.1f}s "
           f"L_wsell={ilu.lower.wsell is not None} "
           f"U_wsell={ilu.upper.wsell is not None}", flush=True)
+    ilu6 = ILU0Preconditioner.from_matrix(a, sweeps=6)
 
     nnz = a.nnz
-    for name, solver, pre in (
-        ("bicgstab_plain", bicgstab, None),
-        ("bicgstab_ilu0s3", bicgstab, ilu),
-        ("gmres32_plain", gmres, None),
-        ("gmres32_ilu0s3", gmres, ilu),
-    ):
-        try:
-            res, wall = timed(solver, op, b, eps, pre)
-            tr = float(jnp.linalg.norm(b - rmult(op, res.x)))
-            print(
-                f"{name:18s} status={int(res.status)} "
-                f"iters={int(res.iterations)} true_rel="
-                f"{tr/nb:.2e} wall={wall:.3f}s "
-                f"spmv_rate={int(res.iterations)*nnz*(2 if solver is bicgstab else 1)/wall/1e9:.1f} GNNZ/s",
-                flush=True,
-            )
-        except Exception as e:
-            print(f"{name:18s} FAILED {e!r}", flush=True)
+    for rel in (1e-4, 3e-6):
+        eps = rel * nb
+        print(f"-- relative tol {rel:.0e} (eps={eps:.3e})", flush=True)
+        for name, solver, pre in (
+            ("bicgstab_plain", bicgstab, None),
+            ("bicgstab_ilu0s3", bicgstab, ilu),
+            ("bicgstab_ilu0s6", bicgstab, ilu6),
+            ("gmres32_plain", gmres, None),
+            ("gmres32_ilu0s3", gmres, ilu),
+            ("gmres32_ilu0s6", gmres, ilu6),
+        ):
+            try:
+                res, wall = timed(solver, op, b, eps, pre)
+                tr = float(jnp.linalg.norm(b - rmult(op, res.x)))
+                print(
+                    f"{name:18s} status={int(res.status)} "
+                    f"iters={int(res.iterations)} true_rel="
+                    f"{tr/nb:.2e} wall={wall:.3f}s",
+                    flush=True,
+                )
+            except Exception as e:
+                print(f"{name:18s} FAILED {e!r}", flush=True)
 
 
 if __name__ == "__main__":

@@ -244,11 +244,20 @@ def laplace_3d_jittered(
 
 
 def sherman1_tiled(
-    copies: int, seed: int = 0, dtype=np.float64, mtx_path: str = None
+    copies: int, seed: int = 0, dtype=np.float64, mtx_path: str = None,
+    jitter: bool = True,
 ) -> CSRMatrix:
     """'sherman1-class scaled up': block-diagonal copies of the sherman1
     pattern with per-copy random column jitter — an oil-reservoir-style
     unstructured pattern at benchmark scale.
+
+    ``jitter=False`` keeps every copy's VALUES on sherman1's exact
+    pattern (the 1000-row blocks still drift in phase against any
+    1024-aligned layout window, so layout work varies per copy).  Use it
+    when the values must stay consistent with the pattern: jittered
+    values sit in "wrong" columns, and elimination-based factorizations
+    (ILU0) hit data-dependent zero pivots on that (measured: row 239 of
+    the first jittered copy).
 
     ``mtx_path`` locates the seed matrix; defaults to the
     ``SMM_SHERMAN1_MTX`` environment variable or this build environment's
@@ -275,9 +284,18 @@ def sherman1_tiled(
     nb = a.shape[0]
     n = nb * copies
     rng = np.random.default_rng(seed)
+    diag0 = c0 == r0
     rs, cs, vs = [], [], []
     for k in range(copies):
-        c = np.clip(c0 + rng.integers(-2, 3, c0.shape[0]), 0, nb - 1)
+        if jitter:
+            c = np.clip(c0 + rng.integers(-2, 3, c0.shape[0]), 0, nb - 1)
+            # keep diagonal entries in place: the jitter varies the OFF-
+            # diagonal pattern per copy, but factorization-based
+            # preconditioners (ILU0/IC0) and the reference's SGS all
+            # require a full diagonal (h:1666-1694, h:1741-1746)
+            c = np.where(diag0, c0, c)
+        else:
+            c = c0
         rs.append(r0 + k * nb)
         cs.append(c + k * nb)
         vs.append(v0)
