@@ -117,72 +117,95 @@ def gmres_core(
         r = b - matvec(x)
         beta = jnp.sqrt(dotfn(r, r))
         safe_beta = jnp.maximum(beta, jnp.asarray(1e-30, dtype))
-        V0 = jnp.zeros((m + 1, n), dtype).at[0].set(r / safe_beta)
-        H0 = jnp.zeros((m + 1, m), dtype)
-        cs0 = jnp.zeros((m,), dtype)
-        sn0 = jnp.zeros((m,), dtype)
-        g0 = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(r / safe_beta)
+        H = jnp.zeros((m + 1, m), dtype)
+        cs = jnp.zeros((m,), dtype)
+        sn = jnp.zeros((m,), dtype)
+        g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+        rest = beta
+        steps = jnp.int32(0)
+        done = beta <= eps
 
-        def arnoldi(j, carry):
-            V, H, cs, sn, g, rest, steps, done, trace = carry
-            frozen = done | (j >= cap)
-            w = matvec(mapply(V[j]))
-            # CGS2 against the whole panel: rows > j are zero vectors,
-            # so the masked matmul is exact and the shapes stay static
-            mask = (jnp.arange(m + 1) <= j).astype(dtype)
-            h = paneldot(V, w) * mask
-            w = w - V.T @ h
-            h2 = paneldot(V, w) * mask
-            w = w - V.T @ h2
-            h = h + h2
-            hj1 = jnp.sqrt(dotfn(w, w))
-            V = V.at[j + 1].set(
-                jnp.where(
-                    frozen, V[j + 1],
-                    w / jnp.maximum(hj1, jnp.asarray(1e-30, dtype)),
+        # BLOCKED Arnoldi: steps run in blocks of 8; within block bk the
+        # CGS2 panel contractions use the STATIC slice V[:8*(bk+1)]
+        # instead of the whole (m+1, n) panel under a mask.  The panel
+        # matmuls dominate a GMRES step at scale (4 full-panel passes =
+        # ~1 GB/step at n=2M/m=32, measured 2.6 ms/step) and rows > j
+        # are zeros, so the masked form paid ~2x the average traffic for
+        # nothing; the quantized slice stays exact.  The block outer
+        # loop is the unroll granularity: ceil(m/8) compiled step bodies
+        # (a fully per-j unroll compiled 30-45x slower than the round-3
+        # masked fori_loop; this shape compiles ~4x, runs ~2x faster).
+        def make_step(nrows: int):
+            def step(j, carry):
+                V, H, cs, sn, g, rest, steps, done, trace = carry
+                frozen = done | (j >= cap)
+                w = matvec(mapply(V[j]))
+                Vj = jax.lax.slice(V, (0, 0), (nrows, n))
+                h_low = paneldot(Vj, w)
+                w = w - Vj.T @ h_low
+                h2 = paneldot(Vj, w)
+                w = w - Vj.T @ h2
+                h_low = h_low + h2
+                hj1 = jnp.sqrt(dotfn(w, w))
+                V = V.at[j + 1].set(
+                    jnp.where(
+                        frozen, V[j + 1],
+                        w / jnp.maximum(hj1, jnp.asarray(1e-30, dtype)),
+                    )
                 )
-            )
 
-            # apply the accumulated Givens rotations to the new column
-            def rot(i, hc):
-                hi = cs[i] * hc[i] + sn[i] * hc[i + 1]
-                hi1 = -sn[i] * hc[i] + cs[i] * hc[i + 1]
-                return hc.at[i].set(hi).at[i + 1].set(hi1)
+                # accumulated Givens rotations on the new column
+                hcol = jnp.zeros((m + 1,), dtype).at[:nrows].set(h_low)
+                hcol = hcol.at[j + 1].set(hj1)
 
-            hcol = jax.lax.fori_loop(0, j, rot, h.at[j + 1].set(hj1))
-            # new rotation zeroing hcol[j+1]
-            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
-            safe = jnp.maximum(denom, jnp.asarray(1e-30, dtype))
-            c, s = hcol[j] / safe, hcol[j + 1] / safe
-            # `safe` also guards the R diagonal: an exact Krylov
-            # breakdown (h_{j+1,j} = hcol_j = 0, the "lucky" case)
-            # otherwise writes a zero pivot and NaNs the solve
-            hcol = hcol.at[j].set(safe).at[j + 1].set(0.0)
-            gj = c * g[j]
-            gj1 = -s * g[j]
+                def rot(i, hc):
+                    hi = cs[i] * hc[i] + sn[i] * hc[i + 1]
+                    hi1 = -sn[i] * hc[i] + cs[i] * hc[i + 1]
+                    return hc.at[i].set(hi).at[i + 1].set(hi1)
 
-            # frozen steps write an identity column (and a zero g entry)
-            # so the triangular solve returns y_j = 0 for them
-            unit = jnp.zeros((m + 1,), dtype).at[j].set(1.0)
-            H = H.at[:, j].set(jnp.where(frozen, unit, hcol))
-            cs = cs.at[j].set(jnp.where(frozen, 1.0, c))
-            sn = sn.at[j].set(jnp.where(frozen, 0.0, s))
-            g = jnp.where(
-                frozen, g.at[j].set(0.0), g.at[j].set(gj).at[j + 1].set(gj1)
-            )
-            rest = jnp.where(frozen, rest, jnp.abs(gj1))
-            steps = jnp.where(frozen, steps, j + 1)
-            if trace is not None:
-                trace = jnp.where(
-                    frozen, trace, trace.at[k0 + j + 1].set(jnp.abs(gj1))
+                hcol = jax.lax.fori_loop(0, j, rot, hcol)
+                # new rotation zeroing hcol[j+1]
+                denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+                safe = jnp.maximum(denom, jnp.asarray(1e-30, dtype))
+                c, s = hcol[j] / safe, hcol[j + 1] / safe
+                # `safe` also guards the R diagonal: an exact Krylov
+                # breakdown (h_{j+1,j} = hcol_j = 0, the "lucky" case)
+                # otherwise writes a zero pivot and NaNs the solve
+                hcol = hcol.at[j].set(safe).at[j + 1].set(0.0)
+                gj = c * g[j]
+                gj1 = -s * g[j]
+
+                # frozen steps write an identity column (and a zero g
+                # entry) so the triangular solve returns y_j = 0 for them
+                unit = jnp.zeros((m + 1,), dtype).at[j].set(1.0)
+                H = H.at[:, j].set(jnp.where(frozen, unit, hcol))
+                cs = cs.at[j].set(jnp.where(frozen, 1.0, c))
+                sn = sn.at[j].set(jnp.where(frozen, 0.0, s))
+                g = jnp.where(
+                    frozen,
+                    g.at[j].set(0.0),
+                    g.at[j].set(gj).at[j + 1].set(gj1),
                 )
-            done = done | (rest <= eps)
-            return V, H, cs, sn, g, rest, steps, done, trace
+                rest = jnp.where(frozen, rest, jnp.abs(gj1))
+                steps = jnp.where(frozen, steps, (j + 1).astype(jnp.int32))
+                if trace is not None:
+                    trace = jnp.where(
+                        frozen, trace,
+                        trace.at[k0 + j + 1].set(jnp.abs(gj1)),
+                    )
+                done = done | (rest <= eps)
+                return V, H, cs, sn, g, rest, steps, done, trace
 
-        V, H, cs, sn, g, rest, steps, _, trace = jax.lax.fori_loop(
-            0, m, arnoldi,
-            (V0, H0, cs0, sn0, g0, beta, jnp.int32(0), beta <= eps, trace),
-        )
+            return step
+
+        carry = (V, H, cs, sn, g, rest, steps, done, trace)
+        for bk in range(-(-m // 8)):
+            lo, hi = 8 * bk, min(8 * (bk + 1), m)
+            carry = jax.lax.fori_loop(
+                lo, hi, make_step(min(hi, m + 1)), carry
+            )
+        V, H, cs, sn, g, rest, steps, done, trace = carry
         # y = R^{-1} g over the rotated (upper-triangular) H
         y = jax.scipy.linalg.solve_triangular(H[:m, :], g[:m], lower=False)
         x = x + mapply(V[:m].T @ y)
