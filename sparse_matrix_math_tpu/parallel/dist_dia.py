@@ -265,9 +265,12 @@ def _dist_dia_solve_jit(
         iterations=P(),
         residual_norm=P(),
         residual_trace=P() if record else None,
-        # cg/pcg/bicgstab cores report the precision-floor latch
-        # (solvers/types.py:floor_hit); the other cores leave it None
-        floor_hit=P() if solver in ("cg", "bicgstab") else None,
+        # cg/pcg/bicgstab/bicg_symmetric/cgs cores report the
+        # precision-floor latch (solvers/types.py:floor_hit); the other
+        # cores leave it None
+        floor_hit=P() if solver in (
+            "cg", "bicgstab", "bicg_symmetric", "cgs"
+        ) else None,
     )
     mapped = jax.shard_map(
         inner,

@@ -79,88 +79,132 @@ def bicg_symmetric_core(
     Verified convergence: SUCCESS means the TRUE residual ``b - A x``
     passed eps (see cg_core for the full contract); a refuted recurrence
     claim restarts from the true residual, stalling twice in a row stops
-    with MAX_ITERATIONS_REACHED at the precision floor."""
+    with MAX_ITERATIONS_REACHED at the precision floor.
+
+    Nested structure (round 4, see cg_core): the inner while_loop is the
+    pure recurrence with the reference's scalar breakdown heuristics
+    (h:2047-2081) as exit flags; the outer loop verifies claims — the
+    per-iteration verify ``lax.cond`` cost ~60 us/iter at n=2M even when
+    the branch never ran (benchmarks/profile_cg_iter2.py)."""
     dot = dotfn
     eps2 = eps * eps
     one = jnp.asarray(1.0, b.dtype)
 
-    r = b - matvec(x0)
-    rr = dot(r, r)
-    trace = (
-        jnp.full((maxiter + 1,), jnp.nan, b.dtype).at[0].set(jnp.sqrt(rr))
+    r0_vec = b - matvec(x0)
+    rr0 = dot(r0_vec, r0_vec)
+    trace0 = (
+        jnp.full((maxiter + 1,), jnp.nan, b.dtype).at[0].set(jnp.sqrt(rr0))
         if record
         else None
     )
 
-    def cond(carry):
-        _, _, _, rr, _, k, status, _ = carry
-        # do-while semantics: the convergence test happens inside the body,
-        # so the loop only continues while still RUNNING.
-        return (status == RUNNING) & (k < maxiter)
+    def inner(x, r, p, rr, k_start, trace):
+        """Pure recurrence; exits on claim / breakdown / cap.  The first
+        iteration of the whole solve is FORCED (k == 0 term) to keep the
+        reference's do-while semantics (h:2047)."""
 
-    def body(carry):
-        x, r, p, rr, floor_rr, k, status, trace = carry
-        ap = matvec(p)
-        denom = dot(ap, p)
-        # serious breakdown heuristic (h:2056-2058); the reference exits
-        # BEFORE applying the bogus alpha update, so mask all updates out.
-        serious = (eps > jnp.abs(denom)) & (rr > one)
-        alpha = jnp.where(serious, 0, rr / denom)
-        x = x + alpha * p
-        r = r - alpha * ap
-        new_rr = jnp.where(serious, rr, dot(r, r))
-        # critical BiCG breakdown heuristic (h:2079-2081); the reference
-        # exits AFTER the x/r update here, so those stand.
-        critical = (new_rr > one) & (rr < eps)
-        rec_conv = (new_rr <= eps2) & ~serious & ~critical
+        def cond(c):
+            x, r, p, rr, k, serious, critical = c
+            return (
+                ((rr >= eps2) | (k == 0))
+                & (k < maxiter)
+                & ~serious
+                & ~critical
+                & jnp.isfinite(rr)
+            )
 
-        def verify(args):
-            x, r, new_rr = args
-            r_t = b - matvec(x)
-            t_rr = dot(r_t, r_t)
-            return r_t, t_rr, t_rr <= eps2
+        def body(c):
+            x, r, p, rr, k, _, _ = c
+            ap = matvec(p)
+            denom = dot(ap, p)
+            # serious breakdown heuristic (h:2056-2058); the reference
+            # exits BEFORE applying the bogus alpha update, so mask the
+            # updates out.
+            serious = (eps > jnp.abs(denom)) & (rr > one)
+            alpha = jnp.where(serious, 0, rr / denom)
+            x = x + alpha * p
+            r = r - alpha * ap
+            new_rr = jnp.where(serious, rr, dot(r, r))
+            # critical BiCG breakdown heuristic (h:2079-2081); the
+            # reference exits AFTER the x/r update here, so those stand.
+            critical = (new_rr > one) & (rr < eps)
+            beta = new_rr / rr
+            p = r + beta * p
+            return x, r, p, new_rr, k + 1, serious, critical
 
-        def skip(args):
-            _, r, new_rr = args
-            return r, new_rr, jnp.bool_(False)
+        if trace is None:
+            out = jax.lax.while_loop(
+                cond,
+                body,
+                (x, r, p, rr, k_start, jnp.bool_(False), jnp.bool_(False)),
+            )
+            return out + (trace,)
 
-        r, new_rr, verified = jax.lax.cond(
-            rec_conv, verify, skip, (x, r, new_rr)
+        # traced variant carries the trace array through the same loop
+        def cond_t(c):
+            return cond(c[:-1])
+
+        def body_t(c):
+            x, r, p, rr, k, serious, critical = body(c[:-1])
+            tr = c[-1].at[k].set(jnp.sqrt(rr))
+            return x, r, p, rr, k, serious, critical, tr
+
+        out = jax.lax.while_loop(
+            cond_t,
+            body_t,
+            (x, r, p, rr, k_start, jnp.bool_(False), jnp.bool_(False),
+             trace),
         )
-        refuted = rec_conv & ~verified
-        stalled = refuted & (new_rr > floor_rr * 0.25)
-        floor_rr = jnp.where(refuted, new_rr, floor_rr)
+        return out
 
-        diverged = serious | critical | ~jnp.isfinite(new_rr)
+    def outer_cond(c):
+        return c[5] == RUNNING
+
+    def outer_body(c):
+        x, r, rr, k, floor_rr, _, hit, trace = c
+        x, r, p, rr, k, serious, critical, trace = inner(
+            x, r, r, rr, k, trace
+        )
+        claimed = (rr < eps2) & ~serious & ~critical
+
+        r_t = b - matvec(x)
+        t_rr = dot(r_t, r_t)
+        verified = claimed & (t_rr <= eps2)
+        refuted = claimed & ~verified
+        stalled = refuted & (t_rr > floor_rr * 0.25)
+        hit = hit | stalled
+        floor_rr = jnp.where(refuted, t_rr, floor_rr)
+
+        diverged = serious | critical | ~jnp.isfinite(rr)
         status = jnp.where(
             diverged,
             SolverStatus.DIVERGED,
             jnp.where(
                 verified,
                 SolverStatus.SUCCESS,
-                jnp.where(stalled, SolverStatus.MAX_ITERATIONS_REACHED, RUNNING),
+                jnp.where(
+                    stalled | (k >= maxiter),
+                    SolverStatus.MAX_ITERATIONS_REACHED,
+                    RUNNING,
+                ),
             ),
         ).astype(jnp.int32)
-        beta = new_rr / rr
-        p = jnp.where(refuted, r, r + beta * p)
-        if trace is not None:
-            trace = trace.at[k + 1].set(jnp.sqrt(new_rr))
-        return x, r, p, new_rr, floor_rr, k + 1, status, trace
+        return x, r_t, t_rr, k, floor_rr, status, hit, trace
 
-    inf = jnp.asarray(jnp.inf, rr.dtype)
-    carry = (x0, r, r, rr, inf, jnp.int32(0), jnp.int32(RUNNING), trace)
-    x, r, _, rr, _, k, status, trace = jax.lax.while_loop(cond, body, carry)
-    status = jnp.where(status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status)
-
-    def _true_rr():
-        r_t = b - matvec(x)
-        return dot(r_t, r_t)
-
-    rr = jax.lax.cond(status == SolverStatus.SUCCESS, lambda: rr, _true_rr)
+    inf = jnp.asarray(jnp.inf, rr0.dtype)
+    # no initial-convergence short-circuit: do-while parity (h:2047)
+    carry = (
+        x0, r0_vec, rr0, jnp.int32(0), inf, jnp.int32(RUNNING),
+        jnp.bool_(False), trace0,
+    )
+    x, _, rr, k, _, status, hit, trace = jax.lax.while_loop(
+        outer_cond, outer_body, carry
+    )
     return SolveResult(
         x=x,
         status=status.astype(jnp.int32),
         iterations=k,
         residual_norm=jnp.sqrt(rr),
         residual_trace=trace,
+        floor_hit=hit & (status == SolverStatus.MAX_ITERATIONS_REACHED),
     )

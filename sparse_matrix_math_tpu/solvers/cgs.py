@@ -92,99 +92,120 @@ def cgs_core(matvec, dotfn, b, x0, eps, maxiter: int, record: bool) -> SolveResu
     eps2 = eps * eps
     tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
 
-    r = b - matvec(x0)
-    r0 = r
-    rr0 = dot(r, r0)
-    rr = dot(r, r)
-    trace = (
-        jnp.full((maxiter + 1,), jnp.nan, b.dtype).at[0].set(jnp.sqrt(rr))
+    r_init = b - matvec(x0)
+    rr_init = dot(r_init, r_init)
+    trace0 = (
+        jnp.full((maxiter + 1,), jnp.nan, b.dtype)
+        .at[0].set(jnp.sqrt(rr_init))
         if record
         else None
     )
 
-    def cond(carry):
-        _, _, _, _, _, _, _, _, k, status, _ = carry
-        return (status == RUNNING) & (k < maxiter)
+    # Nested structure (round 4, see cg_core): inner pure CGS recursion
+    # with scalar breakdown exit flags, outer verify/restart/floor — the
+    # per-iteration verify lax.cond cost ~60 us/iter at n=2M even when
+    # the branch never ran (benchmarks/profile_cg_iter2.py).
+    def inner(x, r, r0, p, u, q, rr0, k_start, trace):
+        def cond(c):
+            rr, k, bd = c[7], c[8], c[9]
+            return (
+                ((rr >= eps2) | (k == k_start))
+                & (k < maxiter)
+                & ~bd
+                & jnp.isfinite(rr)
+            )
 
-    def body(carry):
-        x, r, r0, p, u, q, rr0, floor_rr, k, status, trace = carry
-        ap = matvec(p)
-        denom = dot(ap, r0)
-        breakdown = jnp.abs(denom) < tiny
-        alpha = jnp.where(breakdown, 0, rr0 / denom)
-        q = u - alpha * ap
-        uq = u + q
-        x = x + alpha * uq
-        r = r - alpha * matvec(uq)
-        new_rr0 = dot(r, r0)
-        rr = dot(r, r)
-        rec_conv = rr <= eps2
+        def body(c):
+            x, r, r0, p, u, q, rr0, _, k, _, trace = c
+            ap = matvec(p)
+            denom = dot(ap, r0)
+            bd1 = jnp.abs(denom) < tiny
+            alpha = jnp.where(bd1, 0, rr0 / denom)
+            q = u - alpha * ap
+            uq = u + q
+            x = x + alpha * uq
+            r = r - alpha * matvec(uq)
+            new_rr0 = dot(r, r0)
+            rr = dot(r, r)
+            bd2 = jnp.abs(rr0) < tiny
+            beta = jnp.where(bd2, 0, new_rr0 / rr0)
+            u = r + beta * q
+            p = u + beta * (q + beta * p)
+            if trace is not None:
+                trace = trace.at[k + 1].set(jnp.sqrt(rr))
+            return (
+                x, r, r0, p, u, q, new_rr0, rr, k + 1, bd1 | bd2, trace
+            )
 
-        def verify(args):
-            x, r, rr = args
-            r_t = b - matvec(x)
-            t_rr = dot(r_t, r_t)
-            return r_t, t_rr, t_rr <= eps2
+        return jax.lax.while_loop(
+            cond, body,
+            (x, r, r0, p, u, q, rr0, dot(r, r), k_start,
+             jnp.bool_(False), trace),
+        )
 
-        def skip(args):
-            _, r, rr = args
-            return r, rr, jnp.bool_(False)
+    def outer_cond(c):
+        return c[9] == RUNNING
 
-        r, rr, verified = jax.lax.cond(rec_conv, verify, skip, (x, r, rr))
-        refuted = rec_conv & ~verified
-        stalled = refuted & (rr > floor_rr * 0.25)
-        floor_rr = jnp.where(refuted, rr, floor_rr)
+    def outer_body(c):
+        x, r, r0, p, u, q, rr0, k, floor_rr, _, hit, trace = c
+        x, r, r0, p, u, q, rr0, rr, k, bd, trace = inner(
+            x, r, r0, p, u, q, rr0, k, trace
+        )
+        claimed = (rr < eps2) & ~bd
 
-        breakdown |= (jnp.abs(rr0) < tiny) | ~jnp.isfinite(rr)
+        r_t = b - matvec(x)
+        t_rr = dot(r_t, r_t)
+        verified = claimed & (t_rr <= eps2)
+        refuted = claimed & ~verified
+        stalled = refuted & (t_rr > floor_rr * 0.25)
+        hit = hit | stalled
+        floor_rr = jnp.where(refuted, t_rr, floor_rr)
+
         status = jnp.where(
-            (breakdown & ~refuted) & ~verified,
+            (bd | ~jnp.isfinite(rr)) & ~verified,
             SolverStatus.DIVERGED,
             jnp.where(
                 verified,
                 SolverStatus.SUCCESS,
-                jnp.where(stalled, SolverStatus.MAX_ITERATIONS_REACHED, RUNNING),
+                jnp.where(
+                    stalled | (k >= maxiter),
+                    SolverStatus.MAX_ITERATIONS_REACHED,
+                    RUNNING,
+                ),
             ),
         ).astype(jnp.int32)
-        beta = jnp.where(jnp.abs(rr0) < tiny, 0, new_rr0 / rr0)
-        u_next = r + beta * q
-        p_next = u_next + beta * (q + beta * p)
-        # full restart on refutation: shadow vector and recursion vectors
-        # reset to the true residual
-        r0 = jnp.where(refuted, r, r0)
-        new_rr0 = jnp.where(refuted, rr, new_rr0)
-        u = jnp.where(refuted, r, u_next)
-        p = jnp.where(refuted, r, p_next)
+        # full restart on refutation: shadow vector and recursion
+        # vectors reset to the true residual
+        r = jnp.where(refuted, r_t, r)
+        r0 = jnp.where(refuted, r_t, r0)
+        u = jnp.where(refuted, r_t, u)
+        p = jnp.where(refuted, r_t, p)
         q = jnp.where(refuted, jnp.zeros_like(q), q)
-        if trace is not None:
-            trace = trace.at[k + 1].set(jnp.sqrt(rr))
-        return x, r, r0, p, u, q, new_rr0, floor_rr, k + 1, status, trace
+        rr0 = jnp.where(refuted, t_rr, rr0)
+        return x, r, r0, p, u, q, rr0, k, floor_rr, status, hit, trace
 
-    inf = jnp.asarray(jnp.inf, rr.dtype)
+    inf = jnp.asarray(jnp.inf, rr_init.dtype)
+    # do-while parity: no initial-convergence short-circuit (h:2131)
     carry = (
-        x0,
-        r,
-        r0,
-        r,
-        r,
-        jnp.zeros_like(r),
-        rr0,
-        inf,
-        jnp.int32(0),
-        jnp.int32(RUNNING),
-        trace,
+        x0, r_init, r_init, r_init, r_init, jnp.zeros_like(r_init),
+        rr_init, jnp.int32(0), inf, jnp.int32(RUNNING), jnp.bool_(False),
+        trace0,
     )
-    x, r, _, _, _, _, _, _, k, status, trace = jax.lax.while_loop(cond, body, carry)
-    status = jnp.where(status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status)
+    out = jax.lax.while_loop(outer_cond, outer_body, carry)
+    x, _, _, _, _, _, _, k, _, status, hit, trace = out
 
+    # residual_norm means ||b - A x||: outer rounds end with r_t fresh
+    # only on their own path; recompute once at exit for all statuses
     def _true_rr():
         r_t = b - matvec(x)
         return dot(r_t, r_t)
 
-    rr = jax.lax.cond(status == SolverStatus.SUCCESS, lambda: dot(r, r), _true_rr)
+    rr = _true_rr()
     return SolveResult(
         x=x,
         status=status.astype(jnp.int32),
         iterations=k,
         residual_norm=jnp.sqrt(rr),
         residual_trace=trace,
+        floor_hit=hit & (status == SolverStatus.MAX_ITERATIONS_REACHED),
     )
