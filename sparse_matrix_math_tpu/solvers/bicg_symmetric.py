@@ -92,6 +92,7 @@ def bicg_symmetric_core(
 
     r0_vec = b - matvec(x0)
     rr0 = dot(r0_vec, r0_vec)
+    del r0_vec  # outer carry stays vector-free (see cg_core docstring)
     trace0 = (
         jnp.full((maxiter + 1,), jnp.nan, b.dtype).at[0].set(jnp.sqrt(rr0))
         if record
@@ -158,12 +159,14 @@ def bicg_symmetric_core(
         return out
 
     def outer_cond(c):
-        return c[5] == RUNNING
+        return c[4] == RUNNING
 
     def outer_body(c):
-        x, r, rr, k, floor_rr, _, hit, trace = c
+        x, _, k, floor_rr, _, hit, trace = c
+        r_e = b - matvec(x)
+        rr_e = dot(r_e, r_e)
         x, r, p, rr, k, serious, critical, trace = inner(
-            x, r, r, rr, k, trace
+            x, r_e, r_e, rr_e, k, trace
         )
         claimed = (rr < eps2) & ~serious & ~critical
 
@@ -189,15 +192,15 @@ def bicg_symmetric_core(
                 ),
             ),
         ).astype(jnp.int32)
-        return x, r_t, t_rr, k, floor_rr, status, hit, trace
+        return x, t_rr, k, floor_rr, status, hit, trace
 
     inf = jnp.asarray(jnp.inf, rr0.dtype)
     # no initial-convergence short-circuit: do-while parity (h:2047)
     carry = (
-        x0, r0_vec, rr0, jnp.int32(0), inf, jnp.int32(RUNNING),
+        x0, rr0, jnp.int32(0), inf, jnp.int32(RUNNING),
         jnp.bool_(False), trace0,
     )
-    x, _, rr, k, _, status, hit, trace = jax.lax.while_loop(
+    x, rr, k, _, status, hit, trace = jax.lax.while_loop(
         outer_cond, outer_body, carry
     )
     return SolveResult(

@@ -121,12 +121,21 @@ def cg_core(matvec, dotfn, b, x0, eps, maxiter: int, record: bool) -> SolveResul
     bench system this restructure takes an iteration from 107.6 us to
     46.7 us — vs 61.6 us for a bare SpMV loop, i.e. the dots and axpys
     now ride VMEM residency for ~free (benchmarks/profile_cg_iter2.py).
+
+    The outer carry holds NO residual vector — each round recomputes
+    the true residual from ``x`` at entry (one SpMV per round).  An
+    outer while_loop that carries an (n,)-vector next to the inner loop
+    pins one more buffer across every inner iteration and displaces a
+    VMEM-resident carry: measured +32 us on EVERY inner iteration at
+    n=2M (77.6 vs 46.0 us/iter) — far more than the one SpMV per round
+    the recompute costs.
     """
     dot = dotfn
     eps2 = eps * eps
 
     r0 = b - matvec(x0)
     rr0 = dot(r0, r0)
+    del r0  # scalars only beyond this point (see docstring)
     trace0 = (
         jnp.full((maxiter + 1,), jnp.nan, b.dtype).at[0].set(jnp.sqrt(rr0))
         if record
@@ -158,11 +167,16 @@ def cg_core(matvec, dotfn, b, x0, eps, maxiter: int, record: bool) -> SolveResul
         return jax.lax.while_loop(cond, body, (x, r, p, rr, k_start, trace))
 
     def outer_cond(c):
-        return c[5] == RUNNING
+        return c[4] == RUNNING
 
     def outer_body(c):
-        x, r, rr, k, floor_rr, _, hit, trace = c
-        x, r, p, rr, k, trace = inner(x, r, r, rr, k, trace)
+        x, _, k, floor_rr, _, hit, trace = c
+        # (re)start from the true residual: conjugacy history is noise
+        # at a restart, and recomputing r from x here keeps the outer
+        # carry vector-free (see docstring)
+        r_e = b - matvec(x)
+        rr_e = dot(r_e, r_e)
+        x, r, p, rr, k, trace = inner(x, r_e, r_e, rr_e, k, trace)
         claimed = rr < eps2
 
         # verify every claim against the TRUE residual; also runs on the
@@ -190,19 +204,17 @@ def cg_core(matvec, dotfn, b, x0, eps, maxiter: int, record: bool) -> SolveResul
                 ),
             ),
         ).astype(jnp.int32)
-        # restart from the true residual: conjugacy history is noise at
-        # this point (p reset happens on the next round's inner() entry)
-        return x, r_t, t_rr, k, floor_rr, status, hit, trace
+        return x, t_rr, k, floor_rr, status, hit, trace
 
     init_status = jnp.where(
         rr0 < eps2, SolverStatus.SUCCESS, RUNNING
     ).astype(jnp.int32)
     inf = jnp.asarray(jnp.inf, rr0.dtype)
     carry = (
-        x0, r0, rr0, jnp.int32(0), inf, init_status, jnp.bool_(False),
+        x0, rr0, jnp.int32(0), inf, init_status, jnp.bool_(False),
         trace0,
     )
-    x, _, rr, k, _, status, hit, trace = jax.lax.while_loop(
+    x, rr, k, _, status, hit, trace = jax.lax.while_loop(
         outer_cond, outer_body, carry
     )
     # rr here is ALWAYS the true ||b - A x||^2 (each outer round
@@ -239,6 +251,7 @@ def pcg_core(matvec, precond_apply, dotfn, b, x0, eps, maxiter: int, record: boo
 
     r0 = b - matvec(x0)
     rr0 = dot(r0, r0)
+    del r0  # outer carry stays vector-free (see cg_core docstring)
     trace0 = (
         jnp.full((maxiter + 1,), jnp.nan, b.dtype).at[0].set(jnp.sqrt(rr0))
         if record
@@ -274,11 +287,13 @@ def pcg_core(matvec, precond_apply, dotfn, b, x0, eps, maxiter: int, record: boo
         )
 
     def outer_cond(c):
-        return c[5] == RUNNING
+        return c[4] == RUNNING
 
     def outer_body(c):
-        x, r, rr, k, floor_rr, _, hit, trace = c
-        x, r, _, _, rr, k, trace = inner(x, r, rr, k, trace)
+        x, _, k, floor_rr, _, hit, trace = c
+        r_e = b - matvec(x)
+        rr_e = dot(r_e, r_e)
+        x, r, _, _, rr, k, trace = inner(x, r_e, rr_e, k, trace)
         claimed = rr < eps2
 
         r_t = b - matvec(x)
@@ -302,17 +317,17 @@ def pcg_core(matvec, precond_apply, dotfn, b, x0, eps, maxiter: int, record: boo
                 ),
             ),
         ).astype(jnp.int32)
-        return x, r_t, t_rr, k, floor_rr, status, hit, trace
+        return x, t_rr, k, floor_rr, status, hit, trace
 
     init_status = jnp.where(
         rr0 < eps2, SolverStatus.SUCCESS, RUNNING
     ).astype(jnp.int32)
     inf = jnp.asarray(jnp.inf, rr0.dtype)
     carry = (
-        x0, r0, rr0, jnp.int32(0), inf, init_status, jnp.bool_(False),
+        x0, rr0, jnp.int32(0), inf, init_status, jnp.bool_(False),
         trace0,
     )
-    x, _, rr, k, _, status, hit, trace = jax.lax.while_loop(
+    x, rr, k, _, status, hit, trace = jax.lax.while_loop(
         outer_cond, outer_body, carry
     )
     return SolveResult(

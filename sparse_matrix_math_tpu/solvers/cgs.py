@@ -94,6 +94,7 @@ def cgs_core(matvec, dotfn, b, x0, eps, maxiter: int, record: bool) -> SolveResu
 
     r_init = b - matvec(x0)
     rr_init = dot(r_init, r_init)
+    del r_init  # outer carry stays vector-free (see cg_core docstring)
     trace0 = (
         jnp.full((maxiter + 1,), jnp.nan, b.dtype)
         .at[0].set(jnp.sqrt(rr_init))
@@ -144,12 +145,17 @@ def cgs_core(matvec, dotfn, b, x0, eps, maxiter: int, record: bool) -> SolveResu
         )
 
     def outer_cond(c):
-        return c[9] == RUNNING
+        return c[3] == RUNNING
 
     def outer_body(c):
-        x, r, r0, p, u, q, rr0, k, floor_rr, _, hit, trace = c
+        x, _, k, _, floor_rr, hit, trace = c
+        # every round (re)starts the CGS recursion from the true
+        # residual (refuted restarts reset every vector to it anyway) —
+        # the outer carry stays vector-free (see cg_core docstring)
+        r_e = b - matvec(x)
+        rr_e = dot(r_e, r_e)
         x, r, r0, p, u, q, rr0, rr, k, bd, trace = inner(
-            x, r, r0, p, u, q, rr0, k, trace
+            x, r_e, r_e, r_e, r_e, jnp.zeros_like(r_e), rr_e, k, trace
         )
         claimed = (rr < eps2) & ~bd
 
@@ -174,33 +180,17 @@ def cgs_core(matvec, dotfn, b, x0, eps, maxiter: int, record: bool) -> SolveResu
                 ),
             ),
         ).astype(jnp.int32)
-        # full restart on refutation: shadow vector and recursion
-        # vectors reset to the true residual
-        r = jnp.where(refuted, r_t, r)
-        r0 = jnp.where(refuted, r_t, r0)
-        u = jnp.where(refuted, r_t, u)
-        p = jnp.where(refuted, r_t, p)
-        q = jnp.where(refuted, jnp.zeros_like(q), q)
-        rr0 = jnp.where(refuted, t_rr, rr0)
-        return x, r, r0, p, u, q, rr0, k, floor_rr, status, hit, trace
+        return x, t_rr, k, status, floor_rr, hit, trace
 
     inf = jnp.asarray(jnp.inf, rr_init.dtype)
     # do-while parity: no initial-convergence short-circuit (h:2131)
     carry = (
-        x0, r_init, r_init, r_init, r_init, jnp.zeros_like(r_init),
-        rr_init, jnp.int32(0), inf, jnp.int32(RUNNING), jnp.bool_(False),
-        trace0,
+        x0, rr_init, jnp.int32(0), jnp.int32(RUNNING), inf,
+        jnp.bool_(False), trace0,
     )
     out = jax.lax.while_loop(outer_cond, outer_body, carry)
-    x, _, _, _, _, _, _, k, _, status, hit, trace = out
-
-    # residual_norm means ||b - A x||: outer rounds end with r_t fresh
-    # only on their own path; recompute once at exit for all statuses
-    def _true_rr():
-        r_t = b - matvec(x)
-        return dot(r_t, r_t)
-
-    rr = _true_rr()
+    # the carried scalar is the true ||b - A x||^2 from the final round
+    x, rr, k, status, _, hit, trace = out
     return SolveResult(
         x=x,
         status=status.astype(jnp.int32),
