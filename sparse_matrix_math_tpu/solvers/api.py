@@ -282,7 +282,11 @@ def solve(
         kwargs["preconditioner"] = _build_preconditioner_for(
             a, a_source, cfg.preconditioner, cfg.preconditioner_options
         )
-    if cfg.auto_escalate and method in _ESCALATION:
+    # escalation would return a DfSolveResult, which has no residual
+    # trace — honor an explicit record_residuals request by staying on
+    # the f32 path (the floored SolveResult carries the trace)
+    escalatable = cfg.auto_escalate and not cfg.record_residuals
+    if escalatable and method in _ESCALATION:
         # pre-route: epsilon below what the working dtype can even
         # represent relative to b (||r|| < eps_mach * ||b|| is not a
         # reachable f32 state) — skip the doomed n-iteration f32 pass
@@ -293,12 +297,14 @@ def solve(
                 jnp.linalg.norm(jnp.asarray(b))
             )
             if cfg.epsilon < floor_est:
-                esc = _escalated_solve(a_source, b, x0, cfg, method, kwargs)
+                esc = _escalated_solve(
+                    a_source, b, x0, cfg, method, kwargs, a
+                )
                 if esc is not None:
                     return esc
     res = SOLVERS[method](a, b, x0, **kwargs)
-    if cfg.auto_escalate:
-        esc = _maybe_escalate(res, a_source, b, cfg, method, kwargs)
+    if escalatable:
+        esc = _maybe_escalate(res, a_source, b, cfg, method, kwargs, a)
         if esc is not None:
             return esc
     return res
@@ -312,7 +318,7 @@ _ESCALATION = {
 }
 
 
-def _escalated_solve(a_source, b, x0, cfg, method, kwargs):
+def _escalated_solve(a_source, b, x0, cfg, method, kwargs, a_solve=None):
     """Run the double-word refinement directly (pre-routed or after a
     floored f32 pass).  Returns None when the operator has no df twin —
     the caller then keeps/returns the plain f32 behavior."""
@@ -327,6 +333,13 @@ def _escalated_solve(a_source, b, x0, cfg, method, kwargs):
     pre = kwargs.get("preconditioner")
     if pre is not None and not hasattr(pre, "apply"):
         pre = None
+    from ..formats.reorder import ReorderedMatrix
+
+    if pre is not None and isinstance(a_solve, ReorderedMatrix):
+        # auto_format factored the preconditioner in the PERMUTED
+        # domain; the df refinement runs on the original-order operator,
+        # so that apply would mix orderings — escalate unpreconditioned
+        pre = None
     return ir_fn(
         dfa, b, x0=x0,
         max_iterations=cfg.max_iterations, epsilon=cfg.epsilon,
@@ -334,7 +347,7 @@ def _escalated_solve(a_source, b, x0, cfg, method, kwargs):
     )
 
 
-def _maybe_escalate(res, a_source, b, cfg, method, kwargs):
+def _maybe_escalate(res, a_source, b, cfg, method, kwargs, a_solve=None):
     """Escalate a precision-floored f32 solve to the double-word
     refinement path (VERDICT r3 #3/#6): the solver itself measured that
     more iterations cannot help (``floor_hit``), and the floor sits
@@ -351,7 +364,9 @@ def _maybe_escalate(res, a_source, b, cfg, method, kwargs):
     if not float(res.residual_norm) > float(cfg.epsilon):
         return None
     # warm start from the floored iterate
-    return _escalated_solve(a_source, b, res.x, cfg, method, kwargs)
+    return _escalated_solve(
+        a_source, b, res.x, cfg, method, kwargs, a_solve
+    )
 
 
 def _df_operator_for(a):

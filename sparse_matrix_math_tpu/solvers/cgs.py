@@ -157,7 +157,12 @@ def cgs_core(matvec, dotfn, b, x0, eps, maxiter: int, record: bool) -> SolveResu
         x, r, r0, p, u, q, rr0, rr, k, bd, trace = inner(
             x, r_e, r_e, r_e, r_e, jnp.zeros_like(r_e), rr_e, k, trace
         )
-        claimed = (rr < eps2) & ~bd
+        # a convergence claim is verified even when the same iteration
+        # tripped a breakdown flag (e.g. an already-converged entry:
+        # r = 0 forces denom = 0 on the do-while first step) — the
+        # status expression below already exempts verified exits from
+        # DIVERGED, matching bicgstab_core
+        claimed = rr < eps2
 
         r_t = b - matvec(x)
         t_rr = dot(r_t, r_t)

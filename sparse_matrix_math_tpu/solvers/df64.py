@@ -277,15 +277,20 @@ def bicgstab_df64(
     )
     maxiter = resolve_max_iterations(max_iterations, n)
     eps2 = jnp.float32(float(epsilon) ** 2)
-    try:
-        x, rr, k, status = _bicgstab_df_core(a, b, x0, maxiter, eps2)
-    except Exception as e:  # Mosaic compile refusal -> XLA formulation
-        from ..ops.spmv import _warn_pallas_fallback
+    if jax.default_backend() == "tpu" and isinstance(a, DfDiaMatrix):
+        try:
+            x, rr, k, status = _bicgstab_df_core(a, b, x0, maxiter, eps2)
+        except Exception as e:  # Mosaic compile refusal -> XLA formulation
+            from ..ops.spmv import _warn_pallas_fallback
 
-        _warn_pallas_fallback(e)
-        x, rr, k, status = _bicgstab_df_core(
-            a, b, x0, maxiter, eps2, use_pallas=False
-        )
+            _warn_pallas_fallback(e)
+            x, rr, k, status = _bicgstab_df_core(
+                a, b, x0, maxiter, eps2, use_pallas=False
+            )
+    else:
+        # no Pallas kernel in play: a failure is a genuine error and
+        # must propagate directly, not re-run under a fallback warning
+        x, rr, k, status = _bicgstab_df_core(a, b, x0, maxiter, eps2)
     return DfSolveResult(
         x_hi=x[0], x_lo=x[1], status=status, iterations=k,
         residual_norm2=rr[0],
@@ -323,15 +328,20 @@ def cg_df64(
     )
     maxiter = resolve_max_iterations(max_iterations, n)
     eps2 = jnp.float32(float(epsilon) ** 2)
-    try:
-        x, rr, k, status = _cg_df_core(a, b, x0, maxiter, eps2)
-    except Exception as e:  # Mosaic compile refusal -> XLA formulation
-        from ..ops.spmv import _warn_pallas_fallback
+    if jax.default_backend() == "tpu" and isinstance(a, DfDiaMatrix):
+        try:
+            x, rr, k, status = _cg_df_core(a, b, x0, maxiter, eps2)
+        except Exception as e:  # Mosaic compile refusal -> XLA formulation
+            from ..ops.spmv import _warn_pallas_fallback
 
-        _warn_pallas_fallback(e)
-        x, rr, k, status = _cg_df_core(
-            a, b, x0, maxiter, eps2, use_pallas=False
-        )
+            _warn_pallas_fallback(e)
+            x, rr, k, status = _cg_df_core(
+                a, b, x0, maxiter, eps2, use_pallas=False
+            )
+    else:
+        # no Pallas kernel in play: a failure is a genuine error and
+        # must propagate directly, not re-run under a fallback warning
+        x, rr, k, status = _cg_df_core(a, b, x0, maxiter, eps2)
     return DfSolveResult(
         x_hi=x[0], x_lo=x[1], status=status, iterations=k,
         residual_norm2=rr[0],

@@ -435,13 +435,23 @@ def _ir_front(
             use_df_pallas_, int(round_cap),
         )
 
-    try:
-        out = run(use_padded, pdia if use_padded else None)
-    except Exception as e:  # Mosaic compile refusal -> XLA everywhere
-        from ..ops.spmv import _warn_pallas_fallback
+    # the retry only exists for Mosaic compile refusals — when no Pallas
+    # kernel is in play (CPU backend, ELL df operator and no padded
+    # inner) a failure is a genuine user error and must propagate
+    # directly, not re-run under a misleading fallback warning
+    pallas_possible = use_padded or (
+        jax.default_backend() == "tpu" and isinstance(a_df, DfDiaMatrix)
+    )
+    if not pallas_possible:
+        out = run(False, None)
+    else:
+        try:
+            out = run(use_padded, pdia if use_padded else None)
+        except Exception as e:  # Mosaic compile refusal -> XLA everywhere
+            from ..ops.spmv import _warn_pallas_fallback
 
-        _warn_pallas_fallback(e)
-        out = run(False, None, use_df_pallas_=False)
+            _warn_pallas_fallback(e)
+            out = run(False, None, use_df_pallas_=False)
     x_hi, x_lo, rn2, total, outer, status = out
     return DfSolveResult(
         x_hi=x_hi, x_lo=x_lo, status=status,

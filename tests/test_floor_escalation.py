@@ -120,3 +120,13 @@ def test_solve_escalates_sherman1_bicgstab():
     assert res.status_enum() == SolverStatus.SUCCESS, res
     tr = _true_res(data, indices, indptr, b64, res.x_f64())
     assert tr <= 1e-7
+
+
+def test_record_residuals_suppresses_escalation():
+    """An explicit record_residuals request stays on the f32 path (a
+    DfSolveResult has no residual_trace to give back)."""
+    a, b64, *_ = _f32_system(48)
+    b = jnp.asarray(b64, jnp.float32)
+    res = solve(a, b, method="cg", epsilon=1e-8, record_residuals=True)
+    assert not isinstance(res, DfSolveResult)
+    assert res.residual_trace is not None

@@ -184,3 +184,22 @@ def test_laplace_chain():
     a = laplace_1d(64)
     res = check_solves(a, cg, np.float64)
     assert res.success
+
+
+def test_cgs_already_converged_entry_is_success():
+    """Round-4 regression: an already-converged entry (zero rhs, or x0
+    equal to the solution) forces a do-while first step whose denom is
+    zero; the breakdown flag must not mask the verified convergence."""
+    from sparse_matrix_math_tpu import cgs
+    from sparse_matrix_math_tpu.utils import poisson_2d
+
+    a = poisson_2d(8, dtype=np.float64)
+    n = a.shape[0]
+    res = cgs(a, jnp.zeros(n))
+    assert res.status_enum() == SolverStatus.SUCCESS, res
+    assert float(res.residual_norm) == 0.0
+
+    b = a @ jnp.ones(n)
+    x_exact = jnp.ones(n)
+    res = cgs(a, b, x0=x_exact, epsilon=1e-6)
+    assert res.status_enum() == SolverStatus.SUCCESS, res
