@@ -60,3 +60,10 @@ def test_df64_solve_example(capsys):
     # the printed true residual must actually be at the 1e-10 bar
     line = [l for l in out.splitlines() if "true residual" in l][0]
     assert float(line.split(":")[1].strip()) < 1e-9
+
+
+def test_accuracy_autopilot_example(capsys):
+    _load("accuracy_autopilot").main(24)
+    out = capsys.readouterr().out
+    assert "floor_hit = " in out
+    assert "DfSolveResult SUCCESS" in out
