@@ -30,6 +30,7 @@ reference library vasil-pashov/sparse_matrix_math (see SURVEY.md):
 """
 
 from .formats import PerformanceWarning, best_format
+from .formats.stencil import GridStencilMatrix, try_grid_stencil_from_csr
 from .formats.reorder import (
     ReorderedMatrix,
     permute_csr,
@@ -116,6 +117,7 @@ __all__ = [
     "bicgstab_ir_df64", "cg_ir_df64",
     "df_from_host", "df_to_host", "df_operator_from_host_csr",
     "cg_multi", "MultiSolveResult", "PoissonMultigrid", "best_format",
+    "GridStencilMatrix", "try_grid_stencil_from_csr",
     "PerformanceWarning",
     "ReorderedMatrix", "rcm_permutation", "permute_csr", "reorder_to_wsell",
     "SolveResult", "SolverStatus", "SolverConfig", "solve",

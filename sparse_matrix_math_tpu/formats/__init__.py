@@ -3,6 +3,7 @@ from .dia import DIAMatrix, dia_from_csr, try_dia_from_csr
 from .ell import ELLMatrix, ell_from_csr
 from .hyb import HYBMatrix, hyb_from_csr
 from .rsell import RoutedMatrix, routed_from_csr, try_routed_from_csr
+from .stencil import GridStencilMatrix, try_grid_stencil_from_csr
 from .wsell import WSellMatrix, try_wsell_from_csr, wsell_from_csr
 from .reorder import (
     ReorderedMatrix,
@@ -19,6 +20,10 @@ def best_format(csr, *, max_slot_ratio: float = 8.0, allow_reorder: bool = True)
     Selection order mirrors the measured kernel hierarchy
     (docs/BENCH_NOTES.md):
 
+    0. Grid stencil — constant-coefficient tensor-product-grid operators
+       (Poisson/convection-diffusion class, verified entry-for-entry):
+       matrix-free, ZERO matrix traffic, ~1.8x the padded-DIA kernel
+       in-solver (formats/stencil.py);
     1. DIA — diagonal-structured patterns (stencils): the Pallas padded
        kernels run in-solver at HBM bandwidth;
     2. W-SELL — general patterns with window locality (banded-broken,
@@ -40,7 +45,8 @@ def best_format(csr, *, max_slot_ratio: float = 8.0, allow_reorder: bool = True)
     """
     dia = try_dia_from_csr(csr)
     if dia is not None:
-        return dia
+        st = try_grid_stencil_from_csr(csr, dia=dia)
+        return st if st is not None else dia
     ws = try_wsell_from_csr(csr, max_slot_ratio=max_slot_ratio)
     if ws is not None and ws.slot_ratio <= 3.0:
         # tight enough that a renumbering can't buy much

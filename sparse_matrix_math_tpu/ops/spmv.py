@@ -31,6 +31,7 @@ from ..formats.ell import ELLMatrix
 from ..formats.hyb import HYBMatrix
 from ..formats.reorder import ReorderedMatrix
 from ..formats.rsell import RoutedMatrix
+from ..formats.stencil import GridStencilMatrix
 from ..formats.wsell import WSellMatrix
 
 __all__ = ["rmult", "rmult_add", "rmult_sub", "matvec_fn"]
@@ -142,6 +143,14 @@ def _dense_csr_cached(a: CSRMatrix) -> jnp.ndarray:
     if isinstance(a.data, jax.core.Tracer):
         return a.to_dense()
     return _cache_lookup(_dense_cache, a.data, a.to_dense)
+
+
+@rmult.register
+def _rmult_stencil(a: GridStencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    # matrix-free: one fused elementwise pass, zero matrix traffic
+    # (formats/stencil.py; the solver fast path keeps carries in the
+    # grid layout and skips the per-call reshapes entirely)
+    return a.rmult(x)
 
 
 @rmult.register
@@ -277,7 +286,7 @@ def matvec_fn(a):
     lacks)."""
     if isinstance(
         a, (CSRMatrix, ELLMatrix, DIAMatrix, HYBMatrix, WSellMatrix,
-            ReorderedMatrix, RoutedMatrix)
+            ReorderedMatrix, RoutedMatrix, GridStencilMatrix)
     ):
         return lambda x: rmult(a, x)
     if callable(a):
@@ -292,7 +301,7 @@ def as_operator(a):
     compilations are cached per matrix *structure*, not per call)."""
     if isinstance(
         a, (CSRMatrix, ELLMatrix, DIAMatrix, HYBMatrix, WSellMatrix,
-            ReorderedMatrix, RoutedMatrix)
+            ReorderedMatrix, RoutedMatrix, GridStencilMatrix)
     ):
         return a
     if hasattr(a, "ndim") and a.ndim == 2:

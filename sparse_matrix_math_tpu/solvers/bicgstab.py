@@ -60,8 +60,15 @@ def bicgstab(
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)
     eps = jnp.asarray(epsilon, dtype=b.dtype)
-    from . import _padded
+    from . import _padded, _stencil
 
+    if _stencil.eligible(a, preconditioner):
+        res = _stencil.stencil_solve(
+            "bicgstab", a, b, x0, eps, maxiter, record_residuals,
+            preconditioner=preconditioner,
+        )
+        if res is not None:
+            return res
     if _padded.eligible(a, preconditioner):
         res = _padded.padded_solve(
             "bicgstab", a, b, x0, eps, maxiter, record_residuals,

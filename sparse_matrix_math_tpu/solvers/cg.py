@@ -71,8 +71,15 @@ def conjugate_gradient(
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)
     eps = jnp.asarray(epsilon, dtype=b.dtype)
-    from . import _padded
+    from . import _padded, _stencil
 
+    if _stencil.eligible(a, preconditioner):
+        res = _stencil.stencil_solve(
+            "cg", a, b, x0, eps, maxiter, record_residuals,
+            preconditioner=preconditioner,
+        )
+        if res is not None:
+            return res
     if _padded.eligible(a, preconditioner):
         res = _padded.padded_solve(
             "cg", a, b, x0, eps, maxiter, record_residuals,

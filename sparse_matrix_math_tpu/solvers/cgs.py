@@ -61,8 +61,14 @@ def conjugate_gradient_squared(
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)
     eps = jnp.asarray(epsilon, dtype=b.dtype)
-    from . import _padded
+    from . import _padded, _stencil
 
+    if _stencil.eligible(a):
+        res = _stencil.stencil_solve(
+            "cgs", a, b, x0, eps, maxiter, record_residuals
+        )
+        if res is not None:
+            return res
     if _padded.eligible(a):
         res = _padded.padded_solve(
             "cgs", a, b, x0, eps, maxiter, record_residuals

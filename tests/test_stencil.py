@@ -1,0 +1,107 @@
+"""GridStencilMatrix: matrix-free constant-coefficient grid stencils.
+
+Detection is by entry-for-entry reconstruction (formats/stencil.py), so
+a routed operator is exactly the CSR's data; the solver fast path keeps
+carries in the grid layout (solvers/_stencil.py).  Measured 25.2 us per
+CG iteration at n=2M vs 44.6 us through the padded-DIA kernel.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import sparse_matrix_math_tpu as smm
+from sparse_matrix_math_tpu.formats.stencil import (
+    GridStencilMatrix,
+    try_grid_stencil_from_csr,
+)
+from sparse_matrix_math_tpu.utils.generate import (
+    convection_diffusion_2d,
+    laplace_3d_jittered,
+    poisson_2d,
+    poisson_3d,
+)
+
+
+@pytest.mark.parametrize("maker,kwargs,dims", [
+    (poisson_2d, dict(nx=20), None),
+    (poisson_2d, dict(nx=12, ny=17), (17, 12)),
+    (poisson_3d, dict(nx=7), None),
+    (convection_diffusion_2d, dict(nx=15), None),
+])
+def test_detection_and_apply_parity(maker, kwargs, dims):
+    a = maker(dtype=np.float64, **kwargs)
+    st = try_grid_stencil_from_csr(a, dims)
+    assert st is not None
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(a.shape[0]))
+    y_ref = smm.rmult(a, x)
+    y = st @ x
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-12)
+    # panel apply
+    X = jnp.asarray(rng.standard_normal((a.shape[0], 3)))
+    np.testing.assert_allclose(
+        np.asarray(st @ X), np.asarray(smm.rmult(a, X)), atol=1e-12
+    )
+
+
+def test_detection_rejects_non_stencils():
+    # jittered pattern: not a tensor-product stencil
+    assert try_grid_stencil_from_csr(
+        laplace_3d_jittered(9, dtype=np.float64)
+    ) is None
+    # constant pattern but non-constant values
+    a = poisson_2d(10, dtype=np.float64)
+    data = np.asarray(a.data).copy()
+    data[len(data) // 2] *= 1.5
+    from sparse_matrix_math_tpu.formats.csr import CSRMatrix
+
+    a2 = a.with_data(jnp.asarray(data))
+    assert try_grid_stencil_from_csr(a2) is None
+
+
+def test_best_format_routes_stencils():
+    a = poisson_2d(16, dtype=np.float64)
+    assert isinstance(smm.best_format(a), GridStencilMatrix)
+    assert not isinstance(
+        smm.best_format(laplace_3d_jittered(9, dtype=np.float64)),
+        GridStencilMatrix,
+    )
+
+
+@pytest.mark.parametrize("solver", ["cg", "bicg_symmetric", "cgs", "bicgstab"])
+def test_solvers_on_stencil_operator(solver):
+    a = poisson_2d(24, dtype=np.float64)
+    st = try_grid_stencil_from_csr(a)
+    b = st @ jnp.ones(a.shape[0])
+    res = getattr(smm, solver)(st, b, epsilon=1e-10)
+    assert res.status_enum() == smm.SolverStatus.SUCCESS, (solver, res)
+    assert float(jnp.abs(res.x - 1.0).max()) < 1e-8
+
+
+def test_stencil_preconditioned_and_traced():
+    a = poisson_2d(24, dtype=np.float64)
+    st = try_grid_stencil_from_csr(a)
+    n = a.shape[0]
+    b = st @ jnp.ones(n)
+    from sparse_matrix_math_tpu.precond.preconditioners import (
+        JacobiPreconditioner,
+    )
+
+    pre = JacobiPreconditioner(inv_diag=1.0 / st.diagonal())
+    res = smm.cg(st, b, epsilon=1e-10, preconditioner=pre,
+                 record_residuals=True)
+    assert res.status_enum() == smm.SolverStatus.SUCCESS
+    assert res.residual_trace is not None
+    assert float(jnp.abs(res.x - 1.0).max()) < 1e-8
+
+
+def test_stencil_nonsymmetric_solve():
+    a = convection_diffusion_2d(20, dtype=np.float64)
+    st = try_grid_stencil_from_csr(a)
+    assert st is not None
+    b = st @ jnp.ones(a.shape[0])
+    res = smm.bicgstab(st, b, epsilon=1e-10)
+    assert res.status_enum() == smm.SolverStatus.SUCCESS
+    assert float(jnp.abs(res.x - 1.0).max()) < 1e-7

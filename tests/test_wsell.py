@@ -249,13 +249,25 @@ class TestNonsymmetricSolvers:
 
 
 def test_best_format_selection():
-    """formats.best_format: DIA for stencils, W-SELL for banded-broken,
-    CSR for tile-sparse patterns (the auto-selection contract)."""
+    """formats.best_format: matrix-free grid stencil for
+    constant-coefficient stencils (round 4), DIA for other diagonal
+    patterns, W-SELL for banded-broken, CSR for tile-sparse patterns
+    (the auto-selection contract)."""
     from sparse_matrix_math_tpu import best_format
     from sparse_matrix_math_tpu.formats.dia import DIAMatrix
+    from sparse_matrix_math_tpu.formats.stencil import GridStencilMatrix
     from sparse_matrix_math_tpu.utils.generate import laplace_3d_jittered
 
-    assert isinstance(best_format(poisson_2d(12, dtype=np.float32)), DIAMatrix)
+    assert isinstance(
+        best_format(poisson_2d(12, dtype=np.float32)), GridStencilMatrix
+    )
+    # same pattern, non-constant values: stays on DIA
+    pv = poisson_2d(12, dtype=np.float32)
+    data = np.asarray(pv.data).copy()
+    data[7] *= 1.5
+    import jax.numpy as jnp
+    pv = pv.with_data(jnp.asarray(data))
+    assert isinstance(best_format(pv), DIAMatrix)
     assert isinstance(
         best_format(laplace_3d_jittered(14, dtype=np.float32)), WSellMatrix
     )
