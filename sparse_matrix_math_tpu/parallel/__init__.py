@@ -1,6 +1,12 @@
 """Multi-chip distribution: 1-D row-partitioned mesh (SURVEY §2.3, §7)."""
 
 from .dist_dia import DistDIA, dist_dia_solve, dist_dia_spmv, distribute_dia
+from .dist_stencil import (
+    DistStencil,
+    dist_stencil_solve,
+    dist_stencil_spmv,
+    distribute_stencil,
+)
 from .dist_df64 import (
     DistDfDia,
     dist_bicgstab_ir_df64,
@@ -63,6 +69,10 @@ __all__ = [
     "distribute_wsell",
     "dist_dia_solve",
     "dist_dia_spmv",
+    "DistStencil",
+    "distribute_stencil",
+    "dist_stencil_solve",
+    "dist_stencil_spmv",
     "distribute_dia",
     "DistDfDia",
     "dist_bicgstab_ir_df64",
