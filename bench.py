@@ -468,6 +468,10 @@ def main() -> None:
         from sparse_matrix_math_tpu import cg_ir_df64
 
         def ir_timed(**kw):
+            # matrix-free stencil inner when the bench system admits it
+            # (the outer double-word residual stays on the df operator)
+            if stencil is not None:
+                kw.setdefault("inner_matrix", stencil)
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -517,6 +521,8 @@ def main() -> None:
         # (cg entry, status=2); the refinement delivers a GENUINE 1e-4
         # SUCCESS at comparable wall — record it next to that floor
         def ir_1e4(**kw):
+            if stencil is not None:
+                kw.setdefault("inner_matrix", stencil)
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()

@@ -72,6 +72,7 @@ __all__ = [
     "df_to_host",
     "DfEllMatrix",
     "DfDiaMatrix",
+    "DfGridStencil",
     "df_matvec_fn",
     "df_operator_from_host_csr",
 ]
@@ -464,6 +465,8 @@ def df_matvec_fn(a, use_pallas: bool = True):
     ops/spmv.py:_warn_pallas_fallback), which would otherwise hard-fail
     every df64 solve on that pattern.
     """
+    if isinstance(a, DfGridStencil):
+        return a.rmult_df  # pure XLA, nothing to hoist or fall back from
     if isinstance(a, DfDiaMatrix):
         n_rows, n_cols = a.shape
         if (
@@ -480,6 +483,71 @@ def df_matvec_fn(a, use_pallas: bool = True):
                 pass
         return a._rmult_df_xla
     return a.rmult_df
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DfGridStencil:
+    """Double-word matrix-free grid stencil: the df64 twin of
+    formats/stencil.py:GridStencilMatrix.  The operator data is a
+    handful of (hi, lo) scalar pairs; the apply is the same
+    zero-pad + statically-shifted-slice accumulation with double-word
+    arithmetic — still zero matrix traffic."""
+
+    coeffs_hi: jnp.ndarray  # (npoints,)
+    coeffs_lo: jnp.ndarray  # (npoints,)
+    doffs: tuple = dataclasses.field(metadata=dict(static=True))
+    dims: tuple = dataclasses.field(metadata=dict(static=True))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def from_stencil(cls, st, coeffs64=None) -> "DfGridStencil":
+        """From a GridStencilMatrix; ``coeffs64`` (host float64) keeps
+        the full-precision coefficients, else lo = 0 (f32-accurate
+        operator, the same convention as the other df builders)."""
+        if coeffs64 is not None:
+            c64 = np.asarray(coeffs64, np.float64)
+            hi = c64.astype(np.float32)
+            lo = (c64 - hi.astype(np.float64)).astype(np.float32)
+        else:
+            hi = np.asarray(st.coeffs, np.float32)
+            lo = np.zeros_like(hi)
+        return cls(
+            coeffs_hi=jnp.asarray(hi),
+            coeffs_lo=jnp.asarray(lo),
+            doffs=st.doffs,
+            dims=st.dims,
+            shape=st.shape,
+            nnz=int(st.nnz),
+        )
+
+    def rmult_df(self, x):
+        """y = A @ x, (hi, lo) in and out — double-word accumulation of
+        the shifted slices (see GridStencilMatrix.apply_grid)."""
+        dims = self.dims
+        xg_hi = x[0].reshape(dims)
+        xg_lo = x[1].reshape(dims)
+        lo_pad = [max(-min(o[d] for o in self.doffs), 0)
+                  for d in range(len(dims))]
+        hi_pad = [max(max(o[d] for o in self.doffs), 0)
+                  for d in range(len(dims))]
+        pads = tuple(zip(lo_pad, hi_pad))
+        xph = jnp.pad(xg_hi, pads)
+        xpl = jnp.pad(xg_lo, pads)
+        y = None
+        for k, off in enumerate(self.doffs):
+            sl = tuple(
+                slice(lo_pad[d] + off[d], lo_pad[d] + off[d] + dims[d])
+                for d in range(len(dims))
+            )
+            wh, wl = xph[sl], xpl[sl]
+            c_hi, c_lo = self.coeffs_hi[k], self.coeffs_lo[k]
+            p, e = two_prod(c_hi, wh)
+            e = e + (c_hi * wl + c_lo * wh)
+            t = _fast_two_sum(p, e)
+            y = t if y is None else df_add(y, t)
+        return y[0].reshape(-1), y[1].reshape(-1)
 
 
 # Diagonal-count budget for auto-selecting DfDiaMatrix: mirrors the f32

@@ -375,9 +375,10 @@ def _df_operator_for(a):
     the refinement then solves the f32-rounded operator to ``epsilon``,
     which is exactly what the caller handed us."""
     from ..formats.dia import DIAMatrix
-    from ..ops.df32 import DfDiaMatrix, DfEllMatrix  # noqa: F401
+    from ..formats.stencil import GridStencilMatrix
+    from ..ops.df32 import DfDiaMatrix, DfEllMatrix, DfGridStencil
 
-    if isinstance(a, CSRMatrix):
+    if isinstance(a, (CSRMatrix, GridStencilMatrix)):
         from .df64 import _as_df_operator
 
         return _as_df_operator(a)
@@ -389,6 +390,6 @@ def _df_operator_for(a):
             shape=a.shape,
             nnz=a.nnz,
         )
-    if isinstance(a, (DfDiaMatrix, DfEllMatrix)):
+    if isinstance(a, (DfDiaMatrix, DfEllMatrix, DfGridStencil)):
         return a
     return None

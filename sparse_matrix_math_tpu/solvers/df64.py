@@ -86,8 +86,17 @@ class DfSolveResult:
 
 
 def _as_df_operator(a):
-    if isinstance(a, (DfEllMatrix, DfDiaMatrix)):
+    from ..ops.df32 import DfGridStencil
+
+    if isinstance(a, (DfEllMatrix, DfDiaMatrix, DfGridStencil)):
         return a
+    from ..formats.stencil import GridStencilMatrix
+
+    if isinstance(a, GridStencilMatrix):
+        # f32 coefficients -> zero lo planes (same convention as the
+        # CSR path below); build from host f64 coeffs via
+        # DfGridStencil.from_stencil for full f64 parity
+        return DfGridStencil.from_stencil(a)
     from ..formats.csr import CSRMatrix
 
     if isinstance(a, CSRMatrix):

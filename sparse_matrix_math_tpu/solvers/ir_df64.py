@@ -64,6 +64,14 @@ def hi_operator(a_df):
     """The f32 (hi-plane) operator of a double-word matrix — the inner
     correction solves run on this; its 2^-24 rounding is corrected by
     the outer double-word residual."""
+    from ..formats.stencil import GridStencilMatrix
+    from ..ops.df32 import DfGridStencil
+
+    if isinstance(a_df, DfGridStencil):
+        return GridStencilMatrix(
+            coeffs=a_df.coeffs_hi, doffs=a_df.doffs, dims=a_df.dims,
+            shape=a_df.shape, nnz=a_df.nnz,
+        )
     if isinstance(a_df, DfDiaMatrix):
         return DIAMatrix(
             diags=a_df.diags_hi, offsets=a_df.offsets, shape=a_df.shape,
@@ -205,7 +213,20 @@ def _ir_jit(
     # Mosaic refuses the df kernels (the old retry still re-entered the
     # same kernel through rmult_df and could never succeed)
     df_mv = df_matvec_fn(a_df, use_df_pallas)
-    if use_padded:
+    from ..formats.stencil import GridStencilMatrix
+
+    if (
+        isinstance(a_in, GridStencilMatrix)
+        and not use_padded
+        and pre_kind in ("none", "jacobi")
+    ):
+        # grid-resident inner: matrix-free stencil apply with the inner
+        # carries kept in the grid layout (solvers/_stencil.py twin).
+        # Object preconditioners apply to FLAT vectors, so they stay on
+        # the generic path below.
+        matvec = a_in.apply_grid
+        lift, drop = a_in.to_grid, a_in.from_grid
+    elif use_padded:
         from ..ops.pallas_spmv import (
             dia_spmv_padded,
             dia_spmv_streamed,

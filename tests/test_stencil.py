@@ -105,3 +105,28 @@ def test_stencil_nonsymmetric_solve():
     res = smm.bicgstab(st, b, epsilon=1e-10)
     assert res.status_enum() == smm.SolverStatus.SUCCESS
     assert float(jnp.abs(res.x - 1.0).max()) < 1e-7
+
+
+def test_df_stencil_refinement_and_escalation():
+    """DfGridStencil: the double-word matrix-free twin — cg_ir_df64 runs
+    its true residual matrix-free, and solve() escalates a floored f32
+    stencil solve through it."""
+    from sparse_matrix_math_tpu import cg_ir_df64, solve
+    from sparse_matrix_math_tpu.ops.df32 import DfGridStencil
+    from sparse_matrix_math_tpu.solvers.df64 import DfSolveResult
+
+    a = poisson_2d(32, dtype=np.float64)
+    st = try_grid_stencil_from_csr(a)
+    b64 = np.asarray(a.to_dense()).sum(axis=1)
+    dfst = DfGridStencil.from_stencil(
+        st, coeffs64=np.asarray(st.coeffs, np.float64)
+    )
+    res = cg_ir_df64(dfst, b64, epsilon=1e-10)
+    assert res.status_enum() == smm.SolverStatus.SUCCESS
+    assert np.abs(res.x_f64() - 1.0).max() < 1e-9
+
+    st32 = try_grid_stencil_from_csr(poisson_2d(32, dtype=np.float32))
+    res = solve(st32, jnp.asarray(b64, jnp.float32), method="cg",
+                epsilon=1e-8)
+    assert isinstance(res, DfSolveResult)
+    assert res.status_enum() == smm.SolverStatus.SUCCESS
