@@ -467,16 +467,30 @@ def main() -> None:
     try:
         from sparse_matrix_math_tpu import cg_ir_df64
 
+        # fully matrix-free refinement when the system admits it: the
+        # double-word TRUE residual runs over DfGridStencil (exact f64
+        # coefficient pairs) and the f32 inner solve grid-resident —
+        # zero matrix traffic on BOTH precision levels
+        ir_op = dfa
+        if stencil is not None:
+            try:
+                from sparse_matrix_math_tpu.ops.df32 import DfGridStencil
+
+                ir_op = DfGridStencil.from_stencil(
+                    stencil,
+                    coeffs64=np.asarray(stencil.coeffs, np.float64),
+                )
+            except Exception:
+                ir_op = dfa
+
         def ir_timed(**kw):
-            # matrix-free stencil inner when the bench system admits it
-            # (the outer double-word residual stays on the df operator)
             if stencil is not None:
                 kw.setdefault("inner_matrix", stencil)
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 res = cg_ir_df64(
-                    dfa, b64, max_iterations=30000, epsilon=1e-8, **kw
+                    ir_op, b64, max_iterations=30000, epsilon=1e-8, **kw
                 )
                 float(res.residual_norm2)  # scalar readback
                 times.append(time.perf_counter() - t0)
@@ -487,6 +501,7 @@ def main() -> None:
 
         ir_res, ir_wall, ir_true = ir_timed()
         ir_entry = {
+            "operator": type(ir_op).__name__,
             "status": int(ir_res.status),
             "inner_iterations": int(ir_res.iterations),
             "outer_rounds": int(ir_res.outer_rounds),
@@ -527,7 +542,7 @@ def main() -> None:
             for _ in range(3):
                 t0 = time.perf_counter()
                 res = cg_ir_df64(
-                    dfa, b64, max_iterations=30000, epsilon=1e-4, **kw
+                    ir_op, b64, max_iterations=30000, epsilon=1e-4, **kw
                 )
                 float(res.residual_norm2)
                 times.append(time.perf_counter() - t0)
