@@ -225,3 +225,25 @@ def test_wsell_nway_routing_on_chip(smm, jnp):
     y1 = np.asarray(wsell_spmv(w1, x))
     y4 = np.asarray(wsell_spmv(w4, x))
     np.testing.assert_allclose(y4, y1, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_stencil_solve_on_chip(smm, jnp):
+    """Matrix-free grid stencil (round 4): detection + grid-resident CG
+    on hardware; verified against the DIA route on the same system."""
+    from sparse_matrix_math_tpu.formats.dia import try_dia_from_csr
+    from sparse_matrix_math_tpu.formats.stencil import (
+        try_grid_stencil_from_csr,
+    )
+    from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+    a = poisson_2d(160, dtype=np.float32)  # 25.6k rows: quick on-chip
+    dia = try_dia_from_csr(a)
+    st = try_grid_stencil_from_csr(a, dia=dia)
+    assert st is not None
+    b = st @ jnp.ones((a.shape[0],), jnp.float32)
+    res = smm.cg(st, b, epsilon=1e-4)
+    ref = smm.cg(dia, b, epsilon=1e-4)
+    assert int(res.status) == int(ref.status) == 0
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(ref.x), rtol=1e-4, atol=1e-4
+    )
