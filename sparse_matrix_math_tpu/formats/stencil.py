@@ -71,28 +71,33 @@ class GridStencilMatrix:
 
     def apply_grid(self, xg: jnp.ndarray) -> jnp.ndarray:
         """y = A x with x, y in the grid layout — the solver fast path
-        keeps every carry in this layout (solvers/_stencil.py)."""
-        lo = [max(-min(o[d] for o in self.doffs), 0)
-              for d in range(len(self.dims))]
-        hi = [max(max(o[d] for o in self.doffs), 0)
-              for d in range(len(self.dims))]
-        xp = jnp.pad(xg, tuple(zip(lo, hi)))
+        keeps every carry in this layout (solvers/_stencil.py).  Any
+        TRAILING axes beyond the grid dims are batch axes (multi-RHS
+        panels): the shifted slices broadcast over them in the same
+        fused pass."""
+        nd = len(self.dims)
+        extra = xg.ndim - nd
+        lo = [max(-min(o[d] for o in self.doffs), 0) for d in range(nd)]
+        hi = [max(max(o[d] for o in self.doffs), 0) for d in range(nd)]
+        xp = jnp.pad(
+            xg, tuple(zip(lo, hi)) + ((0, 0),) * extra
+        )
+        tail = (slice(None),) * extra
         y = None
         for k, off in enumerate(self.doffs):
             sl = tuple(
                 slice(lo[d] + off[d], lo[d] + off[d] + self.dims[d])
-                for d in range(len(self.dims))
-            )
+                for d in range(nd)
+            ) + tail
             term = self.coeffs[k] * xp[sl]
             y = term if y is None else y + term
         return y
 
     def rmult(self, x: jnp.ndarray) -> jnp.ndarray:
-        if x.ndim == 2:  # multi-RHS panel: vmap over columns
-            return jax.vmap(
-                lambda col: self.from_grid(self.apply_grid(self.to_grid(col))),
-                in_axes=1, out_axes=1,
-            )(x)
+        if x.ndim == 2:  # multi-RHS panel: batched fused pass
+            m = x.shape[1]
+            xg = x.reshape(self.dims + (m,))
+            return self.apply_grid(xg).reshape(-1, m)
         return self.from_grid(self.apply_grid(self.to_grid(x)))
 
     def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -109,6 +109,13 @@ def cg_multi(
 def _cg_multi_loop(
     a, precond, b, x0, eps, maxiter: int, record: bool
 ) -> MultiSolveResult:
+    """Nested structure (round 4, see solvers/cg.py:cg_core): the inner
+    while_loop is the pure batched recurrence with per-column freeze
+    masks and only SCALAR exit flags; the outer loop verifies claims /
+    handles divergence / restarts refuted columns once per inner exit.
+    The round-3 shape ran the verify as a per-iteration ``lax.cond``
+    whose operands were the (n, m) panels — 64 MB of copies per
+    iteration at the bench size even when no column was claiming."""
     matvec = matvec_fn(a)
     eps2 = eps * eps
     m = b.shape[1]
@@ -119,118 +126,138 @@ def _cg_multi_loop(
     def mapply(r):
         return r if precond is None else precond.apply(r)
 
-    r = b - matvec(x0)
-    z = mapply(r)
-    rr = coldot(r, r)
-    rz = coldot(r, z) if precond is not None else rr
-    status0 = jnp.where(rr <= eps2, SolverStatus.SUCCESS, RUNNING).astype(
+    r0 = b - matvec(x0)
+    rr0 = coldot(r0, r0)
+    status0 = jnp.where(rr0 <= eps2, SolverStatus.SUCCESS, RUNNING).astype(
         jnp.int32
     )
-    iters0 = jnp.zeros((m,), jnp.int32)
     trace0 = (
-        jnp.full((maxiter + 1, m), jnp.nan, b.dtype).at[0].set(jnp.sqrt(rr))
+        jnp.full((maxiter + 1, m), jnp.nan, b.dtype).at[0].set(jnp.sqrt(rr0))
         if record else None
     )
 
-    def cond(carry):
-        _, _, _, _, _, k, status, _, _ = carry
+    def inner(x, r, z, p, rz, rr, k, status, iters, trace):
+        """Pure batched recurrence: frozen columns stop updating via
+        masks; exits when any active column claims convergence (by the
+        recurrence), breaks down, or the cap is reached."""
+
+        def cond(c):
+            rr, k, status = c[5], c[6], c[7]
+            active = status == RUNNING
+            claim_or_break = active & (
+                (rr <= eps2) | ~jnp.isfinite(rr)
+            )
+            return (
+                jnp.any(active)
+                & ~jnp.any(claim_or_break)
+                & (k < maxiter)
+            )
+
+        def body(c):
+            x, r, z, p, rz, rr, k, status, iters, trace = c
+            active = status == RUNNING
+            ap = matvec(p)
+            denom = coldot(ap, p)
+            alpha = jnp.where(active, rz / denom, 0.0)
+            alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+            x = x + alpha[None, :] * p
+            r_new = jnp.where(active[None, :], r - alpha[None, :] * ap, r)
+            new_rr = jnp.where(active, coldot(r_new, r_new), rr)
+            # exact breakdown (denom == 0 on an indefinite system) or a
+            # non-finite reduction: flag by poisoning rr to inf so the
+            # exit condition fires; the outer loop assigns DIVERGED
+            broken = active & (
+                ~jnp.isfinite(denom)
+                | ((denom == 0) & (new_rr > eps2))
+            )
+            new_rr = jnp.where(broken, jnp.inf, new_rr)
+            z_new = mapply(r_new)
+            new_rz = (
+                coldot(r_new, z_new) if precond is not None else new_rr
+            )
+            beta = jnp.where(
+                active, new_rz / jnp.where(rz == 0, 1.0, rz), 0.0
+            )
+            p = jnp.where(
+                active[None, :], z_new + beta[None, :] * p, p
+            )
+            iters = jnp.where(active, k + 1, iters)
+            if trace is not None:
+                trace = trace.at[k + 1].set(
+                    jnp.where(active, jnp.sqrt(new_rr), jnp.nan)
+                )
+            return (
+                x, r_new, z_new, p,
+                jnp.where(active, new_rz, rz),
+                new_rr, k + 1, status, iters, trace,
+            )
+
+        return jax.lax.while_loop(
+            cond, body, (x, r, z, p, rz, rr, k, status, iters, trace)
+        )
+
+    def outer_cond(c):
+        k, status = c[6], c[7]
         return jnp.any(status == RUNNING) & (k < maxiter)
 
-    def body(carry):
-        x, r, p, rz, floor_rr, k, status, iters, trace = carry
+    def outer_body(c):
+        x, r, z, p, rz, rr, k, status, iters, floor_rr, trace = c
+        x, r, z, p, rz, rr, k, status, iters, trace = inner(
+            x, r, z, p, rz, rr, k, status, iters, trace
+        )
         active = status == RUNNING
-        ap = matvec(p)
-        denom = coldot(ap, p)
-        alpha = jnp.where(active, rz / denom, 0.0)
-        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
-        x = x + alpha[None, :] * p
-        r_new = r - alpha[None, :] * ap
-        new_rr = coldot(r_new, r_new)
-        converged = new_rr <= eps2
-        newly = active & converged  # recurrence claims, pre-verification
+        broken = active & ~jnp.isfinite(rr)
+        claimed = active & (rr <= eps2)
 
-        # verified convergence (same contract as cg_core): when any
-        # column newly claims convergence, recompute the TRUE residual
-        # panel once and replace the claiming columns' r/rr with it —
-        # confirmed columns exit with the true residual, refuted ones
-        # restart from it
-        def verify(args):
-            x, r_new, new_rr = args
-            r_t = b - matvec(x)
-            t_rr = coldot(r_t, r_t)
-            r2 = jnp.where(newly[None, :], r_t, r_new)
-            rr2 = jnp.where(newly, t_rr, new_rr)
-            return r2, rr2
+        # ONE panel true-residual serves every verdict of this round
+        r_t = b - matvec(x)
+        t_rr = coldot(r_t, r_t)
+        verified = claimed & (t_rr <= eps2)
+        refuted = claimed & ~verified
+        stalled = refuted & (t_rr > floor_rr * 0.25)
+        floor_rr = jnp.where(refuted, t_rr, floor_rr)
 
-        r_new, new_rr = jax.lax.cond(
-            jnp.any(newly), verify, lambda a: (a[1], a[2]), (x, r_new, new_rr)
-        )
-        verified = newly & (new_rr <= eps2)
-        refuted = newly & ~verified
-        stalled = refuted & (new_rr > floor_rr * 0.25)
-        floor_rr = jnp.where(refuted, new_rr, floor_rr)
-
-        z_new = mapply(r_new)
-        new_rz = (
-            coldot(r_new, z_new) if precond is not None else new_rr
-        )
-        # exact breakdown (denom == 0, i.e. p.A.p = 0 on an indefinite
-        # system) and non-finite reductions both mean this column cannot
-        # make progress: DIVERGED, matching the single-RHS cg's guard.
-        diverged = (
-            ~jnp.isfinite(new_rr)
-            | (active & ~jnp.isfinite(denom))
-            | (active & (denom == 0) & ~converged)
-        )
-        new_status = jnp.where(
-            active,
+        status = jnp.where(
+            broken,
+            SolverStatus.DIVERGED,
             jnp.where(
-                diverged,
-                SolverStatus.DIVERGED,
+                verified,
+                SolverStatus.SUCCESS,
                 jnp.where(
-                    verified,
-                    SolverStatus.SUCCESS,
-                    jnp.where(
-                        stalled, SolverStatus.MAX_ITERATIONS_REACHED, RUNNING
-                    ),
+                    stalled | (active & (k >= maxiter)),
+                    SolverStatus.MAX_ITERATIONS_REACHED,
+                    status,
                 ),
             ),
-            status,
         ).astype(jnp.int32)
-        iters = jnp.where(active, k + 1, iters)
-        beta = jnp.where(active, new_rz / jnp.where(rz == 0, 1.0, rz), 0.0)
-        p_next = jnp.where(
-            refuted[None, :], z_new, z_new + beta[None, :] * p
-        )
-        p = jnp.where(active[None, :], p_next, p)
-        r = jnp.where(active[None, :], r_new, r)
-        new_rz2 = jnp.where(active, new_rz, rz)
-        if trace is not None:
-            trace = trace.at[k + 1].set(
-                jnp.where(active, jnp.sqrt(new_rr), jnp.nan)
-            )
-        return x, r, p, new_rz2, floor_rr, k + 1, new_status, iters, trace
+        # restart refuted columns from the TRUE residual; finished
+        # columns freeze their r at it so residual_norm is honest
+        reset = (refuted | verified | stalled | broken)[None, :]
+        r = jnp.where(reset, r_t, r)
+        z_t = mapply(r_t) if precond is not None else r_t
+        z = jnp.where(reset, z_t, z)
+        p = jnp.where(refuted[None, :], z_t, p)
+        rz_t = coldot(r_t, z_t) if precond is not None else t_rr
+        rz = jnp.where(refuted, rz_t, rz)
+        rr = jnp.where(reset[0], t_rr, rr)
+        return x, r, z, p, rz, rr, k, status, iters, floor_rr, trace
 
-    inf0 = jnp.full((m,), jnp.inf, rr.dtype)
-    carry = (x0, r, z, rz, inf0, jnp.int32(0), status0, iters0, trace0)
-    x, r, _, _, _, _, status, iters, trace = jax.lax.while_loop(
-        cond, body, carry
+    z0 = mapply(r0)
+    rz0 = coldot(r0, z0) if precond is not None else rr0
+    inf0 = jnp.full((m,), jnp.inf, rr0.dtype)
+    carry = (
+        x0, r0, z0, z0, rz0, rr0, jnp.int32(0), status0,
+        jnp.zeros((m,), jnp.int32), inf0, trace0,
     )
+    out = jax.lax.while_loop(outer_cond, outer_body, carry)
+    x, r, _, _, _, rr, _, status, iters, _, trace = out
     status = jnp.where(
         status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status
     ).astype(jnp.int32)
-    # report ||b - A x|| per column: SUCCESS/stalled columns froze with
-    # the true residual in r; cap-exit columns need one extra SpMM
-    rr = coldot(r, r)
-
-    def _fix(rr):
-        r_t = b - matvec(x)
-        t_rr = coldot(r_t, r_t)
-        return jnp.where(status == SolverStatus.SUCCESS, rr, t_rr)
-
-    rr = jax.lax.cond(
-        jnp.all(status == SolverStatus.SUCCESS), lambda rr: rr, _fix, rr
-    )
+    # cap-exit columns never went through a verify round: one final
+    # panel true-residual keeps residual_norm meaning ||b - A x||
+    r_t = b - matvec(x)
+    rr = coldot(r_t, r_t)
     return MultiSolveResult(
         x=x,
         status=status,
