@@ -861,6 +861,66 @@ def main() -> None:
         print(f"nonsym bench failed: {e!r}", file=_sys.stderr)
         nonsym_entry = None
 
+    # -- 3-D at BASELINE config-5 scale: 243^3 = 14.35M rows / 100M nnz.
+    # The vector no longer fits VMEM, so every path is HBM-streamed; the
+    # matrix-free stencil (constructed directly — its correctness class
+    # is covered entry-for-entry by tests/test_stencil.py, and verified
+    # here against the generated CSR on a random vector) measures the
+    # big-memory in-solver regime.
+    threed = None
+    try:
+        from sparse_matrix_math_tpu import GridStencilMatrix
+        from sparse_matrix_math_tpu.utils.generate import poisson_3d
+
+        m3 = 243
+        a3 = poisson_3d(m3, dtype=np.float32)
+        st3 = GridStencilMatrix(
+            coeffs=jnp.asarray(
+                [6.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0], jnp.float32
+            ),
+            doffs=((0, 0, 0), (-1, 0, 0), (1, 0, 0), (0, -1, 0),
+                   (0, 1, 0), (0, 0, -1), (0, 0, 1)),
+            dims=(m3, m3, m3),
+            shape=a3.shape,
+            nnz=int(a3.nnz),
+        )
+        xr = jnp.asarray(
+            np.random.default_rng(0).standard_normal(a3.shape[0]),
+            jnp.float32,
+        )
+        apply_err = float(jnp.max(jnp.abs(st3 @ xr - rmult(a3, xr))))
+        assert apply_err < 1e-3, apply_err
+        b3 = st3 @ jnp.ones((a3.shape[0],), jnp.float32)
+        r3 = cg(st3, b3, max_iterations=800, epsilon=1e-4)
+        float(r3.residual_norm)
+        t3s = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r3 = cg(st3, b3, max_iterations=800, epsilon=1e-4)
+            float(r3.residual_norm)
+            t3s.append(time.perf_counter() - t0)
+        w3 = min(t3s)
+        k3 = max(int(r3.iterations), 1)
+        threed = {
+            "matrix": "poisson3d_243^3_100Mnnz",
+            "n": a3.shape[0],
+            "nnz": int(a3.nnz),
+            "operator": "GridStencilMatrix",
+            "apply_vs_csr_err": apply_err,
+            "status": int(r3.status),
+            "iterations": k3,
+            **_solve_times(r3, w3),
+            "in_solver_gnnz": round(
+                k3 * a3.nnz / _device_time(w3) / 1e9, 3
+            ),
+        }
+        del a3, st3, b3
+    except Exception as e:
+        import sys as _sys
+
+        print(f"poisson3d bench failed: {e!r}", file=_sys.stderr)
+        threed = None
+
     # -- multi-RHS panel solve (solvers/block.py): one SpMM per
     # iteration feeds every column; effective throughput is the SpMM
     # entries processed per second in-solver.
@@ -957,6 +1017,7 @@ def main() -> None:
             "in_solver_gnnz": round(bs_gnnz, 3),
         },
         "nonsymmetric_at_scale": nonsym_entry,
+        "poisson3d_100Mnnz": threed,
         "cg_multi": multi_entry,
         "n": a.shape[0],
         "nnz": nnz,
