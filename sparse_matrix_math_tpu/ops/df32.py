@@ -503,16 +503,16 @@ class DfGridStencil:
 
     @classmethod
     def from_stencil(cls, st, coeffs64=None) -> "DfGridStencil":
-        """From a GridStencilMatrix; ``coeffs64`` (host float64) keeps
-        the full-precision coefficients, else lo = 0 (f32-accurate
-        operator, the same convention as the other df builders)."""
-        if coeffs64 is not None:
-            c64 = np.asarray(coeffs64, np.float64)
-            hi = c64.astype(np.float32)
-            lo = (c64 - hi.astype(np.float64)).astype(np.float32)
-        else:
-            hi = np.asarray(st.coeffs, np.float32)
-            lo = np.zeros_like(hi)
+        """From a GridStencilMatrix; ``coeffs64`` (host float64)
+        overrides the coefficient values.  By default the stencil's OWN
+        values are split exactly — a float64-valued stencil (the x64
+        CPU backend) keeps its full precision in the lo words, unlike
+        the other df builders whose device sources are always f32."""
+        c64 = np.asarray(
+            st.coeffs if coeffs64 is None else coeffs64, np.float64
+        )
+        hi = c64.astype(np.float32)
+        lo = (c64 - hi.astype(np.float64)).astype(np.float32)
         return cls(
             coeffs_hi=jnp.asarray(hi),
             coeffs_lo=jnp.asarray(lo),

@@ -218,8 +218,24 @@ def solve(
     a_source = a  # preconditioners factor from the CSR source below
     if cfg.auto_format and isinstance(a, CSRMatrix):
         from ..formats import best_format
+        from ..formats.dia import try_dia_from_csr
+        from ..formats.stencil import GridStencilMatrix
 
         a = best_format(a)
+        if isinstance(a, GridStencilMatrix) and (
+            cfg.matrix_dtype is not None
+            or str(cfg.preconditioner).lower() in (
+                "sgs", "symmetric_gauss_seidel", "symmetric_gaus_seidel",
+                "ilu0", "ic0",
+            )
+        ):
+            # these features ride the DIA machinery (bf16 diagonal
+            # stream / PaddedSGS / padded factor applies); the
+            # matrix-free stencil has no matrix stream to retype and no
+            # stored factors — keep the DIA layout for them
+            dia = try_dia_from_csr(a_source)
+            if dia is not None:
+                a = dia
     if getattr(b, "ndim", 1) == 2:
         # multi-RHS panel: route through the blocked solver (one SpMM
         # feeds every column — solvers/block.py).  Returns a

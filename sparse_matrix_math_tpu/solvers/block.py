@@ -136,16 +136,20 @@ def _cg_multi_loop(
         if record else None
     )
 
-    def inner(x, r, z, p, rz, rr, k, status, iters, trace):
+    def inner(x, r, z, p, rz, rr, broken, k, status, iters, trace):
         """Pure batched recurrence: frozen columns stop updating via
         masks; exits when any active column claims convergence (by the
-        recurrence), breaks down, or the cap is reached."""
+        recurrence), breaks down, or the cap is reached.  Broken
+        columns (exact breakdown / non-finite reduction) carry a FLAG
+        and freeze with their last finite iterate — poisoning the
+        recurrence scalars instead would flow inf/NaN into that
+        column's x through the next iteration's updates."""
 
         def cond(c):
-            rr, k, status = c[5], c[6], c[7]
+            rr, broken, k, status = c[5], c[6], c[7], c[8]
             active = status == RUNNING
             claim_or_break = active & (
-                (rr <= eps2) | ~jnp.isfinite(rr)
+                (rr <= eps2) | broken | ~jnp.isfinite(rr)
             )
             return (
                 jnp.any(active)
@@ -154,46 +158,46 @@ def _cg_multi_loop(
             )
 
         def body(c):
-            x, r, z, p, rz, rr, k, status, iters, trace = c
-            active = status == RUNNING
+            x, r, z, p, rz, rr, broken, k, status, iters, trace = c
+            active = (status == RUNNING) & ~broken
             ap = matvec(p)
             denom = coldot(ap, p)
-            alpha = jnp.where(active, rz / denom, 0.0)
-            alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
-            x = x + alpha[None, :] * p
-            r_new = jnp.where(active[None, :], r - alpha[None, :] * ap, r)
-            new_rr = jnp.where(active, coldot(r_new, r_new), rr)
-            # exact breakdown (denom == 0 on an indefinite system) or a
-            # non-finite reduction: flag by poisoning rr to inf so the
-            # exit condition fires; the outer loop assigns DIVERGED
-            broken = active & (
+            raw_alpha = rz / denom
+            now_broken = active & (
                 ~jnp.isfinite(denom)
-                | ((denom == 0) & (new_rr > eps2))
+                | ~jnp.isfinite(raw_alpha)
+                | ((denom == 0) & (rr > eps2))
             )
-            new_rr = jnp.where(broken, jnp.inf, new_rr)
-            z_new = mapply(r_new)
+            upd = active & ~now_broken
+            alpha = jnp.where(upd, raw_alpha, 0.0)
+            x = x + alpha[None, :] * p
+            r_new = jnp.where(upd[None, :], r - alpha[None, :] * ap, r)
+            new_rr = jnp.where(upd, coldot(r_new, r_new), rr)
+            z_new = jnp.where(upd[None, :], mapply(r_new), z)
             new_rz = (
-                coldot(r_new, z_new) if precond is not None else new_rr
+                jnp.where(upd, coldot(r_new, z_new), rz)
+                if precond is not None else new_rr
             )
             beta = jnp.where(
-                active, new_rz / jnp.where(rz == 0, 1.0, rz), 0.0
+                upd, new_rz / jnp.where(rz == 0, 1.0, rz), 0.0
             )
             p = jnp.where(
-                active[None, :], z_new + beta[None, :] * p, p
+                upd[None, :], z_new + beta[None, :] * p, p
             )
-            iters = jnp.where(active, k + 1, iters)
+            iters = jnp.where(upd, k + 1, iters)
             if trace is not None:
                 trace = trace.at[k + 1].set(
-                    jnp.where(active, jnp.sqrt(new_rr), jnp.nan)
+                    jnp.where(upd, jnp.sqrt(new_rr), jnp.nan)
                 )
             return (
                 x, r_new, z_new, p,
-                jnp.where(active, new_rz, rz),
-                new_rr, k + 1, status, iters, trace,
+                jnp.where(upd, new_rz, rz),
+                new_rr, broken | now_broken, k + 1, status, iters, trace,
             )
 
         return jax.lax.while_loop(
-            cond, body, (x, r, z, p, rz, rr, k, status, iters, trace)
+            cond, body,
+            (x, r, z, p, rz, rr, broken, k, status, iters, trace),
         )
 
     def outer_cond(c):
@@ -202,12 +206,13 @@ def _cg_multi_loop(
 
     def outer_body(c):
         x, r, z, p, rz, rr, k, status, iters, floor_rr, trace = c
-        x, r, z, p, rz, rr, k, status, iters, trace = inner(
-            x, r, z, p, rz, rr, k, status, iters, trace
+        broken0 = jnp.zeros((m,), bool)
+        x, r, z, p, rz, rr, broken, k, status, iters, trace = inner(
+            x, r, z, p, rz, rr, broken0, k, status, iters, trace
         )
         active = status == RUNNING
-        broken = active & ~jnp.isfinite(rr)
-        claimed = active & (rr <= eps2)
+        broken = active & (broken | ~jnp.isfinite(rr))
+        claimed = active & (rr <= eps2) & ~broken
 
         # ONE panel true-residual serves every verdict of this round
         r_t = b - matvec(x)
@@ -254,10 +259,20 @@ def _cg_multi_loop(
     status = jnp.where(
         status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status
     ).astype(jnp.int32)
-    # cap-exit columns never went through a verify round: one final
-    # panel true-residual keeps residual_norm meaning ||b - A x||
-    r_t = b - matvec(x)
-    rr = coldot(r_t, r_t)
+    # every column that exited through an outer verify round (SUCCESS /
+    # floored / broken) froze its r at the TRUE residual; only cap-exit
+    # columns (k >= maxiter mid-recurrence) carry a recurrence value —
+    # recompute the panel once only in that case
+    rr = coldot(r, r)
+
+    def _fix(rr):
+        r_t = b - matvec(x)
+        return coldot(r_t, r_t)
+
+    rr = jax.lax.cond(
+        jnp.any(status == SolverStatus.MAX_ITERATIONS_REACHED),
+        _fix, lambda rr: rr, rr,
+    )
     return MultiSolveResult(
         x=x,
         status=status,

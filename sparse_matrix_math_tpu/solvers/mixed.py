@@ -61,7 +61,11 @@ def ir_core(
     inner lean-CG correction solves on ``matvec_lo``.
 
     ``iterations`` in the result counts INNER iterations (the SpMV-rate
-    work); each outer round additionally costs one hi-precision SpMV.
+    work); each outer round additionally costs TWO hi-precision SpMVs —
+    the entry recompute (which keeps the outer carry vector-free, see
+    cg_core) and the post-round true residual.  Measured net-positive:
+    rounds are few and the vector-free carry keeps the inner loop
+    VMEM-resident (docs/BENCH_NOTES.md round 4).
     """
     dot = dotfn
     eps2 = eps * eps

@@ -221,3 +221,28 @@ class TestCGMultiTraces:
         a = poisson_2d(6, dtype=np.float64)
         B = a @ jnp.ones((a.shape[0], 2), jnp.float64)
         assert smm.cg_multi(a, B).residual_trace is None
+
+
+def test_broken_column_keeps_last_finite_iterate():
+    """Round-4 regression (review find): a column that breaks down
+    (p.A.p = 0 on an indefinite system) must come back DIVERGED with a
+    FINITE iterate, not NaN, while other columns keep solving."""
+    import numpy as np
+
+    from sparse_matrix_math_tpu.formats.csr import csr_from_dense
+
+    d = np.diag(np.array([1.0, -1.0, 2, 3, 4, 5, 6, 7]))
+    a = csr_from_dense(d.astype(np.float64))
+    n = 8
+    B = np.zeros((n, 2))
+    B[0, 0] = 1.0
+    B[1, 0] = 1.0  # indefinite column -> breakdown
+    B[:, 1] = d @ np.ones(n)
+    from sparse_matrix_math_tpu import cg_multi as _cgm
+
+    res = _cgm(a, jnp.asarray(B), epsilon=1e-8)
+    assert int(res.status[0]) == SolverStatus.DIVERGED
+    assert bool(jnp.isfinite(res.x[:, 0]).all()), res.x[:, 0]
+    assert bool(jnp.isfinite(res.residual_norm[0]))
+    assert int(res.status[1]) == SolverStatus.SUCCESS
+    np.testing.assert_allclose(np.asarray(res.x[:, 1]), 1.0, atol=1e-7)

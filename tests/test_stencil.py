@@ -130,3 +130,21 @@ def test_df_stencil_refinement_and_escalation():
                 epsilon=1e-8)
     assert isinstance(res, DfSolveResult)
     assert res.status_enum() == smm.SolverStatus.SUCCESS
+
+
+def test_auto_format_keeps_dia_for_dia_features():
+    """solve(auto_format=True) must not route a stencil-detectable
+    matrix onto the matrix-free path when the requested feature rides
+    the DIA machinery (bf16 matrix stream, padded SGS factors)."""
+    a = poisson_2d(16, dtype=np.float32)
+    b = jnp.asarray(np.asarray(a.to_dense()).sum(axis=1), jnp.float32)
+    res = smm.solve(
+        a, b, method="cg", matrix_dtype="bfloat16", auto_format=True,
+        epsilon=1e-3,
+    )
+    assert res.status_enum() == smm.SolverStatus.SUCCESS
+    res = smm.solve(
+        a, b, method="bicgstab", preconditioner="sgs", auto_format=True,
+        epsilon=1e-3,
+    )
+    assert res.status_enum() == smm.SolverStatus.SUCCESS
