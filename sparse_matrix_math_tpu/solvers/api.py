@@ -157,12 +157,15 @@ def solve(
     x0: Optional[jnp.ndarray] = None,
     config: Optional[SolverConfig] = None,
     **overrides,
-) -> SolveResult:
+):
     """Solve ``a @ x = b`` according to ``config`` (plus keyword overrides).
 
-    A 2-D ``b`` of shape (n, m) is a multi-RHS panel: it routes through
-    :func:`solvers.block.cg_multi` and returns a ``MultiSolveResult``
-    (per-column statuses) instead of a SolveResult.
+    Returns a ``SolveResult`` normally; a ``MultiSolveResult`` for a 2-D
+    ``b`` of shape (n, m) (a multi-RHS panel routed through
+    :func:`solvers.block.cg_multi`, per-column statuses); and a
+    ``DfSolveResult`` for the df64 methods or when ``auto_escalate``
+    re-routes an f32 request below the hardware's precision floor
+    through the double-word refinement (see :class:`SolverConfig`).
 
     >>> solve(a, b, method="bicgstab", preconditioner="sgs", epsilon=1e-8)
     """
