@@ -37,7 +37,11 @@ import numpy as np
 
 from .csr import CSRMatrix
 
-__all__ = ["GridStencilMatrix", "try_grid_stencil_from_csr"]
+__all__ = [
+    "GridStencilMatrix",
+    "try_grid_stencil_from_csr",
+    "try_grid_stencil_from_dia",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -175,7 +179,33 @@ def try_grid_stencil_from_csr(
         dia = try_dia_from_csr(csr, max_diags=max_diags)
     if dia is None:
         return None
+    return _detect_from_dia(
+        dia, (int(n_rows), int(n_cols)), int(csr.nnz), dims,
+        max_point_offset,
+    )
 
+
+def try_grid_stencil_from_dia(
+    dia,
+    dims: Optional[Tuple[int, ...]] = None,
+    *,
+    max_point_offset: int = 2,
+) -> Optional[GridStencilMatrix]:
+    """Stencil detection directly from a DIAMatrix (same entry-for-entry
+    verification as :func:`try_grid_stencil_from_csr` — the check runs
+    on the diagonal planes, which ARE the full value set of a DIA
+    matrix)."""
+    n_rows, n_cols = dia.shape
+    if n_rows != n_cols:
+        return None
+    return _detect_from_dia(
+        dia, (int(n_rows), int(n_cols)), int(dia.nnz), dims,
+        max_point_offset,
+    )
+
+
+def _detect_from_dia(dia, shape, nnz, dims, max_point_offset):
+    n_rows, n_cols = shape
     candidates = []
     if dims is not None:
         candidates.append(tuple(int(d) for d in dims))
@@ -228,6 +258,6 @@ def try_grid_stencil_from_csr(
                 doffs=tuple(doffs),
                 dims=cand,
                 shape=(int(n_rows), int(n_cols)),
-                nnz=int(csr.nnz),
+                nnz=int(nnz),
             )
     return None

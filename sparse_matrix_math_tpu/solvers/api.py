@@ -63,6 +63,14 @@ def _build_preconditioner(a, kind: str, options):
     from ..formats.dia import DIAMatrix
     from ..formats.reorder import ReorderedMatrix
 
+    if hasattr(kind, "apply"):
+        # preconditioner OBJECT passthrough: anything with apply(r) -> z
+        # (PoissonMultigrid, a prebuilt PaddedSGS, a user operator) rides
+        # solve() directly — the reference's template-parameter spirit
+        # (h:2191-2212) without the factory round trip
+        return kind
+    if isinstance(kind, str) and kind.lower() in ("multigrid", "mg"):
+        return _build_multigrid(a, options)
     if isinstance(a, ReorderedMatrix):
         # the hoisted solvers run entirely in the permuted domain
         # (formats/reorder.py:reorder_hoisted), so the preconditioner
@@ -93,6 +101,35 @@ def _build_preconditioner(a, kind: str, options):
         f"{type(a).__name__}; construct from CSR (get_preconditioner) "
         "or pass a preconditioner object directly"
     )
+
+
+def _build_multigrid(a, options):
+    """``preconditioner="multigrid"``: geometric V-cycle for the
+    Poisson stencil family (solvers/multigrid.py).  Accepts a
+    GridStencilMatrix directly; CSR/DIA inputs are verified
+    entry-for-entry by the stencil detector first — multigrid silently
+    applied to a non-Laplacian operator would precondition the wrong
+    system."""
+    from ..formats.dia import DIAMatrix
+    from ..formats.stencil import (
+        GridStencilMatrix,
+        try_grid_stencil_from_csr,
+        try_grid_stencil_from_dia,
+    )
+    from .multigrid import PoissonMultigrid
+
+    st = a if isinstance(a, GridStencilMatrix) else None
+    if st is None and isinstance(a, CSRMatrix):
+        st = try_grid_stencil_from_csr(a)
+    if st is None and isinstance(a, DIAMatrix):
+        st = try_grid_stencil_from_dia(a)
+    if st is None:
+        raise ValueError(
+            "preconditioner='multigrid' needs a Poisson-family grid "
+            "stencil operator (GridStencilMatrix, or a CSR that the "
+            f"stencil detector verifies); got {type(a).__name__}"
+        )
+    return PoissonMultigrid.for_stencil(st, **options)
 
 
 def _build_preconditioner_for(a, a_source, kind, options):

@@ -200,6 +200,38 @@ class PoissonMultigrid:
     omega: float = dataclasses.field(metadata=dict(static=True), default=0.8)
 
     @classmethod
+    def for_stencil(cls, st, **kw) -> "PoissonMultigrid":
+        """Build the hierarchy for a :class:`~formats.stencil
+        .GridStencilMatrix` that IS the dimensionless 2d+1-point
+        Laplacian (center ``2d``, each unit axis neighbour ``-1`` —
+        exactly what ``poisson_2d``/``poisson_3d`` produce).  Raises
+        ``ValueError`` for any other stencil: the V-cycle's finest-level
+        operator is hard-coded to this family, so silently accepting a
+        different stencil would converge to the wrong system.
+
+        This is what ``solve(a, b, preconditioner="multigrid")`` calls
+        when ``a`` is a grid stencil (solvers/api.py)."""
+        d = len(st.dims)
+        coeffs = np.asarray(st.coeffs, np.float64)
+        want = {(0,) * d: 2.0 * d}
+        for ax in range(d):
+            for s in (-1, 1):
+                off = [0] * d
+                off[ax] = s
+                want[tuple(off)] = -1.0
+        got = {tuple(o): float(c) for o, c in zip(st.doffs, coeffs)}
+        if got != want:
+            raise ValueError(
+                "PoissonMultigrid.for_stencil: stencil is not the "
+                f"dimensionless {2 * d + 1}-point Laplacian "
+                f"(got offsets/coeffs {got})"
+            )
+        # for_grid's dims[0] is (ny, nx) / (nz, ny, nx) — map the
+        # stencil's row-major dims onto that ordering exactly
+        rev = tuple(int(m) for m in reversed(st.dims))
+        return cls.for_grid(*rev, **kw)
+
+    @classmethod
     def for_grid(
         cls, nx: int, ny: Optional[int] = None, nz: Optional[int] = None, *,
         nu1: int = 2, nu2: int = 2, omega: float = 0.8,
