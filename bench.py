@@ -870,10 +870,17 @@ def main() -> None:
     threed = None
     try:
         from sparse_matrix_math_tpu import GridStencilMatrix
+        from sparse_matrix_math_tpu import solve as _solve3
         from sparse_matrix_math_tpu.utils.generate import poisson_3d
 
         m3 = 243
-        a3 = poisson_3d(m3, dtype=np.float32)
+        # host f64 CSR: the independent oracle for BOTH entries below
+        # (stencil verification on a random vector, and the f64 true
+        # residual of the 1e-8 contract solve)
+        a3 = poisson_3d(m3, dtype=np.float64)
+        d3 = np.asarray(a3.data, np.float64)
+        i3 = np.asarray(a3.indices, np.int64)
+        p3 = np.asarray(a3.indptr, np.int64)
         st3 = GridStencilMatrix(
             coeffs=jnp.asarray(
                 [6.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0], jnp.float32
@@ -884,37 +891,92 @@ def main() -> None:
             shape=a3.shape,
             nnz=int(a3.nnz),
         )
-        xr = jnp.asarray(
-            np.random.default_rng(0).standard_normal(a3.shape[0]),
-            jnp.float32,
-        )
-        apply_err = float(jnp.max(jnp.abs(st3 @ xr - rmult(a3, xr))))
+        xr = np.random.default_rng(0).standard_normal(a3.shape[0])
+        ax64 = np.add.reduceat(d3 * xr[i3], p3[:-1])
+        sx = np.asarray(st3 @ jnp.asarray(xr, jnp.float32), np.float64)
+        apply_err = float(np.max(np.abs(sx - ax64)))
         assert apply_err < 1e-3, apply_err
         b3 = st3 @ jnp.ones((a3.shape[0],), jnp.float32)
-        r3 = cg(st3, b3, max_iterations=800, epsilon=1e-4)
-        float(r3.residual_norm)
-        t3s = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            r3 = cg(st3, b3, max_iterations=800, epsilon=1e-4)
+
+        def run3(maxi, eps):
+            r3 = cg(st3, b3, max_iterations=maxi, epsilon=eps)
             float(r3.residual_norm)
-            t3s.append(time.perf_counter() - t0)
-        w3 = min(t3s)
+            t3s = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                r3 = cg(st3, b3, max_iterations=maxi, epsilon=eps)
+                float(r3.residual_norm)
+                t3s.append(time.perf_counter() - t0)
+            return r3, min(t3s)
+
+        r3, w3 = run3(800, 1e-4)
         k3 = max(int(r3.iterations), 1)
+        # marginal per-iteration device rate (150- vs 600-iteration runs
+        # below the f32 floor): cancels the dispatch floor AND the
+        # per-verify-round host syncs of the HBM-regime driver
+        # (solvers/_stencil.py _cg_hbm) — the honest device iteration
+        # cost in the regime where nothing fits VMEM
+        _, w150 = run3(150, 1e-20)
+        _, w600 = run3(600, 1e-20)
+        per_iter = max(w600 - w150, 1e-9) / 450
         threed = {
             "matrix": "poisson3d_243^3_100Mnnz",
             "n": a3.shape[0],
             "nnz": int(a3.nnz),
             "operator": "GridStencilMatrix",
-            "apply_vs_csr_err": apply_err,
+            "apply_vs_f64_csr_err": apply_err,
             "status": int(r3.status),
             "iterations": k3,
             **_solve_times(r3, w3),
             "in_solver_gnnz": round(
                 k3 * a3.nnz / _device_time(w3) / 1e9, 3
             ),
+            "per_iter_ms_marginal": round(per_iter * 1e3, 4),
+            "per_iter_gnnz_marginal": round(
+                a3.nnz / per_iter / 1e9, 3
+            ),
         }
-        del a3, st3, b3
+
+        # the reference's f64 1e-8 contract AT THIS SCALE through the
+        # front door (VERDICT r4 top item): solve() pre-routes the
+        # below-f32-floor epsilon to the MG-preconditioned double-word
+        # refinement; the residual is verified in f64 on the host
+        # against the generated CSR
+        b64 = np.add.reduceat(d3, p3[:-1])  # row sums -> x_true = ones
+
+        def contract():
+            t0 = time.perf_counter()
+            res = _solve3(
+                st3, b64, method="cg", epsilon=1e-8,
+                preconditioner="multigrid", max_iterations=60000,
+            )
+            float(np.asarray(res.residual_norm2))
+            return res, time.perf_counter() - t0
+
+        contract()  # warm
+        cwalls = []
+        for _ in range(2):
+            c_res, c_w = contract()
+            cwalls.append(c_w)
+        c_w = min(cwalls)
+        x64 = c_res.x_f64()
+        c_true = float(np.linalg.norm(
+            b64 - np.add.reduceat(d3 * x64[i3], p3[:-1])
+        ))
+        threed["solve_1e8_multigrid"] = {
+            "status": int(c_res.status),
+            "epsilon": 1e-8,
+            "inner_iterations": int(c_res.iterations),
+            "outer_rounds": int(c_res.outer_rounds),
+            "true_residual_f64": c_true,
+            "wall_s": round(c_w, 4),
+            "device_time_s": round(_device_time(c_w), 4),
+        }
+        if int(c_res.status) == 0:
+            threed["solve_1e8_multigrid"]["time_to_tol_s"] = round(
+                _device_time(c_w), 4
+            )
+        del a3, st3, b3, d3, i3, p3
     except Exception as e:
         import sys as _sys
 
