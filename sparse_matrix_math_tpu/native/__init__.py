@@ -126,7 +126,7 @@ def _bind(lib: ctypes.CDLL) -> None:
     ]
     lib.smm_ilu0_factorize.restype = ctypes.c_int
     lib.smm_ilu0_factorize.argtypes = [
-        ctypes.c_int64, _i64p, _i64p, _i64p, _f64p,
+        ctypes.c_int64, _i64p, _i64p, _i64p, _f64p, ctypes.c_double,
         ctypes.POINTER(ctypes.c_int64),
     ]
     lib.smm_mtx_header.restype = ctypes.c_int
@@ -219,9 +219,11 @@ def ic0_factorize_native(l_indptr, l_indices, a_lower):
     return l_values
 
 
-def ilu0_factorize_native(indptr, indices, diag_pos, data):
+def ilu0_factorize_native(indptr, indices, diag_pos, data, pivot_tol=0.0):
     """ILU(0) factor values aligned with A's pattern, or None if the
-    native library is unavailable.  Raises ValueError on zero pivot."""
+    native library is unavailable.  Raises ValueError on a zero pivot
+    (|pivot| <= pivot_tol — near-zero pivots produce unusable factors
+    just like exact zeros; callers escalate through diagonal shifts)."""
     lib = _load()
     if lib is None:
         return None
@@ -234,6 +236,7 @@ def ilu0_factorize_native(indptr, indices, diag_pos, data):
         np.ascontiguousarray(indices, np.int64),
         np.ascontiguousarray(diag_pos, np.int64),
         factor,
+        float(pivot_tol),
         ctypes.byref(err),
     )
     if rc == 3:

@@ -170,9 +170,14 @@ int smm_ic0_factorize(int64_t n, const int64_t* l_indptr,
 // `diag_pos` gives the CSR position of each row's diagonal (precomputed).
 // Returns 0 ok; 3 on zero pivot (err_row set).
 // ---------------------------------------------------------------------------
+// pivot_tol: pivots with |pivot| <= pivot_tol are treated as zero
+// (err 3) — a data-dependent NEAR-zero pivot produces an unusable
+// factor just as surely as an exact zero; the caller escalates through
+// diagonal shifts (precond/_factorize.py round 5).
 int smm_ilu0_factorize(int64_t n, const int64_t* indptr,
                        const int64_t* indices, const int64_t* diag_pos,
-                       double* factor, int64_t* err_row) {
+                       double* factor, double pivot_tol,
+                       int64_t* err_row) {
   std::vector<int64_t> pos(static_cast<size_t>(n), -1);
   std::vector<int64_t> stamp(static_cast<size_t>(n), -1);
 
@@ -186,7 +191,7 @@ int smm_ilu0_factorize(int64_t n, const int64_t* indptr,
       const int64_t k = indices[p];
       if (k >= i) break;
       const double pivot = factor[diag_pos[k]];
-      if (pivot == 0.0) {
+      if (std::fabs(pivot) <= pivot_tol) {
         *err_row = k;
         return 3;
       }
@@ -197,7 +202,7 @@ int smm_ilu0_factorize(int64_t n, const int64_t* indptr,
         if (stamp[j] == i) factor[pos[j]] -= alpha * factor[q];
       }
     }
-    if (factor[diag_pos[i]] == 0.0) {
+    if (std::fabs(factor[diag_pos[i]]) <= pivot_tol) {
       *err_row = i;
       return 3;
     }

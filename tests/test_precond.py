@@ -477,3 +477,58 @@ class TestWSellStrictLayout:
         res = cg(a, b, epsilon=1e-5, preconditioner=pre)
         assert res.status_enum() == SolverStatus.SUCCESS
         assert float(jnp.max(jnp.abs(res.x - 1.0))) < 1e-3
+
+
+class TestIlu0PivotShift:
+    """Data-dependent zero pivots (VERDICT r4 #6): ILU(0) elimination can
+    hit an exact or near-zero pivot on a perfectly nonsingular matrix.
+    from_matrix escalates through diagonal shifts (A + alpha*I,
+    Manteuffel-style) and reports the applied shift; pivot_shift='never'
+    restores the strict raise."""
+
+    # u22 = 4 - (2/1)*2 = 0 during elimination, but det(A) = -1
+    ZERO_PIVOT = np.array([
+        [1.0, 2.0, 0.0],
+        [2.0, 4.0, 1.0],
+        [0.0, 1.0, 3.0],
+    ])
+
+    def test_shifted_factorization_and_convergence(self):
+        a = csr_from_dense(self.ZERO_PIVOT)
+        pre = ILU0Preconditioner.from_matrix(a)
+        assert pre.shift > 0.0
+        b = jnp.asarray(self.ZERO_PIVOT @ np.ones(3))
+        res = bicgstab(
+            a, b, epsilon=1e-10, max_iterations=100, preconditioner=pre
+        )
+        assert res.status_enum() == SolverStatus.SUCCESS
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-7)
+
+    def test_never_mode_raises(self):
+        a = csr_from_dense(self.ZERO_PIVOT)
+        with pytest.raises(FactorizationError, match="pivot"):
+            ILU0Preconditioner.from_matrix(a, pivot_shift="never")
+
+    def test_healthy_matrix_unshifted(self):
+        pre = ILU0Preconditioner.from_matrix(poisson_2d(16, dtype=np.float64))
+        assert pre.shift == 0.0
+
+    def test_jittered_tiled_sherman1_factors(self):
+        """The exact system class the round-4 bench had to curate around
+        (BENCH_NOTES 'jittered values break ILU0'): jittered tiled
+        sherman1 hits a data-dependent zero pivot unshifted; the
+        escalation factors it with a finite, bounded factor."""
+        from sparse_matrix_math_tpu.precond._factorize import (
+            ilu0_factorize_host,
+        )
+        from sparse_matrix_math_tpu.utils.generate import sherman1_tiled
+
+        a = sherman1_tiled(4, jitter=True, dtype=np.float64)
+        data = np.asarray(a.data, np.float64)
+        ind = np.asarray(a.indices, np.int64)
+        ptr = np.asarray(a.indptr, np.int64)
+        pre = ILU0Preconditioner.from_matrix(a, method="jacobi", sweeps=6)
+        assert np.isfinite(pre.shift)
+        # the factor the apply uses is finite everywhere
+        r = jnp.asarray(np.random.default_rng(0).standard_normal(a.shape[0]))
+        assert bool(jnp.all(jnp.isfinite(pre.apply(r))))
