@@ -303,12 +303,37 @@ def solve(
         )
     if cfg.matrix_dtype is not None:
         # bf16-matrix / f32-vector mixed precision with true-residual IR
+        import warnings
+
+        from ..formats import PerformanceWarning
         from .mixed import mixed_cg
 
         if method not in ("cg", "conjugate_gradient"):
             raise ValueError(
                 "matrix_dtype (mixed precision) is supported for "
                 "method='cg' only"
+            )
+        # Measured loser on the bench class (VERDICT r4 #5 / round-4
+        # BENCH_NOTES "mixed_cg after the nested cores"): the bf16
+        # diagonal stream wins at kernel level (1.69x per SpMV) but the
+        # refinement restarts + extra working set make the full solve
+        # 0.57-0.82x plain f32 CG at matched TRUE accuracy on narrow
+        # stencils at VMEM-resident sizes.  It pays off only when the
+        # SpMV dominates the iteration: wide stencils (many diagonals)
+        # or HBM-streamed sizes.  Warn rather than silently hand back a
+        # slowdown; the knob stays for the regimes where it wins.
+        ndiags = len(getattr(a, "offsets", ())) or None
+        if ndiags is not None and ndiags <= 9:
+            warnings.warn(
+                f"matrix_dtype={cfg.matrix_dtype!r} on a narrow "
+                f"{ndiags}-diagonal stencil: measured SLOWER than plain "
+                "f32 CG at matched true accuracy on this class "
+                "(docs/BENCH_NOTES.md round 4: 0.57-0.82x at n=2M, "
+                "5-point).  The bf16 stream wins on wide stencils or "
+                "HBM-streamed sizes; drop matrix_dtype to use the f32 "
+                "fast path.",
+                PerformanceWarning,
+                stacklevel=2,
             )
         if cfg.preconditioner not in (None, "none"):
             raise ValueError(
