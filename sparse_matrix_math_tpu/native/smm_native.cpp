@@ -34,26 +34,46 @@ inline int thread_count() {
 #endif
 }
 
-// Parallel stable LSD radix-sort permutation of uint64 keys (11-bit
-// digits).  Stability per pass: threads own contiguous input chunks and
-// scatter through per-(digit, thread) offsets accumulated in thread
-// order, so equal keys keep their relative order.
+// Parallel stable LSD radix-sort permutation of uint64 keys.
+// Stability per pass: threads own contiguous input chunks and scatter
+// through per-(digit, thread) offsets accumulated in thread order, so
+// equal keys keep their relative order.
+//
+// (key, perm) PAIRS move together through the passes: the round-4
+// version carried only the permutation and gathered key[cur[i]] twice
+// per pass — two random 8-byte gathers per element per pass, measured
+// as the single largest cost of the routed R-SELL build (~1.85 s per
+// level at 12M nnz).  Moving the key alongside makes the count phase a
+// sequential read.  Digit width adapts to the key: ceil(key_bits /
+// passes) bits with passes = ceil(key_bits / 13), so a 26-bit key takes
+// 2x13-bit passes instead of 3x11 (8192-bucket histograms are still
+// L2-resident per thread).
 void radix_sort_perm(int64_t n, const uint64_t* key, int key_bits,
                      int64_t* perm_out) {
   if (n <= 0) return;
-  constexpr int kDigitBits = 11;
-  constexpr int kBuckets = 1 << kDigitBits;
+  constexpr int kMaxDigitBits = 13;
+  const int passes = (key_bits + kMaxDigitBits - 1) / kMaxDigitBits;
+  const int digit_bits = (key_bits + passes - 1) / passes;
+  const int buckets = 1 << digit_bits;
   const int T = thread_count();
-  std::vector<int64_t> tmp(static_cast<size_t>(n));
-  std::vector<int64_t> hist(static_cast<size_t>(T) * kBuckets);
-  int64_t* cur = perm_out;
-  int64_t* nxt = tmp.data();
-  for (int64_t i = 0; i < n; ++i) cur[i] = i;
+  std::vector<uint64_t> kbuf0(static_cast<size_t>(n));
+  std::vector<uint64_t> kbuf1(static_cast<size_t>(n));
+  std::vector<int64_t> pbuf(static_cast<size_t>(n));
+  std::vector<int64_t> hist(static_cast<size_t>(T) * buckets);
+  uint64_t* kcur = kbuf0.data();
+  uint64_t* knxt = kbuf1.data();
+  int64_t* pcur = perm_out;
+  int64_t* pnxt = pbuf.data();
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    kcur[i] = key[i];
+    pcur[i] = i;
+  }
   const int64_t chunk = (n + T - 1) / T;
-  for (int shift = 0; shift < key_bits; shift += kDigitBits) {
-    const uint64_t mask = (shift + kDigitBits >= 64)
+  for (int shift = 0; shift < key_bits; shift += digit_bits) {
+    const uint64_t mask = (shift + digit_bits >= 64)
                               ? (~0ull >> shift)
-                              : ((1ull << kDigitBits) - 1);
+                              : ((1ull << digit_bits) - 1);
 #pragma omp parallel num_threads(T)
     {
 #if defined(_OPENMP)
@@ -61,17 +81,17 @@ void radix_sort_perm(int64_t n, const uint64_t* key, int key_bits,
 #else
       const int t = 0;
 #endif
-      int64_t* h = hist.data() + static_cast<size_t>(t) * kBuckets;
-      std::memset(h, 0, sizeof(int64_t) * kBuckets);
+      int64_t* h = hist.data() + static_cast<size_t>(t) * buckets;
+      std::memset(h, 0, sizeof(int64_t) * buckets);
       const int64_t lo = t * chunk;
       const int64_t hi = lo + chunk < n ? lo + chunk : n;
       for (int64_t i = lo; i < hi; ++i)
-        ++h[(key[cur[i]] >> shift) & mask];
+        ++h[(kcur[i] >> shift) & mask];
     }
     int64_t run = 0;
-    for (int b = 0; b < kBuckets; ++b)
+    for (int b = 0; b < buckets; ++b)
       for (int t = 0; t < T; ++t) {
-        int64_t& c = hist[static_cast<size_t>(t) * kBuckets + b];
+        int64_t& c = hist[static_cast<size_t>(t) * buckets + b];
         const int64_t v = c;
         c = run;
         run += v;
@@ -83,18 +103,20 @@ void radix_sort_perm(int64_t n, const uint64_t* key, int key_bits,
 #else
       const int t = 0;
 #endif
-      int64_t* h = hist.data() + static_cast<size_t>(t) * kBuckets;
+      int64_t* h = hist.data() + static_cast<size_t>(t) * buckets;
       const int64_t lo = t * chunk;
       const int64_t hi = lo + chunk < n ? lo + chunk : n;
-      for (int64_t i = lo; i < hi; ++i)
-        nxt[h[(key[cur[i]] >> shift) & mask]++] = cur[i];
+      for (int64_t i = lo; i < hi; ++i) {
+        const int64_t at = h[(kcur[i] >> shift) & mask]++;
+        knxt[at] = kcur[i];
+        pnxt[at] = pcur[i];
+      }
     }
-    int64_t* t2 = cur;
-    cur = nxt;
-    nxt = t2;
+    uint64_t* kt = kcur; kcur = knxt; knxt = kt;
+    int64_t* pt = pcur; pcur = pnxt; pnxt = pt;
   }
-  if (cur != perm_out)
-    std::memcpy(perm_out, cur, static_cast<size_t>(n) * sizeof(int64_t));
+  if (pcur != perm_out)
+    std::memcpy(perm_out, pcur, static_cast<size_t>(n) * sizeof(int64_t));
 }
 
 // Permute one int64 array in place through a scratch buffer.
