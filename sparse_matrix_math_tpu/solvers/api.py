@@ -396,6 +396,16 @@ _ESCALATION = {
     "cg": "cg",
     "conjugate_gradient": "cg",
     "bicgstab": "bicgstab",
+    # GMRES has no floor_hit machinery (its restart loop tracks a Givens
+    # residual estimate, not a verified floor), so only the PRE-ROUTE
+    # fires: solve(method="gmres", epsilon=1e-8) on f32 data goes
+    # straight to the nonsymmetric double-word refinement instead of
+    # burning the iteration cap below the f32 floor (VERDICT r4 #3).
+    # The refinement's inner correction solver is BiCGStab — each round
+    # only needs a modest RELATIVE reduction, which it delivers with
+    # best-iterate guards + outer verification on exactly the systems
+    # GMRES would be chosen for.
+    "gmres": "bicgstab",
 }
 
 

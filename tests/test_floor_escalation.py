@@ -212,3 +212,25 @@ def test_multigrid_kind_from_csr_and_dia():
                  preconditioner="multigrid", auto_escalate=False)
     assert int(res2.status) in (SolverStatus.SUCCESS,
                                 SolverStatus.MAX_ITERATIONS_REACHED)
+
+
+def test_solve_gmres_pre_routes_to_refinement():
+    """solve(method='gmres', epsilon below the f32 floor) must deliver
+    the accuracy contract through the nonsymmetric double-word
+    refinement instead of burning the cap in f32 (VERDICT r4 #3)."""
+    from sparse_matrix_math_tpu.utils.generate import convection_diffusion_2d
+
+    a64 = convection_diffusion_2d(48, dtype=np.float64)
+    data = np.asarray(a64.data, np.float64)
+    iptr = np.asarray(a64.indptr, np.int64)
+    b64 = np.add.reduceat(data, iptr[:-1])
+    a = convection_diffusion_2d(48, dtype=np.float32)
+    res = solve(
+        a, jnp.asarray(b64, jnp.float32), method="gmres", epsilon=1e-8,
+        max_iterations=20000,
+    )
+    assert isinstance(res, DfSolveResult)
+    assert int(res.status) == SolverStatus.SUCCESS
+    tr = _true_res(data, np.asarray(a64.indices, np.int64), iptr, b64,
+                   res.x_f64())
+    assert tr <= 1e-8
