@@ -990,41 +990,70 @@ def main() -> None:
     try:
         from sparse_matrix_math_tpu.solvers.block import cg_multi
 
-        m_rhs = 8
+        # the production panel route is the batched stencil apply
+        # (GridStencilMatrix.apply_batched, grid-layout carries); fall
+        # back to DIA/CSR only when detection failed
+        mop = stencil if stencil is not None else (
+            dia if dia is not None else a
+        )
         rng = np.random.default_rng(0)
-        # oracle panel: B = A @ X_true keeps solutions bounded, and the
-        # per-column tolerance is RELATIVE 1e-3 (an absolute eps under a
-        # random-normal b at n=2M sits below the f32 floor — the r4.0
-        # run honestly floored every column that way)
+
+        def panel_marginal(m_rhs):
+            """us/iter by the marginal 150-vs-600-iteration method
+            (cancels the dispatch floor — the r4 entry ran 20
+            iterations inside a 25.6 ms sync floor and measured noise,
+            VERDICT r4 weak #2)."""
+            Xt = jnp.asarray(
+                rng.standard_normal((a.shape[0], m_rhs)), jnp.float32
+            )
+            B = rmult(mop, Xt)
+
+            def run(maxi):
+                res = cg_multi(mop, B, max_iterations=maxi, epsilon=1e-20)
+                np.asarray(res.residual_norm)
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    res = cg_multi(
+                        mop, B, max_iterations=maxi, epsilon=1e-20
+                    )
+                    np.asarray(res.residual_norm)
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            return max(run(600) - run(150), 1e-9) / 450
+
+        per_iter = {m: panel_marginal(m) for m in (1, 2, 8)}
+        # a real converging panel solve for statuses (oracle panel,
+        # relative tolerance: absolute eps under a random-normal b at
+        # n=2M sits below the f32 floor)
+        m_rhs = 8
         Xt = jnp.asarray(
             rng.standard_normal((a.shape[0], m_rhs)), jnp.float32
         )
-        mop = dia if dia is not None else a
         B = rmult(mop, Xt)
-        eps_multi = 1e-3 * float(
-            jnp.linalg.norm(B, axis=0).min()
-        )
+        eps_multi = 1e-3 * float(jnp.linalg.norm(B, axis=0).min())
         mres = cg_multi(mop, B, max_iterations=4000, epsilon=eps_multi)
-        float(np.asarray(mres.residual_norm).max())
-        mtimes = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            mres = cg_multi(mop, B, max_iterations=4000, epsilon=eps_multi)
-            float(np.asarray(mres.residual_norm).max())
-            mtimes.append(time.perf_counter() - t0)
-        mwall = min(mtimes)
-        mdev = _device_time(mwall)
-        miters = int(np.asarray(mres.iterations).max())
+        statuses = [int(v) for v in np.asarray(mres.status).reshape(-1)]
+        single_per_iter = cg_time / max(int(cg_res.iterations), 1)
         multi_entry = {
-            "m_rhs": m_rhs,
-            "epsilon_relative": 1e-3,
-            "statuses": [int(v) for v in np.asarray(mres.status).reshape(-1)],
-            "iterations_max": miters,
-            "wall_s": round(mwall, 4),
-            "device_time_s": round(mdev, 4),
-            "effective_gnnz": round(miters * nnz * m_rhs / mdev / 1e9, 3),
-            "note": "SpMM-fed panel: effective rate counts nnz x m per "
-                    "iteration; compare per-column against cg.in_solver_gnnz",
+            "operator": type(mop).__name__,
+            "statuses_at_rel_1e3": statuses,
+            "single_rhs_us_per_iter": round(single_per_iter * 1e6, 1),
+            "per_iter_us_marginal": {
+                str(m): round(t * 1e6, 1) for m, t in per_iter.items()
+            },
+            "per_column_gnnz": {
+                str(m): round(nnz / (t / m) / 1e9, 1)
+                for m, t in per_iter.items()
+            },
+            "per_column_vs_single_rhs": {
+                str(m): round(single_per_iter / (t / m), 3)
+                for m, t in per_iter.items()
+            },
+            "note": "knee = panel carries vs VMEM (solvers/block.py "
+                    "docstring): m<=2 stays VMEM-pinned; beyond it each "
+                    "column pays ~the HBM-streamed single-RHS cost",
         }
     except Exception as e:
         import sys as _sys

