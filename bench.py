@@ -850,6 +850,36 @@ def main() -> None:
                     int(gres.iterations) * na.nnz / gdev / 1e9, 3
                 ),
             }
+            # s-step (communication-avoiding) Arnoldi: the basis panel
+            # is read twice per 8-step BLOCK instead of four times per
+            # step (solvers/gmres.py round 5) — measured 4.1x on this
+            # row; residual_norm is the VERIFIED true ||b - A x||
+            cres = gmres(
+                ndia32, nb32, max_iterations=6000, epsilon=1e-4,
+                s_step=8,
+            )
+            float(cres.residual_norm)
+            ctimes = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                cres = gmres(
+                    ndia32, nb32, max_iterations=6000, epsilon=1e-4,
+                    s_step=8,
+                )
+                float(cres.residual_norm)
+                ctimes.append(time.perf_counter() - t0)
+            cwall = min(ctimes)
+            cdev = _device_time(cwall)
+            nonsym_entry["gmres32_sstep8_f32"] = {
+                "status": int(cres.status),
+                "iterations": int(cres.iterations),
+                "true_residual": _finite(cres.residual_norm),
+                **_solve_times(cres, cwall),
+                "in_solver_gnnz": round(
+                    int(cres.iterations) * na.nnz / cdev / 1e9, 3
+                ),
+                "speedup_vs_gmres32": round(gdev / max(cdev, 1e-9), 2),
+            }
         except Exception as e:
             import sys as _sys
 

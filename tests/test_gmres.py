@@ -173,3 +173,70 @@ class TestGMRES:
         )
         assert int(res.status) == SolverStatus.SUCCESS
         np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-7)
+
+
+class TestCaGmres:
+    """s-step (communication-avoiding) GMRES: blocks of locally-
+    orthogonalized matrix powers, BCGS2 block orthogonalization, and
+    Hessenberg reconstruction — the basis panel is read twice per BLOCK
+    instead of four times per step (3.2-4.1x measured at n=2M on TPU
+    v5e).  Must match the per-step algorithm's trajectories."""
+
+    @pytest.mark.parametrize("s", [2, 4, 8])
+    def test_matches_exact_gmres(self, s):
+        a = convection_diffusion_2d(24, cx=0.5, cy=0.2, dtype=np.float64)
+        b = a @ jnp.ones(a.shape[0], jnp.float64)
+        ref = smm.gmres(a, b, epsilon=1e-10, restart=32)
+        res = smm.gmres(a, b, epsilon=1e-10, restart=32, s_step=s)
+        assert int(res.status) == SolverStatus.SUCCESS
+        # same convergence class: within one block of the exact count
+        assert abs(int(res.iterations) - int(ref.iterations)) <= 2 * s
+        assert float(jnp.linalg.norm(b - a @ res.x)) <= 2e-10
+
+    def test_f32_and_verified_residual(self):
+        """residual_norm is the VERIFIED true ||b - A x|| (the
+        reconstructed-H estimate drifts in f32 — measured 3.6x at
+        n=2M)."""
+        a = convection_diffusion_2d(32, dtype=np.float32)
+        b = a @ jnp.ones(a.shape[0], jnp.float32)
+        res = smm.gmres(a, b, epsilon=1e-4, restart=32, s_step=4)
+        assert int(res.status) == SolverStatus.SUCCESS
+        true = float(jnp.linalg.norm(b - a @ res.x))
+        assert true <= 1e-4 * 1.01
+        assert abs(true - float(res.residual_norm)) <= 1e-6
+
+    def test_preconditioned(self):
+        from sparse_matrix_math_tpu.precond.preconditioners import (
+            get_preconditioner,
+        )
+
+        a = convection_diffusion_2d(24, cx=0.5, cy=0.2, dtype=np.float64)
+        b = a @ jnp.ones(a.shape[0], jnp.float64)
+        m = get_preconditioner(a, "ilu0")
+        res = smm.gmres(a, b, epsilon=1e-10, restart=32, s_step=4,
+                        preconditioner=m)
+        assert int(res.status) == SolverStatus.SUCCESS
+        assert float(jnp.linalg.norm(b - a @ res.x)) <= 2e-10
+
+    def test_cap_block_granularity(self):
+        """The matvec cap is never exceeded; s-step may stop up to s-1
+        matvecs short of it."""
+        a = poisson_2d(10, dtype=np.float64)
+        b = a @ jnp.ones(100, jnp.float64)
+        res = smm.gmres(a, b, max_iterations=10, restart=32, s_step=4,
+                        epsilon=1e-14)
+        assert int(res.status) == SolverStatus.MAX_ITERATIONS_REACHED
+        assert int(res.iterations) <= 10
+        zero = smm.gmres(a, b, max_iterations=0, s_step=4)
+        assert int(zero.iterations) == 0
+
+    def test_trace_block_boundaries(self):
+        a = poisson_2d(10, dtype=np.float64)
+        b = a @ jnp.ones(100, jnp.float64)
+        res = smm.gmres(a, b, epsilon=1e-10, restart=16, s_step=4,
+                        record_residuals=True)
+        tr = np.asarray(res.residual_trace)
+        assert np.isfinite(tr[0])
+        finite = np.isfinite(tr).nonzero()[0]
+        # estimates land on block boundaries only
+        assert all(i % 4 == 0 for i in finite)
