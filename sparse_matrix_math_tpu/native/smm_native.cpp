@@ -18,6 +18,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <vector>
 
 #if defined(_OPENMP)
@@ -48,6 +49,23 @@ inline int thread_count() {
 // passes) bits with passes = ceil(key_bits / 13), so a 26-bit key takes
 // 2x13-bit passes instead of 3x11 (8192-bucket histograms are still
 // L2-resident per thread).
+// Persistent grow-only workspaces: the build calls these entry points
+// several times per chain with ~100-700 MB of scratch each; freeing
+// the buffers hands the pages back to the OS (glibc munmaps blocks
+// this large), so EVERY call used to re-pay first-touch page faults —
+// measured ~5x slower inside a process holding the TPU tunnel client
+// (3.84 s vs 0.79 s for one 12M-element level, round 5).  The
+// workspace mutex serializes the (single-threaded-in-practice)
+// entry points because ctypes releases the GIL.
+static std::mutex g_ws_mutex;
+static std::vector<uint64_t> g_ws_k0, g_ws_k1;
+static std::vector<int64_t> g_ws_p, g_ws_hist;
+
+template <typename T>
+static inline void ws_reserve(std::vector<T>& v, size_t need) {
+  if (v.size() < need) v.resize(need);
+}
+
 void radix_sort_perm(int64_t n, const uint64_t* key, int key_bits,
                      int64_t* perm_out) {
   if (n <= 0) return;
@@ -56,10 +74,14 @@ void radix_sort_perm(int64_t n, const uint64_t* key, int key_bits,
   const int digit_bits = (key_bits + passes - 1) / passes;
   const int buckets = 1 << digit_bits;
   const int T = thread_count();
-  std::vector<uint64_t> kbuf0(static_cast<size_t>(n));
-  std::vector<uint64_t> kbuf1(static_cast<size_t>(n));
-  std::vector<int64_t> pbuf(static_cast<size_t>(n));
-  std::vector<int64_t> hist(static_cast<size_t>(T) * buckets);
+  ws_reserve(g_ws_k0, static_cast<size_t>(n));
+  ws_reserve(g_ws_k1, static_cast<size_t>(n));
+  ws_reserve(g_ws_p, static_cast<size_t>(n));
+  ws_reserve(g_ws_hist, static_cast<size_t>(T) * buckets);
+  std::vector<uint64_t>& kbuf0 = g_ws_k0;
+  std::vector<uint64_t>& kbuf1 = g_ws_k1;
+  std::vector<int64_t>& pbuf = g_ws_p;
+  std::vector<int64_t>& hist = g_ws_hist;
   uint64_t* kcur = kbuf0.data();
   uint64_t* knxt = kbuf1.data();
   int64_t* pcur = perm_out;
@@ -771,6 +793,7 @@ int64_t smm_stream_pack_cf(int64_t n_elems, int64_t n_groups, int64_t wrows,
 // perm_out[i] = index of the i-th smallest key (ties in input order).
 void smm_sort_perm(int64_t n, const uint64_t* key, int key_bits,
                    int64_t* perm_out) {
+  std::lock_guard<std::mutex> lk(g_ws_mutex);
   radix_sort_perm(n, key, key_bits, perm_out);
 }
 
@@ -820,7 +843,15 @@ int64_t smm_stream_level(int64_t n, int64_t wrows, int64_t d, int64_t wt,
   if (n <= 0 || wrows <= 0 || d <= 0 || wt <= 0 || pos_bits <= 0 ||
       key_bits <= pos_bits || key_bits > 64)
     return -1;
-  std::vector<uint64_t> key(static_cast<size_t>(n));
+  std::lock_guard<std::mutex> lk(g_ws_mutex);
+  static std::vector<uint64_t> key_ws;
+  static std::vector<int64_t> perm_ws, scratch_ws;
+  ws_reserve(key_ws, static_cast<size_t>(n));
+  ws_reserve(perm_ws, static_cast<size_t>(n));
+  ws_reserve(scratch_ws, static_cast<size_t>(n));
+  std::vector<uint64_t>& key = key_ws;
+  std::vector<int64_t>& perm = perm_ws;
+  std::vector<int64_t>& scratch = scratch_ws;
   const uint64_t pos_mask = (pos_bits >= 64) ? ~0ull
                                              : ((1ull << pos_bits) - 1);
 #pragma omp parallel for schedule(static)
@@ -829,11 +860,9 @@ int64_t smm_stream_level(int64_t n, int64_t wrows, int64_t d, int64_t wt,
                        (static_cast<uint64_t>(leaf[i]) / wt) % d;
     key[i] = (p << pos_bits) | static_cast<uint64_t>(pos[i]);
   }
-  std::vector<int64_t> perm(static_cast<size_t>(n));
   radix_sort_perm(n, key.data(), static_cast<int>(key_bits), perm.data());
   // sorted prefix/pos come straight out of the gathered keys; the other
   // carried arrays permute through a scratch buffer
-  std::vector<int64_t> scratch(static_cast<size_t>(n));
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
     const uint64_t k = key[perm[i]];
