@@ -3,10 +3,14 @@
 The round-3 W-SELL strict-sweep apply was proven for SGS on SPD systems;
 this measures ILU(0) through the same strict W-SELL layouts on a >=1M-row
 UNSTRUCTURED NONSYMMETRIC system — sherman1_tiled (block-diagonal
-sherman1 copies, utils/generate.py; jitter=False keeps values consistent
-with the pattern so ILU0 factorizes — see the generator docstring), the
+sherman1 copies with random column jitter, utils/generate.py), the
 "oil reservoir at benchmark scale" class the reference's own
 nonsymmetric coverage (sherman1, test/cpp/bicgstab.cpp) comes from.
+Jittered values hit a data-dependent zero ILU0 pivot; since round 5 the
+factorisation escalates through diagonal shifts
+(ILU0Preconditioner.from_matrix pivot_shift='auto'), so the benchmark
+runs the honest jittered system by default (--no-jitter restores the
+round-4 curated variant).
 
 Measured: plain vs ILU0-preconditioned BiCGStab and GMRES(32), f32, on
 the W-SELL operator; results recorded in docs/BENCH_NOTES.md.
@@ -43,9 +47,9 @@ def timed(solver, op, b, eps, pre=None, maxiter=4000, reps=2):
     return res, best
 
 
-def main():
+def main(jitter=True):
     t0 = time.time()
-    a = sherman1_tiled(COPIES, dtype=np.float32, jitter=False)
+    a = sherman1_tiled(COPIES, dtype=np.float32, jitter=jitter)
     print(f"matrix: n={a.shape[0]} nnz={a.nnz} build={time.time()-t0:.1f}s",
           flush=True)
     t0 = time.time()
@@ -61,6 +65,7 @@ def main():
     t0 = time.time()
     ilu = ILU0Preconditioner.from_matrix(a, sweeps=3)
     print(f"ilu0: factor+layout build={time.time()-t0:.1f}s "
+          f"shift={ilu.shift:.3e} "
           f"L_wsell={ilu.lower.wsell is not None} "
           f"U_wsell={ilu.upper.wsell is not None}", flush=True)
     ilu6 = ILU0Preconditioner.from_matrix(a, sweeps=6)
@@ -91,4 +96,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-jitter", action="store_true",
+                    help="round-4 curated variant (values on sherman1's "
+                         "exact pattern)")
+    args = ap.parse_args()
+    main(jitter=not args.no_jitter)
