@@ -144,7 +144,7 @@ def main(argv=None) -> int:
                              "gmres"])
     ps.add_argument("--preconditioner", default="none",
                     choices=["none", "jacobi", "sgs", "ilu0", "ic0",
-                             "chebyshev"])
+                             "chebyshev", "multigrid"])
     ps.add_argument("--tol", type=float, default=1e-8)
     ps.add_argument("--max-iterations", type=int, default=-1)
     ps.add_argument("--rhs", default="ones",

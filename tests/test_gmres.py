@@ -240,3 +240,19 @@ class TestCaGmres:
         finite = np.isfinite(tr).nonzero()[0]
         # estimates land on block boundaries only
         assert all(i % 4 == 0 for i in finite)
+
+    def test_sherman1_ilu0_sstep(self):
+        """The reference's hard nonsymmetric asset through the s-step
+        path with right ILU0 — the realistic production configuration
+        of the 4.1x-faster variant."""
+        from sparse_matrix_math_tpu.precond.preconditioners import (
+            get_preconditioner,
+        )
+
+        a = smm.load_matrix_csr(f"{ASSETS}/sherman1_1000_1000_2375.mtx")
+        b = a @ jnp.ones(1000, jnp.float64)
+        m = get_preconditioner(a, "ilu0")
+        res = smm.gmres(a, b, epsilon=1e-8, restart=48, s_step=4,
+                        preconditioner=m)
+        assert int(res.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-6)
