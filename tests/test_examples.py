@@ -67,3 +67,9 @@ def test_accuracy_autopilot_example(capsys):
     out = capsys.readouterr().out
     assert "floor_hit = " in out
     assert "DfSolveResult SUCCESS" in out
+
+
+def test_poisson3d_1e8_example(capsys):
+    _load("poisson3d_1e8").main(11)
+    out = capsys.readouterr().out
+    assert "SUCCESS" in out
