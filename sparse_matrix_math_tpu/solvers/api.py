@@ -159,7 +159,10 @@ class SolverConfig:
     method: str = "cg"
     epsilon: float = 1e-8
     max_iterations: int = -1          # -1 => n, reference convention
-    preconditioner: str = "none"      # none/jacobi/sgs/ilu0/ic0
+    # kind string (none/jacobi/sgs/ilu0/ic0/chebyshev/multigrid) or any
+    # OBJECT with apply(r) -> z — both ride the f32 path AND the df64
+    # escalation path
+    preconditioner: str = "none"
     preconditioner_options: Dict[str, Any] = dataclasses.field(
         default_factory=dict
     )
