@@ -170,6 +170,7 @@ def _cg_multi_loop(
     eps2 = eps * eps
     m = b.shape[1]
 
+    from ..formats.dia import DIAMatrix
     from ..formats.stencil import GridStencilMatrix
 
     if isinstance(a, GridStencilMatrix):
@@ -182,6 +183,35 @@ def _cg_multi_loop(
 
         def drop(X):
             return X.reshape(m, -1).T
+    elif isinstance(a, DIAMatrix) and a.offsets:
+        # explicit leading-batch DIA apply (shifts move to the LAST
+        # axis): same hazard class as the stencil branch — vmapping
+        # pad/slice code is a TPU compile trap, and _probe_mode only
+        # checks traceability, not compile quality
+        extra = 1
+        n_rows, n_cols = a.shape
+        lpad = max(-min(a.offsets), 0)
+        rpad = max(max(a.offsets) + n_rows - n_cols, 0)
+        dia_offsets, dia_diags = a.offsets, a.diags
+
+        def matvec(xT):  # (m, n_cols) -> (m, n_rows)
+            xp = jnp.pad(xT, ((0, 0), (lpad, rpad)))
+            y = jnp.zeros(
+                (xT.shape[0], n_rows),
+                jnp.result_type(dia_diags.dtype, xT.dtype),
+            )
+            for d, off in enumerate(dia_offsets):
+                window = jax.lax.slice_in_dim(
+                    xp, lpad + off, lpad + off + n_rows, axis=1
+                )
+                y = y + dia_diags[d][None, :] * window
+            return y
+
+        def lift(B2):
+            return B2.T
+
+        def drop(X):
+            return X.T
     else:
         extra = 1
         mv1 = matvec_fn(a)
