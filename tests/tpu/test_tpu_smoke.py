@@ -247,3 +247,57 @@ def test_grid_stencil_solve_on_chip(smm, jnp):
     np.testing.assert_allclose(
         np.asarray(res.x), np.asarray(ref.x), rtol=1e-4, atol=1e-4
     )
+
+
+def test_hbm_regime_cg_on_chip(smm, jnp):
+    """Round 5: the host-driven HBM-regime CG path on hardware (forced
+    via the byte threshold) matches the jitted grid core."""
+    from sparse_matrix_math_tpu.formats.stencil import (
+        try_grid_stencil_from_csr,
+    )
+    from sparse_matrix_math_tpu.solvers import _stencil
+    from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+    st = try_grid_stencil_from_csr(poisson_2d(160, dtype=np.float32))
+    b = st @ jnp.ones((st.shape[0],), jnp.float32)
+    ref = smm.cg(st, b, epsilon=1e-4)
+    old = _stencil._HBM_REGIME_BYTES
+    try:
+        _stencil._HBM_REGIME_BYTES = 0
+        hbm = smm.cg(st, b, epsilon=1e-4)
+    finally:
+        _stencil._HBM_REGIME_BYTES = old
+    assert int(hbm.status) == int(ref.status) == 0
+    np.testing.assert_allclose(
+        np.asarray(hbm.x), np.asarray(ref.x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_sstep_gmres_on_chip(smm, jnp):
+    """Round 5: the communication-avoiding GMRES path compiles and
+    converges on hardware with a verified true residual."""
+    from sparse_matrix_math_tpu.utils.generate import convection_diffusion_2d
+
+    a = convection_diffusion_2d(96, dtype=np.float32)
+    b = a @ jnp.ones((a.shape[0],), jnp.float32)
+    res = smm.gmres(a, b, epsilon=1e-3, restart=32, s_step=4)
+    assert int(res.status) == 0
+    true = float(jnp.linalg.norm(b - a @ res.x))
+    assert true <= 1e-3 * 1.01
+
+
+def test_panel_solve_on_chip(smm, jnp):
+    """Round 5: leading-batch panel cg_multi on hardware."""
+    from sparse_matrix_math_tpu.formats.stencil import (
+        try_grid_stencil_from_csr,
+    )
+    from sparse_matrix_math_tpu.solvers.block import cg_multi
+    from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+    st = try_grid_stencil_from_csr(poisson_2d(96, dtype=np.float32))
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((st.shape[0], 4)), jnp.float32)
+    B = st @ X
+    eps = 1e-3 * float(jnp.linalg.norm(B, axis=0).min())
+    res = cg_multi(st, B, epsilon=eps, max_iterations=2000)
+    assert all(int(v) == 0 for v in np.asarray(res.status))
