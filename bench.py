@@ -219,9 +219,43 @@ def _routed_build_probe(timeout_s: int = 900):
     return None
 
 
+def _arm_watchdog(seconds: float):
+    """Emit an honest error artifact and exit if the bench hangs.
+
+    _probe_backend guards INIT hangs, but the tunnel has also been
+    observed dropping MID-RUN (round 5: a device wait that never
+    returned, 0 CPU for 40+ minutes).  Signals cannot interrupt the
+    uninterruptible C call, but a daemon thread can still write the
+    driver-facing JSON line and exit the process — an honest one-line
+    error beats a silent hang with no artifact at all."""
+    import os as _os
+    import threading
+
+    state = {"done": False}
+
+    def fire():
+        if state["done"]:
+            return
+        print(json.dumps({
+            "metric": "spmv_in_solver_poisson2d_10Mnnz_f32",
+            "value": 0.0,
+            "unit": "GNNZ/s",
+            "vs_baseline": 0.0,
+            "error": f"bench exceeded {int(seconds)}s (tunnel dropped "
+                     "mid-run?); aborted by watchdog rather than hung",
+        }), flush=True)
+        _os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return state
+
+
 def main() -> None:
     # host-side build probe FIRST (clean host — see _routed_build_probe)
     routed_probe = _routed_build_probe()
+    watchdog = _arm_watchdog(3600.0)
     if not _probe_backend():
         print(json.dumps({
             "metric": "spmv_in_solver_poisson2d_10Mnnz_f32",
@@ -1179,6 +1213,7 @@ def main() -> None:
                                 "bench_detail.json")
     with open(detail_path, "w") as f:
         json.dump(payload, f, indent=1)
+    watchdog["done"] = True
     print(json.dumps({
         "metric": payload["metric"],
         "value": payload["value"],
