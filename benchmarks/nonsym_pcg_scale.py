@@ -22,6 +22,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon plugin shadows the env var; pin explicitly for CPU smokes
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,9 +52,9 @@ def timed(solver, op, b, eps, pre=None, maxiter=4000, reps=2):
     return res, best
 
 
-def main(jitter=True):
+def main(jitter=True, copies=COPIES):
     t0 = time.time()
-    a = sherman1_tiled(COPIES, dtype=np.float32, jitter=jitter)
+    a = sherman1_tiled(copies, dtype=np.float32, jitter=jitter)
     print(f"matrix: n={a.shape[0]} nnz={a.nnz} build={time.time()-t0:.1f}s",
           flush=True)
     t0 = time.time()
@@ -102,5 +107,7 @@ if __name__ == "__main__":
     ap.add_argument("--no-jitter", action="store_true",
                     help="round-4 curated variant (values on sherman1's "
                          "exact pattern)")
+    ap.add_argument("--copies", type=int, default=COPIES,
+                    help="sherman1 tile count (1100 = 1.1M rows)")
     args = ap.parse_args()
-    main(jitter=not args.no_jitter)
+    main(jitter=not args.no_jitter, copies=args.copies)
