@@ -246,3 +246,31 @@ def test_broken_column_keeps_last_finite_iterate():
     assert bool(jnp.isfinite(res.residual_norm[0]))
     assert int(res.status[1]) == SolverStatus.SUCCESS
     np.testing.assert_allclose(np.asarray(res.x[:, 1]), 1.0, atol=1e-7)
+
+
+def test_cg_multi_stencil_preconditioned_matches_csr():
+    """Stencil-layout panels + a preconditioner: the apply crosses
+    through the user-facing (n, m) layout (solvers/block.py mapply
+    lift/drop) — must match the CSR panel route column-for-column."""
+    import numpy as np
+
+    from sparse_matrix_math_tpu.formats.stencil import (
+        try_grid_stencil_from_csr,
+    )
+    from sparse_matrix_math_tpu.precond.preconditioners import (
+        get_preconditioner,
+    )
+    from sparse_matrix_math_tpu.utils.generate import poisson_2d
+
+    a = poisson_2d(24, dtype=np.float64)
+    st = try_grid_stencil_from_csr(a)
+    assert st is not None
+    rng = np.random.default_rng(3)
+    B = jnp.asarray(a @ jnp.asarray(rng.standard_normal((a.shape[0], 3))))
+    m = get_preconditioner(a, "jacobi")
+    ref = smm.cg_multi(a, B, epsilon=1e-10, preconditioner=m)
+    got = smm.cg_multi(st, B, epsilon=1e-10, preconditioner=m)
+    assert all(int(v) == 0 for v in np.asarray(got.status))
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), atol=1e-8
+    )
