@@ -53,7 +53,7 @@ from ..solvers.chebyshev import chebyshev_core
 from ..solvers.gmres import gmres_core
 from ..solvers.pipelined import cg_pipelined_core
 from ..solvers.types import SolveResult, resolve_max_iterations
-from .mesh import ROW_AXIS, gather_to_host, make_mesh, put_sharded
+from .mesh import ROW_AXIS, gather_to_host, make_mesh, resolve_mesh, put_sharded
 
 __all__ = [
     "DistCSR",
@@ -414,7 +414,9 @@ def distribute_preconditioner(
     become distributed Jacobi sweeps (exact when the factor's
     level-schedule depth is reached — precond/trisolve.py).
     """
-    mesh = mesh if mesh is not None else make_mesh()
+    mesh = resolve_mesh(
+        mesh, dist.data, n_shards=dist.n_shards, axis=dist.axis
+    )
     if precond is None or isinstance(precond, IdentityPreconditioner):
         return DistPreconditioner(kind="none", arrays=(), statics=())
     if isinstance(precond, JacobiPreconditioner):
@@ -639,7 +641,9 @@ def dist_solve(
     """
     if solver not in _CORES:
         raise ValueError(f"unknown solver {solver!r}; options: {sorted(_CORES)}")
-    mesh = mesh if mesh is not None else make_mesh()
+    mesh = resolve_mesh(
+        mesh, a.data, n_shards=a.n_shards, axis=a.axis
+    )
     if preconditioner is not None and solver not in (
         "cg", "bicgstab", "gmres"
     ):

@@ -58,7 +58,7 @@ from ..solvers.ir_df64 import ir_df_core
 from ..solvers.types import resolve_max_iterations
 from .dist import _psum_dot
 from .dist_dia import _local_dia_spmv
-from .mesh import ROW_AXIS, gather_to_host, make_mesh, put_sharded
+from .mesh import ROW_AXIS, gather_to_host, make_mesh, resolve_mesh, put_sharded
 
 __all__ = [
     "DistDfDia",
@@ -255,7 +255,9 @@ def _dist_ir_df64(
     max_outer: int = 60,
     mesh: Optional[jax.sharding.Mesh] = None,
 ) -> DfSolveResult:
-    mesh = mesh if mesh is not None else make_mesh()
+    mesh = resolve_mesh(
+        mesh, a.diags_hi, n_shards=a.n_shards, axis=a.axis
+    )
     if not float(epsilon) ** 2 > 0.0 or float(epsilon) < 2e-19:
         raise ValueError(
             "epsilon must satisfy eps^2 > f32 tiny (eps >= ~2e-19); "

@@ -41,7 +41,7 @@ from jax.sharding import PartitionSpec as P
 from ..formats.dia import DIAMatrix
 from ..solvers.types import SolveResult, resolve_max_iterations
 from .dist import _CORES, _psum_dot, distribute_vector
-from .mesh import ROW_AXIS, make_mesh, put_sharded
+from .mesh import ROW_AXIS, make_mesh, resolve_mesh, put_sharded
 
 __all__ = ["DistDIA", "distribute_dia", "dist_dia_spmv", "dist_dia_solve"]
 
@@ -215,7 +215,9 @@ def dist_dia_solve(
             "dist_dia_solve supports cg/bicg_symmetric/cgs/bicgstab, "
             f"got {solver!r}"
         )
-    mesh = mesh if mesh is not None else make_mesh()
+    mesh = resolve_mesh(
+        mesh, a.diags, n_shards=a.n_shards, axis=a.axis
+    )
 
     b_arr = np.asarray(b) if not isinstance(b, jnp.ndarray) else b
     if b_arr.shape[0] != a.padded_rows:

@@ -54,7 +54,7 @@ from ..solvers.multigrid import (
     _tridiag_apply,
 )
 from ..solvers.types import RUNNING, SolveResult, SolverStatus
-from .mesh import ROW_AXIS, make_mesh, put_sharded
+from .mesh import ROW_AXIS, make_mesh, resolve_mesh, put_sharded
 
 __all__ = [
     "DistPoissonMG",
@@ -373,7 +373,9 @@ def dist_mg_vcycle(
     """One distributed V-cycle z ~= A^{-1} r (flat in/out) — the
     distributed twin of ``PoissonMultigrid.apply``, exposed for parity
     tests and custom outer loops."""
-    mesh = mesh if mesh is not None else make_mesh()
+    mesh = resolve_mesh(
+        mesh, a.masks[0], n_shards=a.n_shards, axis=a.axis
+    )
     fn = _dist_mg_vcycle_jit(mesh, a.axis, a.m0s, a.n_levels_dist)
     return _from_grid(
         a, fn((a.ax0, a.winv, a.masks), a.inner, _to_blocks(a, r, mesh))
@@ -427,7 +429,9 @@ def dist_mg_solve(
     """
     if solver not in ("pcg", "cg", "mg"):
         raise ValueError(f"dist_mg_solve supports pcg/cg/mg, got {solver!r}")
-    mesh = mesh if mesh is not None else make_mesh()
+    mesh = resolve_mesh(
+        mesh, a.masks[0], n_shards=a.n_shards, axis=a.axis
+    )
 
     n = a.shape[0]
     b_blocks = _to_blocks(a, b, mesh)

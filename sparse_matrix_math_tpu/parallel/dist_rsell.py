@@ -44,7 +44,7 @@ from ..formats.wsell import SLAB, WSellMatrix, _round_up, chunk_for
 from ..solvers.types import SolveResult, resolve_max_iterations
 from .dist import _CORES, _psum_dot, distribute_vector
 from .dist_wsell import _mesh_interpret
-from .mesh import ROW_AXIS, make_mesh, put_sharded
+from .mesh import ROW_AXIS, make_mesh, resolve_mesh, put_sharded
 
 __all__ = [
     "DistRouted", "distribute_routed", "dist_routed_spmv",
@@ -310,7 +310,9 @@ def dist_routed_solve(
             "dist_routed_solve supports cg/bicg_symmetric/cgs/bicgstab/"
             f"gmres, got {solver!r}"
         )
-    mesh = mesh if mesh is not None else make_mesh()
+    mesh = resolve_mesh(
+        mesh, a.final_vals, n_shards=a.n_shards, axis=a.axis
+    )
 
     b_arr = np.asarray(b) if not isinstance(b, jnp.ndarray) else b
     if b_arr.shape[0] != a.padded_rows:

@@ -29,7 +29,7 @@ from jax.sharding import PartitionSpec as P
 from ..formats.stencil import GridStencilMatrix, _strides
 from ..solvers.types import SolveResult, resolve_max_iterations
 from .dist import _CORES, _psum_dot, distribute_vector
-from .mesh import ROW_AXIS, make_mesh
+from .mesh import ROW_AXIS, make_mesh, put_sharded, resolve_mesh
 
 __all__ = [
     "DistStencil", "distribute_stencil", "dist_stencil_spmv",
@@ -102,7 +102,10 @@ def distribute_stencil(
             "use distribute_csr in allgather mode"
         )
     return DistStencil(
-        coeffs=st.coeffs,
+        # replicated over the mesh (not a bare device array) so the
+        # solve-time default mesh can be derived from the operand
+        # (mesh.resolve_mesh) even in matrix-free layouts
+        coeffs=put_sharded(np.asarray(st.coeffs), mesh, P()),
         doffs=st.doffs,
         dims=st.dims,
         shape=st.shape,
@@ -209,7 +212,9 @@ def dist_stencil_solve(
             "dist_stencil_solve supports cg/bicg_symmetric/cgs/bicgstab, "
             f"got {solver!r}"
         )
-    mesh = mesh if mesh is not None else make_mesh()
+    mesh = resolve_mesh(
+        mesh, a.coeffs, n_shards=a.n_shards, axis=a.axis
+    )
 
     b_arr = np.asarray(b) if not isinstance(b, jnp.ndarray) else b
     if b_arr.shape[0] != a.padded_rows:

@@ -36,7 +36,7 @@ from ..formats.csr import CSRMatrix, _csr_from_sorted_host
 from ..formats.wsell import SLAB, WSellMatrix, _round_up, wsell_from_csr
 from ..solvers.types import SolveResult, resolve_max_iterations
 from .dist import _CORES, _psum_dot, distribute_vector
-from .mesh import ROW_AXIS, make_mesh, put_sharded
+from .mesh import ROW_AXIS, make_mesh, resolve_mesh, put_sharded
 
 __all__ = ["DistWSell", "distribute_wsell", "dist_wsell_spmv", "dist_wsell_solve"]
 
@@ -255,7 +255,9 @@ def dist_wsell_solve(
             "dist_wsell_solve supports cg/bicg_symmetric/cgs/bicgstab/"
             f"gmres, got {solver!r}"
         )
-    mesh = mesh if mesh is not None else make_mesh()
+    mesh = resolve_mesh(
+        mesh, a.vals, n_shards=a.n_shards, axis=a.axis
+    )
 
     b_arr = np.asarray(b) if not isinstance(b, jnp.ndarray) else b
     if b_arr.shape[0] != a.padded_rows:

@@ -29,6 +29,8 @@ import numpy as np
 __all__ = [
     "ROW_AXIS",
     "make_mesh",
+    "mesh_of",
+    "resolve_mesh",
     "row_sharding",
     "replicated_sharding",
     "init_distributed",
@@ -118,6 +120,45 @@ def make_mesh(
                 )
             devices = devices[:n_devices]
     return jax.sharding.Mesh(np.asarray(devices), (axis,))
+
+
+def mesh_of(*arrays) -> Optional[jax.sharding.Mesh]:
+    """The concrete Mesh an already-placed array lives on, or None.
+
+    Solve-time entry points default to the mesh their distributed
+    operand was BUILT on: a process whose default device list differs
+    from the build mesh (e.g. an accelerator plugin registered alongside
+    the virtual-CPU mesh — ``jax.devices()`` then returns the 1-chip
+    accelerator list) must not silently ``shard_map`` an 8-shard operand
+    over a 1-device axis; the mismatch used to surface as a cryptic
+    broadcast error deep inside the local SpMV.
+    """
+    for x in arrays:
+        mesh = getattr(getattr(x, "sharding", None), "mesh", None)
+        if isinstance(mesh, jax.sharding.Mesh):
+            return mesh
+    return None
+
+
+def resolve_mesh(
+    mesh: Optional[jax.sharding.Mesh],
+    *arrays,
+    n_shards: Optional[int] = None,
+    axis: str = ROW_AXIS,
+) -> jax.sharding.Mesh:
+    """An explicit ``mesh``, else the operand arrays' mesh (:func:`mesh_of`),
+    else :func:`make_mesh` — validated against the operand's shard count."""
+    if mesh is None:
+        mesh = mesh_of(*arrays)
+        if mesh is None:
+            mesh = make_mesh()
+    if n_shards is not None and mesh.shape[axis] != n_shards:
+        raise ValueError(
+            f"mesh has {mesh.shape[axis]} devices on axis {axis!r} but the "
+            f"distributed operand was built for {n_shards} shards; pass the "
+            "mesh it was distributed over"
+        )
+    return mesh
 
 
 def row_sharding(mesh: jax.sharding.Mesh, *, axis: str = ROW_AXIS):

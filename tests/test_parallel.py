@@ -401,3 +401,79 @@ class TestDistWSell:
         dense[0, n - 1] = 1.0  # couples across the whole matrix
         with pytest.raises(ValueError, match="neighbor window"):
             distribute_wsell(csr_from_dense(dense), mesh)
+
+
+class TestMeshResolution:
+    """Solve-time entry points derive their default mesh from the
+    OPERAND's sharding, not from jax.devices() (parallel/mesh.py:
+    resolve_mesh).  A process whose default device list differs from the
+    build mesh — e.g. an accelerator plugin registered alongside the
+    virtual-CPU mesh — used to shard_map an 8-shard operand over a
+    1-device axis and die with a broadcast error inside the local SpMV
+    (observed round 5 in the df64 dryrun path)."""
+
+    def test_solve_defaults_to_operand_mesh(self):
+        # 4-device submesh: make_mesh() would default to all 8 devices
+        # and mis-shard; deriving from the operand must find the 4
+        sub = make_mesh(4)
+        a = poisson_2d(12, dtype=np.float32)
+        da = distribute_csr(a, sub)
+        b = _ones_system(a)
+        res = dist_solve(da, b, solver="cg", epsilon=l2_eps(np.float32))
+        assert int(res.status) == SolverStatus.SUCCESS
+        np.testing.assert_allclose(collect(res.x, da), 1.0, atol=5e-3)
+
+    def test_dia_and_df64_default_mesh(self):
+        from sparse_matrix_math_tpu.formats.dia import dia_from_csr
+        from sparse_matrix_math_tpu.ops.df32 import DfDiaMatrix
+        from sparse_matrix_math_tpu.parallel import (
+            dist_cg_ir_df64,
+            dist_dia_solve,
+            distribute_df_dia,
+            distribute_dia,
+        )
+
+        sub = make_mesh(4)
+        a = poisson_2d(8, dtype=np.float32)
+        b = _ones_system(a)
+        dd = distribute_dia(dia_from_csr(a), sub)
+        res = dist_dia_solve(dd, b, solver="cg", epsilon=l2_eps(np.float32))
+        assert int(res.status) == SolverStatus.SUCCESS
+
+        a64 = poisson_2d(8, dtype=np.float64)
+        dfa = DfDiaMatrix.from_host_csr(
+            np.asarray(a64.data, np.float64),
+            np.asarray(a64.indices, np.int64),
+            np.asarray(a64.indptr, np.int64),
+            a64.shape,
+        )
+        ddf = distribute_df_dia(dfa, sub)
+        res7 = dist_cg_ir_df64(ddf, b.astype(np.float64), max_iterations=64)
+        assert np.isfinite(res7.x_f64()).all()
+        np.testing.assert_allclose(res7.x_f64(), 1.0, atol=1e-7)
+
+    def test_mismatched_mesh_rejected(self):
+        sub = make_mesh(4)
+        a = poisson_2d(12, dtype=np.float32)
+        da = distribute_csr(a, sub)
+        with pytest.raises(ValueError, match="4 shards"):
+            dist_solve(da, _ones_system(a), solver="cg", mesh=make_mesh(8))
+
+    def test_stencil_default_mesh(self):
+        from sparse_matrix_math_tpu.formats.stencil import (
+            try_grid_stencil_from_csr,
+        )
+        from sparse_matrix_math_tpu.parallel import (
+            dist_stencil_solve,
+            distribute_stencil,
+        )
+
+        sub = make_mesh(4)
+        a = poisson_2d(12, dtype=np.float32)
+        st = try_grid_stencil_from_csr(a)
+        assert st is not None
+        dst = distribute_stencil(st, sub)
+        res = dist_stencil_solve(
+            dst, _ones_system(a), solver="cg", epsilon=l2_eps(np.float32)
+        )
+        assert int(res.status) == SolverStatus.SUCCESS
