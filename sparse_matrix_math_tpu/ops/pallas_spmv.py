@@ -50,6 +50,21 @@ def fits_in_vmem(n: int, dtype) -> bool:
     return n * jnp.dtype(dtype).itemsize <= _VMEM_X_LIMIT
 
 
+def default_rows_blk(ndiags: int, itemsize: int = 4) -> int:
+    """Largest 8-aligned row block whose double-buffered diagonal slab
+    (2 x ndiags x rows_blk x 128 x itemsize) stays within ~12 MB of the
+    16 MB scoped-VMEM budget — room must remain for the x window, the
+    output tile, and semaphores.  512 for narrow stencils (<= 22
+    diagonals at f32 — the measured sweet spot for the 5/7/9-point
+    families); halves as the stencil widens (27-point 3-D -> 256).  A
+    fixed 512 block at 27 diagonals double-buffers 2 x 6.9 MB and dies
+    at compile time with a scoped-VMEM stack overflow."""
+    rb = 512
+    while rb > 64 and 2 * ndiags * rb * _LANE * itemsize > 12 * 2**20:
+        rb //= 2
+    return rb
+
+
 # -- DIA stencil kernel -------------------------------------------------------
 
 
@@ -93,7 +108,7 @@ def _dia_spmv_call(diags, x, *, offsets, shape, interpret=False):
     dtype = jnp.result_type(diags.dtype, x.dtype)
     ndiags = len(offsets)
 
-    rows_blk = 512                      # 512 sublanes x 128 lanes = 64k elems
+    rows_blk = default_rows_blk(ndiags, jnp.dtype(dtype).itemsize)
     block = rows_blk * _LANE
     n_pad = _round_up(n_rows, block)
     grid = n_pad // block
@@ -195,7 +210,7 @@ def _dia_layout_params(offsets, shape, rows_blk: int):
     return lblk, nblk, rblk, total
 
 
-def pad_dia(a: DIAMatrix, rows_blk: int = 512, geometry_offsets=None) -> PaddedDIA:
+def pad_dia(a: DIAMatrix, rows_blk: int = None, geometry_offsets=None) -> PaddedDIA:
     """One-time layout transform for :class:`PaddedDIA`.
 
     Works both host-side (concrete arrays) and under a jit trace (the pad
@@ -210,6 +225,11 @@ def pad_dia(a: DIAMatrix, rows_blk: int = 512, geometry_offsets=None) -> PaddedD
     geo = a.offsets if geometry_offsets is None else tuple(geometry_offsets)
     if geometry_offsets is not None and not set(a.offsets) <= set(geo):
         raise ValueError("geometry_offsets must be a superset of a.offsets")
+    if rows_blk is None:
+        # size for the GEOMETRY's diagonal count: matrices sharing one
+        # layout (full A + its strict factors) must agree on rows_blk,
+        # and the widest of them bounds the kernel slab
+        rows_blk = default_rows_blk(len(geo), jnp.dtype(a.dtype).itemsize)
     lblk, nblk, rblk, total = _dia_layout_params(geo, a.shape, rows_blk)
     blk = rows_blk * _LANE
     lead = lblk * blk
@@ -467,9 +487,12 @@ class PaddedDfDia:
         return jax.lax.slice(xp.reshape(-1), (lead,), (lead + self.shape[0],))
 
 
-def pad_dia_df(dfa, rows_blk: int = 512) -> PaddedDfDia:
+def pad_dia_df(dfa, rows_blk: int = None) -> PaddedDfDia:
     """One-time layout transform DfDiaMatrix -> PaddedDfDia."""
     n_rows, _ = dfa.shape
+    if rows_blk is None:
+        # the df kernel double-buffers BOTH word slabs (hi + lo)
+        rows_blk = default_rows_blk(2 * len(dfa.offsets))
     lblk, nblk, rblk, total = _dia_layout_params(
         dfa.offsets, dfa.shape, rows_blk
     )

@@ -183,12 +183,21 @@ def _rmult_dia(a: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
             return p.from_padded(pallas_spmv.dia_spmv_streamed(p, p.to_padded(x)))
         except Exception as e:
             _warn_pallas_fallback(e)
-    # Static-offset shifted reads: pad x once, then every diagonal is a
-    # contiguous static slice (no gather at all) — XLA fuses the whole
-    # thing into elementwise FMAs over contiguous memory, which on TPU is
-    # pure VPU work at HBM bandwidth.  Out-of-range slots read padding
-    # zeros, and DIA construction guarantees their stored values are 0
-    # (formats/dia.py), so no masking is needed.
+    return dia_rmult_xla(a, x)
+
+
+def dia_rmult_xla(a: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """The XLA shifted-slice DIA SpMV — public for callers that must
+    avoid the Pallas path entirely (e.g. mixed_cg's fallback after a
+    Mosaic compile refusal, where a per-call retry inside an outer jit
+    would refuse again at that jit's own compile).
+
+    Static-offset shifted reads: pad x once, then every diagonal is a
+    contiguous static slice (no gather at all) — XLA fuses the whole
+    thing into elementwise FMAs over contiguous memory, which on TPU is
+    pure VPU work at HBM bandwidth.  Out-of-range slots read padding
+    zeros, and DIA construction guarantees their stored values are 0
+    (formats/dia.py), so no masking is needed."""
     n_rows, n_cols = a.shape
     lpad = max(-min(a.offsets), 0)
     rpad = max(max(a.offsets) + n_rows - n_cols, 0)

@@ -60,15 +60,21 @@ class PaddedSGS:
 
     @classmethod
     def from_dia(
-        cls, a: DIAMatrix, *, sweeps: int = 2, rows_blk: int = 512
+        cls, a: DIAMatrix, *, sweeps: int = 2, rows_blk: int = None
     ) -> "PaddedSGS":
         """Split a DIA matrix into D / strict-L / strict-U padded factors.
 
         Requires a stored main diagonal with ``|d_i| >= 1e-5`` on every
         row (the reference's SGS validity check, h:1690-1693).
         """
-        from ..ops.pallas_spmv import pad_dia
+        from ..ops.pallas_spmv import default_rows_blk, pad_dia
 
+        if rows_blk is None:
+            # match pad_dia's adaptive default for the FULL geometry so
+            # the factors and the matrix share one layout
+            rows_blk = default_rows_blk(
+                len(a.offsets), jnp.dtype(a.dtype).itemsize
+            )
         if int(sweeps) < 1:
             raise ValueError("sweeps must be >= 1")
         offsets = a.offsets

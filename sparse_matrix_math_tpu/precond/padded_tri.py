@@ -78,12 +78,16 @@ class PaddedTriPair:
 
     @classmethod
     def from_factors(
-        cls, lower, upper, a: DIAMatrix, *, rows_blk: int = 512
+        cls, lower, upper, a: DIAMatrix, *, rows_blk: int = None
     ) -> "PaddedTriPair":
         """Re-lay two TriangularMatrix factors (method='jacobi') against
         the geometry of the DIA matrix they precondition."""
-        from ..ops.pallas_spmv import pad_dia
+        from ..ops.pallas_spmv import default_rows_blk, pad_dia
 
+        if rows_blk is None:
+            rows_blk = default_rows_blk(
+                len(a.offsets), jnp.dtype(a.dtype).itemsize
+            )
         if lower.method != "jacobi" or upper.method != "jacobi":
             raise ValueError("padded factor pairs need method='jacobi'")
         geometry = a.offsets

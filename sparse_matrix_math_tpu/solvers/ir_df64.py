@@ -426,7 +426,7 @@ def _ir_front(
         from ..ops.pallas_spmv import pad_dia
 
         try:
-            rb = pre.rows_blk if pre_kind == "sgs" else 512
+            rb = pre.rows_blk if pre_kind == "sgs" else None
             pdia = pad_dia(a_in, rows_blk=rb)
             use_padded = True
         except Exception:  # pragma: no cover - geometry refusals

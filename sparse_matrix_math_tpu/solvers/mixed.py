@@ -172,10 +172,22 @@ def mixed_cg(
     maxiter = resolve_max_iterations(max_iterations, n)
     eps = jnp.asarray(epsilon, b.dtype)
     interpret = jax.default_backend() != "tpu"
-    return _mixed_cg_jit(
-        a, b, x0, eps, maxiter, jnp.dtype(matrix_dtype).name,
-        float(inner_rho), int(max_outer), interpret,
-    )
+    try:
+        return _mixed_cg_jit(
+            a, b, x0, eps, maxiter, jnp.dtype(matrix_dtype).name,
+            float(inner_rho), int(max_outer), interpret,
+        )
+    except Exception as e:  # Mosaic/VMEM refusals degrade gracefully,
+        # matching rmult's contract (ops/spmv.py:_warn_pallas_fallback);
+        # the XLA shifted-slice SpMV still halves the dominant diagonal
+        # stream with matrix_dtype storage
+        from ..ops.spmv import _warn_pallas_fallback
+
+        _warn_pallas_fallback(e)
+        return _mixed_cg_xla_jit(
+            a, b, x0, eps, maxiter, jnp.dtype(matrix_dtype).name,
+            float(inner_rho), int(max_outer),
+        )
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
@@ -212,3 +224,25 @@ def _mixed_cg_jit(
         inner_rho=inner_rho, max_outer=max_outer,
     )
     return dataclasses.replace(res, x=pdia_hi.from_padded(res.x))
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _mixed_cg_xla_jit(
+    a, b, x0, eps, maxiter: int, matrix_dtype: str, inner_rho: float,
+    max_outer: int,
+) -> SolveResult:
+    """Pallas-free variant of :func:`_mixed_cg_jit` — same ir_core
+    recursion, matvecs through the XLA shifted-slice DIA formulation."""
+    from ..ops.spmv import dia_rmult_xla
+
+    a_lo = dataclasses.replace(a, diags=a.diags.astype(matrix_dtype))
+
+    def dotfn(u, v):
+        return jnp.sum(u * v)
+
+    return ir_core(
+        lambda v: dia_rmult_xla(a, v),
+        lambda v: dia_rmult_xla(a_lo, v),
+        dotfn, b, x0, eps, maxiter,
+        inner_rho=inner_rho, max_outer=max_outer,
+    )

@@ -19,9 +19,9 @@ from ..formats.csr import CSRMatrix, _csr_from_sorted_host
 from ..formats.triplet import coo_from_arrays
 
 __all__ = [
-    "poisson_2d", "poisson_3d", "random_spd_csr", "laplace_1d",
-    "laplace_3d_jittered", "sherman1_tiled", "uniform_random_csr",
-    "convection_diffusion_2d",
+    "poisson_2d", "poisson_3d", "poisson_3d_27pt", "random_spd_csr",
+    "laplace_1d", "laplace_3d_jittered", "sherman1_tiled",
+    "uniform_random_csr", "convection_diffusion_2d",
 ]
 
 
@@ -98,6 +98,52 @@ def poisson_3d(nx: int, ny: int = None, nz: int = None, dtype=np.float64) -> CSR
     couple(iy < ny - 1, +nx)
     couple(idx >= nx * ny, -nx * ny)
     couple(idx < n - nx * ny, +nx * ny)
+
+    return _sorted_csr(
+        np.concatenate(rows),
+        np.concatenate(cols),
+        np.concatenate(vals).astype(dtype),
+        (n, n),
+    )
+
+
+def poisson_3d_27pt(
+    nx: int, ny: int = None, nz: int = None, dtype=np.float64
+) -> CSRMatrix:
+    """27-point 3-D Laplacian (all 26 grid neighbors coupled at -1,
+    diagonal 26) — the WIDE-stencil model problem.
+
+    SPD (symmetric, weakly diagonally dominant with strict dominance at
+    the boundary).  Where :func:`poisson_3d`'s 7 diagonals make the DIA
+    SpMV vector-traffic-bound, 27 diagonals make it MATRIX-stream-bound
+    (the regime the bf16 matrix_dtype split targets — solvers/mixed.py);
+    the small-integer values are exactly representable in bfloat16, so
+    the bf16-rounded operator equals the f32 one bit-for-bit.
+    """
+    ny = nx if ny is None else ny
+    nz = nx if nz is None else nz
+    n = nx * ny * nz
+    idx = np.arange(n, dtype=np.int64)
+    ix = idx % nx
+    iy = (idx // nx) % ny
+    iz = idx // (nx * ny)
+
+    rows = [idx]
+    cols = [idx]
+    vals = [np.full(n, 26.0)]
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == dy == dz == 0:
+                    continue
+                m = (
+                    (ix + dx >= 0) & (ix + dx < nx)
+                    & (iy + dy >= 0) & (iy + dy < ny)
+                    & (iz + dz >= 0) & (iz + dz < nz)
+                )
+                rows.append(idx[m])
+                cols.append(idx[m] + dx + dy * nx + dz * nx * ny)
+                vals.append(np.full(int(m.sum()), -1.0))
 
     return _sorted_csr(
         np.concatenate(rows),

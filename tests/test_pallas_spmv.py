@@ -230,3 +230,42 @@ class TestDfPaddedDiaKernel:
         )
         np.testing.assert_array_equal(np.asarray(rh), np.asarray(sh))
         np.testing.assert_array_equal(np.asarray(rl), np.asarray(sl))
+
+
+class TestWideStencilBlockSizing:
+    """default_rows_blk keeps the double-buffered diagonal slab within
+    scoped VMEM: a fixed 512-row block at 27 diagonals allocates
+    2 x 6.9 MB and dies at Mosaic compile time (observed round 5 on the
+    27-point 3-D Laplacian)."""
+
+    def test_block_shrinks_with_width(self):
+        from sparse_matrix_math_tpu.ops.pallas_spmv import default_rows_blk
+
+        assert default_rows_blk(5) == 512       # 5-point family unchanged
+        assert default_rows_blk(7) == 512
+        assert default_rows_blk(27) == 256      # 27-point 3-D
+        assert default_rows_blk(27, 2) == 512   # bf16 slab halves
+        # slab bound holds at every width
+        for nd in (1, 9, 27, 64, 128):
+            rb = default_rows_blk(nd)
+            assert 2 * nd * rb * 128 * 4 <= 12 * 2**20 or rb == 64
+
+    def test_27pt_padded_spmv_exact(self):
+        from sparse_matrix_math_tpu.formats.dia import dia_from_csr
+        from sparse_matrix_math_tpu.ops.pallas_spmv import (
+            dia_spmv_padded,
+            pad_dia,
+        )
+        from sparse_matrix_math_tpu.utils.generate import poisson_3d_27pt
+
+        a = poisson_3d_27pt(6, dtype=np.float32)
+        d = dia_from_csr(a)
+        p = pad_dia(d)
+        assert p.rows_blk == 256
+        x = np.random.default_rng(11).standard_normal(216).astype(np.float32)
+        yp = dia_spmv_padded(p, p.to_padded(jnp.asarray(x)), interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(p.from_padded(yp)),
+            np.asarray(d.rmult(jnp.asarray(x))),
+            rtol=2e-5, atol=2e-4,
+        )

@@ -89,3 +89,29 @@ class TestCheckpoint:
         assert a2.shape == a.shape
         assert a.has_same_nonzero_pattern(a2)
         np.testing.assert_array_equal(np.asarray(a.data), np.asarray(a2.data))
+
+
+class TestPoisson3d27pt:
+    """27-point generator (utils/generate.py:poisson_3d_27pt): symmetric,
+    26 on the diagonal, -1 on every 26-neighborhood coupling."""
+
+    def test_structure(self):
+        from sparse_matrix_math_tpu.utils.generate import poisson_3d_27pt
+
+        a = poisson_3d_27pt(3, dtype=np.float64)
+        d = np.asarray(a.to_dense())
+        assert np.array_equal(d, d.T)
+        assert (np.diag(d) == 26.0).all()
+        off = d - np.diag(np.diag(d))
+        assert set(np.unique(off)) == {-1.0, 0.0}
+        # corner row: 7 neighbors; center row: 26
+        assert (d[0] != 0).sum() == 8
+        assert (d[13] != 0).sum() == 27
+        assert np.linalg.eigvalsh(d).min() > 0  # SPD
+
+    def test_dia_width(self):
+        from sparse_matrix_math_tpu.formats.dia import dia_from_csr
+        from sparse_matrix_math_tpu.utils.generate import poisson_3d_27pt
+
+        d = dia_from_csr(poisson_3d_27pt(5, dtype=np.float32))
+        assert len(d.offsets) == 27
