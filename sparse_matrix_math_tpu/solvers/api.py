@@ -332,7 +332,8 @@ def solve(
                 f"{ndiags}-diagonal stencil: measured SLOWER than plain "
                 "f32 CG at matched true accuracy on this class "
                 "(docs/BENCH_NOTES.md round 4: 0.57-0.82x at n=2M, "
-                "5-point).  The bf16 stream wins on wide stencils or "
+                "5-point).  The bf16 stream wins on wide stencils "
+                "(measured 1.24x at 27 diagonals, round-5 notes) or "
                 "HBM-streamed sizes; drop matrix_dtype to use the f32 "
                 "fast path.",
                 PerformanceWarning,
