@@ -26,14 +26,18 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main(nx: int, eps: float) -> None:
+def main(nx: int, eps: float, family: str = "27pt") -> None:
     import numpy as np
 
     t0 = time.perf_counter()
     from sparse_matrix_math_tpu.formats.dia import dia_from_csr
-    from sparse_matrix_math_tpu.utils.generate import poisson_3d_27pt
+    from sparse_matrix_math_tpu.utils.generate import poisson_2d, poisson_3d_27pt
 
-    csr = poisson_3d_27pt(nx, dtype=np.float32)
+    csr = (
+        poisson_3d_27pt(nx, dtype=np.float32)
+        if family == "27pt"
+        else poisson_2d(nx, dtype=np.float32)
+    )
     dia = dia_from_csr(csr)
     build_s = time.perf_counter() - t0
 
@@ -79,7 +83,7 @@ def main(nx: int, eps: float) -> None:
         return float(jnp.linalg.norm(b - dia.rmult(x)))
 
     out = {
-        "system": f"poisson3d_27pt_{nx}^3",
+        "system": f"{family}_{nx}",
         "n": n,
         "nnz": dia.nnz,
         "ndiags": len(dia.offsets),
@@ -111,5 +115,6 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--nx", type=int, default=128)
     ap.add_argument("--eps", type=float, default=1e-4)
+    ap.add_argument("--family", choices=("27pt", "5pt"), default="27pt")
     args = ap.parse_args()
-    main(args.nx, args.eps)
+    main(args.nx, args.eps, args.family)

@@ -50,17 +50,22 @@ def fits_in_vmem(n: int, dtype) -> bool:
     return n * jnp.dtype(dtype).itemsize <= _VMEM_X_LIMIT
 
 
-def default_rows_blk(ndiags: int, itemsize: int = 4) -> int:
-    """Largest 8-aligned row block whose double-buffered diagonal slab
-    (2 x ndiags x rows_blk x 128 x itemsize) stays within ~12 MB of the
+def default_rows_blk(ndiags: int) -> int:
+    """Largest 8-aligned row block whose double-buffered f32 diagonal
+    slab (2 x ndiags x rows_blk x 128 x 4B) stays within ~12 MB of the
     16 MB scoped-VMEM budget — room must remain for the x window, the
     output tile, and semaphores.  512 for narrow stencils (<= 22
-    diagonals at f32 — the measured sweet spot for the 5/7/9-point
-    families); halves as the stencil widens (27-point 3-D -> 256).  A
-    fixed 512 block at 27 diagonals double-buffers 2 x 6.9 MB and dies
-    at compile time with a scoped-VMEM stack overflow."""
+    diagonals — the measured sweet spot for the 5/7/9-point families);
+    halves as the stencil widens (27-point 3-D -> 256).  A fixed 512
+    block at 27 diagonals double-buffers 2 x 6.9 MB and dies at compile
+    time with a scoped-VMEM stack overflow.
+
+    Deliberately dtype-agnostic: bf16 slabs FIT a 512 block at 27
+    diagonals but run SLOWER there than at the f32-sized 256 (measured
+    round 5: 395 vs ~190 us/iter inside the refinement inner on the
+    27-point/128^3 system) — size for f32 regardless of storage."""
     rb = 512
-    while rb > 64 and 2 * ndiags * rb * _LANE * itemsize > 12 * 2**20:
+    while rb > 64 and 2 * ndiags * rb * _LANE * 4 > 12 * 2**20:
         rb //= 2
     return rb
 
@@ -108,7 +113,7 @@ def _dia_spmv_call(diags, x, *, offsets, shape, interpret=False):
     dtype = jnp.result_type(diags.dtype, x.dtype)
     ndiags = len(offsets)
 
-    rows_blk = default_rows_blk(ndiags, jnp.dtype(dtype).itemsize)
+    rows_blk = default_rows_blk(ndiags)
     block = rows_blk * _LANE
     n_pad = _round_up(n_rows, block)
     grid = n_pad // block
@@ -229,7 +234,7 @@ def pad_dia(a: DIAMatrix, rows_blk: int = None, geometry_offsets=None) -> Padded
         # size for the GEOMETRY's diagonal count: matrices sharing one
         # layout (full A + its strict factors) must agree on rows_blk,
         # and the widest of them bounds the kernel slab
-        rows_blk = default_rows_blk(len(geo), jnp.dtype(a.dtype).itemsize)
+        rows_blk = default_rows_blk(len(geo))
     lblk, nblk, rblk, total = _dia_layout_params(geo, a.shape, rows_blk)
     blk = rows_blk * _LANE
     lead = lblk * blk

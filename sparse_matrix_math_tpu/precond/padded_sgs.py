@@ -72,9 +72,7 @@ class PaddedSGS:
         if rows_blk is None:
             # match pad_dia's adaptive default for the FULL geometry so
             # the factors and the matrix share one layout
-            rows_blk = default_rows_blk(
-                len(a.offsets), jnp.dtype(a.dtype).itemsize
-            )
+            rows_blk = default_rows_blk(len(a.offsets))
         if int(sweeps) < 1:
             raise ValueError("sweeps must be >= 1")
         offsets = a.offsets

@@ -85,9 +85,7 @@ class PaddedTriPair:
         from ..ops.pallas_spmv import default_rows_blk, pad_dia
 
         if rows_blk is None:
-            rows_blk = default_rows_blk(
-                len(a.offsets), jnp.dtype(a.dtype).itemsize
-            )
+            rows_blk = default_rows_blk(len(a.offsets))
         if lower.method != "jacobi" or upper.method != "jacobi":
             raise ValueError("padded factor pairs need method='jacobi'")
         geometry = a.offsets

@@ -171,6 +171,15 @@ def mixed_cg(
         x0 = jnp.zeros_like(b)
     maxiter = resolve_max_iterations(max_iterations, n)
     eps = jnp.asarray(epsilon, b.dtype)
+    # NOTE (round 5, measured): routing exactly-bf16-representable
+    # matrices to the VERIFIED plain CG core on bf16 storage — skipping
+    # the refinement and its +43% restart iterations — looks like a free
+    # win and LOSES: 0.87x on the 27-point/128^3 system and 0.83x on the
+    # 5-point/2M system at identical iteration counts.  The verified
+    # core's extra outer carries put the bf16 kernel ~2x off its traffic
+    # bound (the same kernel inside the lean refinement inner hits it).
+    # The refinement path below IS the fast bf16 path; see BENCH_NOTES
+    # "bf16 exact-path ablation".
     interpret = jax.default_backend() != "tpu"
     try:
         return _mixed_cg_jit(

@@ -243,8 +243,7 @@ class TestWideStencilBlockSizing:
 
         assert default_rows_blk(5) == 512       # 5-point family unchanged
         assert default_rows_blk(7) == 512
-        assert default_rows_blk(27) == 256      # 27-point 3-D
-        assert default_rows_blk(27, 2) == 512   # bf16 slab halves
+        assert default_rows_blk(27) == 256      # 27-point 3-D (any dtype)
         # slab bound holds at every width
         for nd in (1, 9, 27, 64, 128):
             rb = default_rows_blk(nd)
